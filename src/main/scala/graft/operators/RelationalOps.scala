@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish driver tables:
+  * scan/filter/project with pushdown, shuffled + broadcast joins,
+  * semi/anti joins, hash aggregation, rollup, window functions,
+  * global top-k, distinct, set ops, JSON + date scalar functions.
+  *
+  * Oracle-parity notes (these shapes are load-bearing for the DuckDB
+  * hash-compare):
+  *  - Money/quantity sums go through `decimal(18,2)` so both engines
+  *    aggregate exactly, then convert to double at the very end
+  *    (identical IEEE conversion) — never compare order-dependent
+  *    double accumulations.
+  *  - Averages are computed as exact decimal sum -> double, divided
+  *    by an exact count, in both engines.
+  *  - Every query ends in a total order (enough keys for uniqueness).
+  */
+object RelationalOps {
+
+  private val dec = DecimalType(18, 2)
+
+  /** TPC-H Q1-shaped pricing summary: filter + hash agg + sort.
+    * The filter pushes to the parquet scan; the agg is map-side
+    * partial + final (HashAggregateExec) on 2 grouping cols. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** Selective filter + narrow projection — exists to prove scan
+    * pushdown/pruning (PushedFilters + 4-column ReadSchema). */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1995-04-01") &&
+        col("l_discount") > lit(0.08) &&
+        col("l_quantity") < lit(5))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
+  /** Revenue by nation: customer ⋈ nation (broadcast dim) ⋈ orders
+    * (shuffled on o_custkey at scale; AQE may broadcast at test sf). */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val o = Tables.orders(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc)
+  }
+
+  /** Left-semi join: customers having at least one urgent order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** Left-anti join: customers with no orders at all. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** Per-customer top-3 orders by price — ranking window with a
+    * deterministic (price desc, orderkey asc) tiebreak. */
+  def windowTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** Analytic window: running revenue per customer over order date
+    * (frame = unbounded preceding .. current row). */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_order"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** Global top-k: TakeOrderedAndProject, never a full sort. */
+  def globalTopK(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Distinct on a low-cardinality pair (partial-agg distinct). */
+  def distinctFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** Set ops: customers with both open ('O') and finished ('F')
+    * orders, minus any with 'P' orders. INTERSECT + EXCEPT. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === lit(status)).select(col("o_custkey")).distinct()
+    keys("O").intersect(keys("F")).except(keys("P"))
+      .orderBy(col("o_custkey").asc)
+  }
+
+  /** Rollup over region -> nation customer counts (grouping sets). */
+  def rollupCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val r = broadcast(Tables.region(spark, sfDir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("sum_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** JSON scalar extraction over events.props + aggregation. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Event-time bucketing: per-hour, per-type counts and exact value
+    * sums (decimal) — the batch shape of the streaming windowed agg. */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy(col("hour").asc, col("event_type").asc)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{cosine_sim, l2sq}
+
+/** Exact (brute-force) vector search operators over the `embeddings`
+  * table — the reference's search semantics (app.py:58-75) minus the
+  * IVF index: scan, distance, deterministic top-k. With `nprobe =
+  * nlist` the reference's IVF-Flat search is exactly this (IVFFlat
+  * stores raw vectors), so these operators double as the correctness
+  * oracle for the IVF path (SURVEY.md §5.2).
+  *
+  * Scale posture: a single-query exact kNN is one narrow scan +
+  * `TakeOrderedAndProject` — embarrassingly parallel, no shuffle of
+  * the big side; the query vector rides into the plan as a broadcast
+  * one-row join (so the same code path works for q=1 and q=many
+  * without driver-side literals in the plan).
+  */
+object VectorSearchOps {
+
+  /** Top-k nearest neighbors (squared L2, ascending) of the vector
+    * whose id is `queryId`, excluding the query row itself
+    * (reference excludes self by position, app.py:91-93).
+    * Deterministic `(dist, vec_id)` tiebreak (SURVEY.md §7.4).
+    */
+  def knnExactL2(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("dist", round(l2sq(col("embedding"), col("q_embedding")), 4))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("dist"))
+  }
+
+  /** Top-k most cosine-similar vectors to `queryId` (descending). */
+  def knnExactCosine(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("q_embedding")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** ε-threshold all-pairs similarity join, exact mode: every pair
+    * (a, b) with a.vec_id < b.vec_id and squared-L2 distance strictly
+    * below `eps` (strict `<` matches the reference's edge predicate,
+    * app.py:93). The reference's clustering graph is the
+    * IVF-restricted approximation of exactly this (app.py:84-94).
+    *
+    * Scale posture: at 100 TB this cross product is infeasible — the
+    * production path is the LSH/IVF-bucketed variant (see dedup /
+    * index operators); this exact form is the oracle and the
+    * small-side fallback. The O(n^2) pair generation happens
+    * distributed (range-join shape), never on the driver.
+    */
+  def similarityJoinExact(spark: SparkSession, sfDir: String, eps: Double = 1.4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist", l2sq(col("a_emb"), col("b_emb")))
+      .filter(col("dist") < eps)
+      .select(col("a_id"), col("b_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** Aggregate surface of the similarity join (pairs + mean distance
+    * per a-side id) — exercises agg-over-join and gives the oracle a
+    * small, stable result set even at larger ε. */
+  def similarityJoinStats(spark: SparkSession, sfDir: String, eps: Double = 1.6): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist", l2sq(col("a_emb"), col("b_emb")))
+      .filter(col("dist") < eps)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("dist")), 4).as("avg_dist"))
+      .orderBy(col("a_id").asc)
+  }
+}
