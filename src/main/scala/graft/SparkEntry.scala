@@ -1,13 +1,176 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered in
+  * [[queries]]; every SQL-expressible one has a DuckDB oracle in
+  * [[oracleSql]]. Column names and orderings are aligned pairwise —
+  * the driver sorts columns by name and hash-compares values, so both
+  * sides alias computed columns identically and end in a total order.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** DuckDB squared-L2 over two float-list columns (computed in double,
+    * sequential accumulation — bitwise-matches the engine's kernel). */
+  private def sqlL2sq(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational coverage (SURVEY §2.2-2.8) ---
+    "pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(s, d)),
+    "filter_project" -> ((s, d) => RelationalOps.filterProject(s, d)),
+    "revenue_by_nation" -> ((s, d) => RelationalOps.revenueByNation(s, d)),
+    "semi_join" -> ((s, d) => RelationalOps.semiJoin(s, d)),
+    "anti_join" -> ((s, d) => RelationalOps.antiJoin(s, d)),
+    "window_topn" -> ((s, d) => RelationalOps.windowTopN(s, d)),
+    "window_running" -> ((s, d) => RelationalOps.windowRunning(s, d)),
+    "global_topk" -> ((s, d) => RelationalOps.globalTopK(s, d)),
+    "distinct_flags" -> ((s, d) => RelationalOps.distinctFlags(s, d)),
+    "set_ops" -> ((s, d) => RelationalOps.setOps(s, d)),
+    "rollup_customers" -> ((s, d) => RelationalOps.rollupCustomers(s, d)),
+    "json_extract" -> ((s, d) => RelationalOps.jsonExtract(s, d)),
+    "events_hourly" -> ((s, d) => RelationalOps.eventsHourly(s, d)),
+    // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
+    "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
+    "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
+    "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
+    "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  AND l_discount > 0.08 AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_orderkey, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    "distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "set_ops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   INTERSECT
+        |   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') t
+        |ORDER BY o_custkey""".stripMargin,
+    "rollup_customers" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "knn_exact_l2" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_exact_cosine" ->
+      s"""SELECT vec_id, s AS sim FROM (
+         |  SELECT b.vec_id AS vec_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS s
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "similarity_join_exact" ->
+      s"""SELECT a_id, b_id, d AS dist FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+         |WHERE d < 1.4
+         |ORDER BY a_id, b_id""".stripMargin,
+    "similarity_join_stats" ->
+      s"""SELECT a_id, COUNT(*) AS n_pairs, MIN(d) AS min_dist, MAX(d) AS max_dist
+         |FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+         |WHERE d < 1.6
+         |GROUP BY a_id
+         |ORDER BY a_id""".stripMargin,
+  )
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros, floor}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   * All operators take `(SparkSession, sfDir)` and read through here so
@@ -22,7 +24,19 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via
+    * schema override and truncate to microseconds — the same
+    * conversion DuckDB applies internally (its timestamps are µs), so
+    * oracle comparisons stay exact. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(raw).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -49,6 +49,26 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
   protected def getter: String = if (elemIsFloat) "getFloat" else "getDouble"
+
+  /** Dimension check: FAISS errors on mismatched dims (its `d` is fixed
+    * at index construction); silently truncating would return a
+    * plausible-but-wrong distance on bad data, so we fail loudly. */
+  @inline protected final def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch ($n vs ${b.numElements()})")
+    }
+    n
+  }
+
+  /** Codegen form of [[checkedLen]]; emits `int <n> = ...;` with the check. */
+  protected final def genCheckedLen(n: String, a: String, b: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: vector dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 }
 
 /** Squared Euclidean distance: sum_i (a_i - b_i)^2. FAISS METRIC_L2
@@ -59,7 +79,7 @@ case class L2Sq(left: Expression, right: Expression) extends VectorBinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val isF = elemIsFloat
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var acc = 0.0; var i = 0
     while (i < n) { val d = get(a, i, isF) - get(b, i, isF); acc += d * d; i += 1 }
     acc
@@ -70,7 +90,7 @@ case class L2Sq(left: Expression, right: Expression) extends VectorBinaryExpress
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genCheckedLen(n, a, b)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double)$a.$getter($i) - (double)$b.$getter($i);
@@ -91,7 +111,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val isF = elemIsFloat
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var acc = 0.0; var i = 0
     while (i < n) { acc += get(a, i, isF) * get(b, i, isF); i += 1 }
     acc
@@ -101,7 +121,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genCheckedLen(n, a, b)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double)$a.$getter($i) * (double)$b.$getter($i);
@@ -123,7 +143,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val isF = elemIsFloat
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = get(a, i, isF); val y = get(b, i, isF)
@@ -139,7 +159,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genCheckedLen(n, a, b)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double)$a.$getter($i);

@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column-level API over the engine's native vector expressions, plus
@@ -10,19 +9,19 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  private def col2e(c: Column) = ExpressionUtils.expression(c)
+  private def col2e(c: Column) = GraftSqlBridge.expression(c)
 
   /** Squared L2 distance (FAISS METRIC_L2 semantics, reference app.py:48). */
   def l2sq(a: Column, b: Column): Column =
-    ExpressionUtils.column(L2Sq(col2e(a), col2e(b)))
+    GraftSqlBridge.column(L2Sq(col2e(a), col2e(b)))
 
   /** Dot product of two float/double array columns. */
   def vec_dot(a: Column, b: Column): Column =
-    ExpressionUtils.column(DotProduct(col2e(a), col2e(b)))
+    GraftSqlBridge.column(DotProduct(col2e(a), col2e(b)))
 
   /** Cosine similarity of two float/double array columns (0.0 on zero norm). */
   def cosine_sim(a: Column, b: Column): Column =
-    ExpressionUtils.column(CosineSim(col2e(a), col2e(b)))
+    GraftSqlBridge.column(CosineSim(col2e(a), col2e(b)))
 
   /** Portable HOF formulation of l2sq — same semantics, no custom
     * expression; used by tests to validate `l2sq` and by callers who
@@ -45,9 +44,8 @@ package object functions {
 
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("l2sq", es => L2Sq(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "builtin")
+    GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
   }
 }

@@ -35,7 +35,10 @@ object RelationalOps {
       .agg(
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast("double").as("sum_disc_price"),
+        // multiply in decimal (operands cast first): the double product
+        // lands on exact half-cent ties whose rounding differs between
+        // engines; decimal×decimal is exact, so both sides agree.
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)).cast("double").as("sum_disc_price"),
         (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)

@@ -31,7 +31,7 @@ object VectorSearchOps {
       .select(col("embedding").as("q_embedding"))
     emb.join(broadcast(q))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("dist", round(l2sq(col("embedding"), col("q_embedding")), 4))
+      .withColumn("dist", l2sq(col("embedding"), col("q_embedding")))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("dist"))
@@ -44,7 +44,7 @@ object VectorSearchOps {
       .select(col("embedding").as("q_embedding"))
     emb.join(broadcast(q))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("sim", round(cosine_sim(col("embedding"), col("q_embedding")), 4))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_embedding")))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("sim"))
@@ -69,7 +69,7 @@ object VectorSearchOps {
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("dist", l2sq(col("a_emb"), col("b_emb")))
       .filter(col("dist") < eps)
-      .select(col("a_id"), col("b_id"), round(col("dist"), 4).as("dist"))
+      .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
@@ -80,11 +80,17 @@ object VectorSearchOps {
     val emb = Tables.embeddings(spark, sfDir)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // avg over raw doubles is summation-order-dependent across
+    // shuffles, and double->decimal casts of computed values round
+    // differently per engine; min/max are order-independent and
+    // bit-exact, so the oracle hash-compare is stable.
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("dist", l2sq(col("a_emb"), col("b_emb")))
       .filter(col("dist") < eps)
       .groupBy(col("a_id"))
-      .agg(count(lit(1)).as("n_pairs"), round(avg(col("dist")), 4).as("avg_dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"))
       .orderBy(col("a_id").asc)
   }
 }
