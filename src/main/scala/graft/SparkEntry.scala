@@ -48,6 +48,47 @@ object SparkEntry {
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
+    // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
+    "corpus_ingest" -> ((s, d) => graft.sources.Ingest.corpusFromDocuments(s, d)),
+    "embed_documents" -> ((s, d) => EmbedOps.embedDocuments(s, d)),
+    "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),
+    // --- IVF index (SURVEY §2.4 A1/A2, §2.3 J2/J3, §2.6 T4) ---
+    "ivf_build_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      IvfIndex.forEmbeddings(s, d, nlist = 4).postings
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("list_id").asc)
+    }),
+    // nprobe = nlist probes every list; IVFFlat stores raw vectors, so
+    // this must equal the exact scan (reference semantics,
+    // app.py:47-48,55) — its oracle is the exact-kNN SQL.
+    "ivf_search_full" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.forEmbeddings(s, d, nlist = 4), q,
+          k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    "ivf_search_pruned" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.forEmbeddings(s, d, nlist = 4), q,
+          k = 10, nprobe = 2, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    "knn_batch_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      IvfIndex.searchAll(IvfIndex.forEmbeddings(s, d, nlist = 4),
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy(col("src_id").asc, col("rank").asc)
+    }),
+    // --- clustering (SURVEY §2.4 A3, §2.2 P3/P4, app.py:77-114) ---
+    "cluster_exact" -> ((s, d) => Clustering.clusterExact(s, d, eps = 1.2)),
+    "cluster_sizes" -> ((s, d) =>
+      Clustering.clusterSizes(Clustering.clusterExact(s, d, eps = 1.2))),
+    "cluster_ivf" -> ((s, d) => Clustering.clusterIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -172,5 +213,53 @@ object SparkEntry {
          |WHERE d < 1.6
          |GROUP BY a_id
          |ORDER BY a_id""".stripMargin,
+    "corpus_ingest" ->
+      """SELECT doc_id AS id, trim(text) AS sentence FROM documents
+        |WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    // nprobe = nlist ≡ exact scan (IVFFlat stores raw vectors): the
+    // IVF path's oracle is the brute-force kNN SQL.
+    "ivf_search_full" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "cluster_exact" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 1.2),
+         |reach(src, node) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         |comp AS (SELECT src AS vid, MIN(node) AS root, COUNT(*) AS csize
+         |         FROM reach GROUP BY src),
+         |rmap AS (SELECT root, ROW_NUMBER() OVER (ORDER BY root) - 1 AS cid
+         |         FROM (SELECT DISTINCT root FROM comp WHERE csize > 1) t)
+         |SELECT c.vid AS vec_id, COALESCE(r.cid, -1) AS cluster_id
+         |FROM comp c LEFT JOIN rmap r ON c.root = r.root
+         |ORDER BY vec_id""".stripMargin,
+    "cluster_sizes" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 1.2),
+         |reach(src, node) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         |comp AS (SELECT src AS vid, MIN(node) AS root, COUNT(*) AS csize
+         |         FROM reach GROUP BY src),
+         |rmap AS (SELECT root, ROW_NUMBER() OVER (ORDER BY root) - 1 AS cid
+         |         FROM (SELECT DISTINCT root FROM comp WHERE csize > 1) t)
+         |SELECT r.cid AS cluster_id, COUNT(*) AS size
+         |FROM comp c JOIN rmap r ON c.root = r.root
+         |GROUP BY r.cid
+         |ORDER BY size DESC, cluster_id ASC
+         |LIMIT 100""".stripMargin,
   )
 }

@@ -42,10 +42,20 @@ package object functions {
   /** L2 norm of an array column. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 
+  /** Deterministic hashing text embedder (reference capability
+    * app.py:18-20,35-43; see [[Embedder]] for the construction). */
+  def embed_text(text: Column, dim: Int = Embedder.DefaultDim): Column =
+    GraftSqlBridge.column(EmbedText(col2e(text), dim))
+
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))
     GraftSqlBridge.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
     GraftSqlBridge.registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "embed_text", {
+      case Seq(text) => EmbedText(text, Embedder.DefaultDim)
+      case Seq(text, dim) => EmbedText(text,
+        dim.eval().asInstanceOf[Number].intValue())
+    })
   }
 }
