@@ -50,7 +50,7 @@ object SparkEntry {
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
     "corpus_ingest" -> ((s, d) => graft.sources.Ingest.corpusFromDocuments(s, d)),
-    "embed_documents" -> ((s, d) => EmbedOps.embedDocuments(s, d)),
+    "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
     "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),
     // --- IVF index (SURVEY §2.4 A1/A2, §2.3 J2/J3, §2.6 T4) ---
     "ivf_build_stats" -> ((s, d) => {
@@ -215,6 +215,16 @@ object SparkEntry {
          |ORDER BY a_id""".stripMargin,
     "corpus_ingest" ->
       """SELECT doc_id AS id, trim(text) AS sentence FROM documents
+        |WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    // The embedder L2-normalizes: norm is exactly 1.0 iff the doc has
+    // ≥1 [a-z0-9] token after lowercasing, else 0.0 (see
+    // EmbedOps.embedDocumentsStats).
+    "embed_documents" ->
+      """SELECT doc_id AS id, 64 AS dim,
+        |  CAST(CASE WHEN regexp_matches(lower(text), '[a-z0-9]')
+        |       THEN 1.0 ELSE 0.0 END AS DOUBLE) AS l2_norm
+        |FROM documents
         |WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
     // nprobe = nlist ≡ exact scan (IVFFlat stores raw vectors): the

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -35,10 +36,11 @@ object Embedder {
     h
   }
 
-  /** Core kernel, shared by interpreted eval and generated code. */
+  /** Core kernel, shared by interpreted eval and generated code.
+    * Primitive-array result — no per-element boxing. */
   def embed(text: UTF8String, dim: Int): ArrayData = {
     val out = embedToFloats(if (text == null) "" else text.toString, dim)
-    new GenericArrayData(out.map(java.lang.Float.valueOf(_).asInstanceOf[Any]))
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   def embedToFloats(text: String, dim: Int): Array[Float] = {

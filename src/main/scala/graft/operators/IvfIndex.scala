@@ -37,19 +37,27 @@ object IvfIndex {
   }
 
   /** Train + assign (reference app.py:47-56). `df` must carry
-    * (`idCol`: Long, `embCol`: Array[Float]). */
+    * (`idCol`: Long, `embCol`: Array[Float]).
+    *
+    * Memory hygiene: the training cache (`withVec`) lives only for the
+    * duration of fit+transform — postings are materialized, then the
+    * training cache is released (round 2 leaked it for the JVM
+    * lifetime, degrading every query that ran after a build). */
   def build(df: DataFrame, idCol: String, embCol: String,
             nlist: Int, seed: Long = 42L): Index = {
     val spark = df.sparkSession
     val withVec = df.select(col(idCol).as("id"), col(embCol).as("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(withVec)
     val postings = model.transform(withVec)
       .select(col("list_id"), col("id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.count()
+    withVec.unpersist(blocking = false)
     val centroidRows = model.clusterCenters.zipWithIndex.map {
       case (v: MlVector, i) => (i, v.toArray.map(_.toFloat))
     }.toSeq
@@ -151,11 +159,9 @@ object IvfIndex {
   // --- (Verify, Bench) don't re-train per call                 ---
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Index]
 
-  /** Build (or fetch cached) index over the sf embeddings table. */
+  /** Build (or fetch cached) index over the sf embeddings table
+    * (postings are already persisted+materialized by [[build]]). */
   def forEmbeddings(spark: SparkSession, sfDir: String, nlist: Int): Index =
-    cache.getOrElseUpdate((sfDir, nlist), {
-      val idx = build(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist)
-      idx.postings.cache().count()
-      idx
-    })
+    cache.getOrElseUpdate((sfDir, nlist),
+      build(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist))
 }
