@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+
+/** Connected components + assignment semantics vs an in-driver
+  * union-find oracle (SURVEY.md §5.2) and the reference's fine-print
+  * edge cases (§3: singletons → -1, strict ε, self-pair exclusion). */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find: id -> min id of its component. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map { i =>
+      var r = find(i)
+      i.toLong -> r.toLong
+    }.toMap
+  }
+
+  private def ccResult(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (0L until n.toLong).toDF("id")
+    val edgeDf = edges.toDF("src", "dst")
+    Clustering.connectedComponents(nodes, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("CC matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccResult(n, edges) == unionFind(n, edges))
+  }
+
+  test("CC converges on a long path graph within the iteration cap (pointer jumping)") {
+    // a 400-node chain has diameter 399: plain min-label propagation
+    // would need 399 rounds and blow the 50-round cap; pointer jumping
+    // must collapse it in O(log n) rounds.
+    val n = 400
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val got = ccResult(n, edges)
+    assert(got.values.toSet == Set(0L), "single chain must collapse to comp 0")
+  }
+
+  test("CC handles self-loops, duplicate and reversed edges, isolated nodes") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (4L, 5L))
+    val got = ccResult(6, edges)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("assign: multi-member components numbered 0..m-1 by min member; singletons -1") {
+    // components: {0,1}, {3,4,5}; singletons: {2}, {6}
+    val nodes = (0L to 6L).toDF("id")
+    val edges = Seq((0L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Clustering.assign(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> -1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> -1L))
+  }
+
+  test("empty edge set: every node is a -1 singleton") {
+    val nodes = (0L until 5L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Clustering.assign(nodes, edges).collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == -1L))
+  }
+
+  test("duplicate embeddings (distance 0) cluster together under strict ε") {
+    // engine semantics (declared deviation, SURVEY §3 fine print 4):
+    // rows are keyed by id, so two identical vectors ARE an ε-edge and
+    // form a 2-cluster — this is what makes dedup work downstream.
+    val rows = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 0f)),  // exact dup pair
+      (2L, Array(10f, 10f)))                     // far away singleton
+    val emb = rows.toDF("vec_id", "embedding")
+    val nodes = emb.select(col("vec_id").as("id"))
+    val a = emb.select(col("vec_id").as("src"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("dst"), col("embedding").as("b_emb"))
+    val edges = a.join(b, col("src") < col("dst"))
+      .filter(graft.functions.l2sq(col("a_emb"), col("b_emb")) < 0.5)
+      .select("src", "dst")
+    val got = Clustering.assign(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> -1L))
+  }
+
+  test("clusterSizes: sizes sorted desc with cluster_id tiebreak, display cap (T2/T3)") {
+    val assignments = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),   // cluster 0, size 3
+      (3L, 1L), (4L, 1L),             // cluster 1, size 2
+      (5L, 2L), (6L, 2L),             // cluster 2, size 2
+      (7L, -1L))
+      .toDF("id", "cluster_id")
+    val got = Clustering.clusterSizes(assignments, cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3L), (1L, 2L)))
+  }
+
+  test("end-to-end exact clustering matches a driver-side oracle on sf0.001") {
+    val eps = 1.2
+    val emb = Tables.embeddings(spark, sfSmall)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val edges = for {
+      (i, vi) <- emb.toSeq; (j, vj) <- emb.toSeq
+      if i < j && l2(vi, vj) < eps
+    } yield (i, j)
+    val oracleComp = unionFind(emb.length, edges)
+    val oracleMulti = oracleComp.groupBy(_._2).filter(_._2.size > 1).keys.toSeq.sorted
+    val oracleIds = oracleMulti.zipWithIndex.toMap
+    val oracle = oracleComp.map { case (id, root) =>
+      id -> oracleIds.get(root).map(_.toLong).getOrElse(-1L)
+    }
+    val got = Clustering.clusterExact(spark, sfSmall, eps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+  }
+}

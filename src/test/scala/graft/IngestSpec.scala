@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.Ingest
+
+/** Ingest surface semantics (reference app.py:199-223): the required
+  * `sentences` CSV column with error parity, line-splitting with
+  * trim/drop-empty, positional ids, and CSV sink round trip. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromCsv errors on a missing 'sentences' column (app.py:208 parity)") {
+    val dir = tmpDir("csv-bad-")
+    Seq("text_col", "hello", "world").toDF("value")
+      .coalesce(1).write.mode("overwrite").option("header", "false").csv(dir + "/data")
+    val e = intercept[IllegalArgumentException] {
+      Ingest.fromCsv(spark, dir + "/data")
+    }
+    assert(e.getMessage.contains("sentences"))
+  }
+
+  test("fromCsv reads the sentences column with contiguous positional ids") {
+    val dir = tmpDir("csv-ok-")
+    Seq("alpha", "beta", "gamma", "delta").toDF("sentences")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir + "/data")
+    val got = Ingest.fromCsv(spark, dir + "/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).toSet == Set("alpha", "beta", "gamma", "delta"))
+  }
+
+  test("fromLines trims, drops empty lines, assigns positional ids in order") {
+    val got = Ingest.fromLines(spark, "  first \n\n second\n   \nthird  ")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, "first"), (1L, "second"), (2L, "third")))
+  }
+
+  test("fromLinesDf applies the same trim/non-empty filter distributed") {
+    val got = Ingest.fromLinesDf(Seq(" x ", "", "y", "  ").toDF("raw"))
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set("x", "y"))
+  }
+
+  test("corpusFromDocuments: (id, sentence) with non-empty trimmed text") {
+    val df = Ingest.corpusFromDocuments(spark, sfSmall)
+    assert(df.columns.toSeq == Seq("id", "sentence"))
+    val n = df.count()
+    assert(n > 0 && n <= Tables.documents(spark, sfSmall).count())
+  }
+
+  test("exportCsv -> fromCsv style round trip preserves rows") {
+    val dir = tmpDir("csv-rt-")
+    val assignments = Seq((0L, 1L), (1L, 1L), (2L, -1L)).toDF("id", "cluster_id")
+    graft.operators.Clustering.exportCsv(assignments, dir + "/out")
+    val back = spark.read.option("header", "true").csv(dir + "/out")
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+    assert(back == Set((0L, 1L), (1L, 1L), (2L, -1L)))
+  }
+}
