@@ -27,6 +27,34 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Shared oracle CTE: the tokenized corpus — mirrors
+    * Ingest.corpusFromDocuments + TextAnalytics.tokens exactly. */
+  private val sqlCorpusToks: String =
+    """corpus AS (
+      |  SELECT doc_id AS id, trim(text) AS sentence,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+      |                t -> length(t) > 0) AS toks
+      |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+
+  /** Shared oracle CTE chain for MinHash: shingles + salted-md5
+    * signatures — mirrors Dedup.minhashSignatures exactly (md5 is the
+    * hash on both sides by construction). */
+  private val sqlMinhashSig: String =
+    sqlCorpusToks + """,
+      |tokenized AS (SELECT * FROM corpus WHERE len(toks) > 0),
+      |sh AS (
+      |  SELECT id, toks,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END AS shingles
+      |  FROM tokenized),
+      |sig AS (
+      |  SELECT id, toks,
+      |    list_transform(range(0, 8),
+      |      h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ' ' || s)))) AS sig
+      |  FROM sh)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational coverage (SURVEY §2.2-2.8) ---
@@ -89,6 +117,54 @@ object SparkEntry {
     "cluster_sizes" -> ((s, d) =>
       Clustering.clusterSizes(Clustering.clusterExact(s, d, eps = 1.2))),
     "cluster_ivf" -> ((s, d) => Clustering.clusterIvf(s, d)),
+    // --- persisted-index lifecycle (S3/S4, app.py:116-147): search
+    // runs against the partitionBy(list_id) parquet layout on disk ---
+    "ivf_persisted_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
+          k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    "ivf_persisted_pruned" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
+          k = 10, nprobe = 2, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // --- ingest surface (S1/S2/S5, app.py:199-223, 313-319) ---
+    "ingest_csv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = s"/root/repo/target/fixtures/csv-${new java.io.File(d).getName}"
+      graft.sources.Ingest.corpusFromDocuments(s, d)
+        .select(col("sentence").as(graft.sources.Ingest.SentencesCol))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      graft.sources.Ingest.fromCsv(s, dir)
+    }),
+    "ingest_lines" -> ((s, _) =>
+      graft.sources.Ingest.fromLines(s, "alpha\n beta \n\ngamma delta\n")),
+    // --- text analytics (north star; BASELINE.json) ---
+    "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
+    "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
+    "lang_id" -> ((s, d) => TextAnalytics.langId(s, d)),
+    "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
+    // --- dedup (north star; BASELINE.json) ---
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
+    "minhash_signatures" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dedup.minhashSignatures(s, d)
+        .select(col("id"), concat_ws("|", col("sig")).as("sig_cat"))
+        .orderBy(col("id").asc)
+    }),
+    "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
+    "neardup_cosine" -> ((s, d) => Dedup.neardupCosine(s, d)),
+    "doc_dedup" -> ((s, d) => Dedup.docDedupFor(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,5 +347,127 @@ object SparkEntry {
          |GROUP BY r.cid
          |ORDER BY size DESC, cluster_id ASC
          |LIMIT 100""".stripMargin,
+    // persisted index at nprobe = nlist ≡ exact scan (same contract as
+    // ivf_search_full, now via the on-disk partitioned layout).
+    "ivf_persisted_search" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // CSV sink → CSV source round trip must reproduce the corpus with
+    // positional ids (file order = id order).
+    "ingest_csv" ->
+      """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id,
+        |  trim(text) AS sentence
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    "ingest_lines" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'alpha'),
+        |  (CAST(1 AS BIGINT), 'beta'),
+        |  (CAST(2 AS BIGINT), 'gamma delta')) AS t(id, sentence)
+        |ORDER BY id""".stripMargin,
+    "text_stats" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT id, length(sentence) AS n_chars, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS max_token_len
+         |FROM corpus ORDER BY id""".stripMargin,
+    "text_quality" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT id,
+         |  length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) AS alpha_ratio,
+         |  length(regexp_replace(sentence, '[^0-9]', '', 'g'))::DOUBLE / length(sentence) AS digit_ratio,
+         |  length(regexp_replace(sentence, '[^ ]', '', 'g'))::DOUBLE / length(sentence) AS space_ratio,
+         |  len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |    / greatest(len(toks), 1) AS stopword_ratio,
+         |  (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |   AND len(toks) >= 5 AND len(toks) <= 100000
+         |   AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |       / greatest(len(toks), 1) > 0.0) AS keep
+         |FROM corpus ORDER BY id""".stripMargin,
+    "lang_id" ->
+      s"""WITH $sqlCorpusToks,
+         |hits AS (
+         |  SELECT id,
+         |    len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','that','it','for'))) AS en_hits,
+         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de_hits,
+         |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','las','un','una','por'))) AS es_hits,
+         |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS fr_hits
+         |  FROM corpus)
+         |SELECT id, en_hits, de_hits, es_hits, fr_hits,
+         |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+         |       WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+         |       WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+         |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM hits ORDER BY id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id AS id,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS ws_tokens,
+        |  len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT id,
+         |  md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) AS md5_norm,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_min(list_transform(range(1, len(toks) - 1),
+         |           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |    ELSE md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) END AS min_shingle_md5
+         |FROM corpus ORDER BY id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY trim(text)) AS canonical_id,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY trim(text)) AS kept
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "minhash_signatures" ->
+      s"""WITH $sqlMinhashSig
+         |SELECT id, array_to_string(sig, '|') AS sig_cat
+         |FROM sig ORDER BY id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $sqlMinhashSig,
+         |bands AS (
+         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |j AS (
+         |  SELECT c.a_id, c.b_id,
+         |    len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
+         |      / len(list_distinct(ta.toks || tb.toks)) AS jaccard
+         |  FROM cand c
+         |  JOIN tokenized ta ON ta.id = c.a_id
+         |  JOIN tokenized tb ON tb.id = c.b_id)
+         |SELECT a_id, b_id, jaccard FROM j
+         |WHERE jaccard >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embed_exact" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 0.9),
+         |reach(src, node) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+         |SELECT src AS vec_id, MIN(node) AS canonical_id,
+         |  src = MIN(node) AS kept
+         |FROM reach GROUP BY src
+         |ORDER BY vec_id""".stripMargin,
+    "neardup_cosine" ->
+      s"""SELECT a_id, b_id, c AS cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+         |WHERE c > 0.95
+         |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -47,6 +47,10 @@ package object functions {
   def embed_text(text: Column, dim: Int = Embedder.DefaultDim): Column =
     GraftSqlBridge.column(EmbedText(col2e(text), dim))
 
+  /** 64-bit SimHash fingerprint of a text column (see [[SimHash]]). */
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(col2e(text)))
+
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))
@@ -57,5 +61,6 @@ package object functions {
       case Seq(text, dim) => EmbedText(text,
         dim.eval().asInstanceOf[Number].intValue())
     })
+    GraftSqlBridge.registerFunction(spark, "simhash64", es => SimHash64(es(0)))
   }
 }

@@ -81,7 +81,10 @@ object Clustering {
       // Each node offers its label to its neighbors. sym and labels
       // share `part`, so this join moves no edge data.
       val offers = sym.join(labels).map { case (_, (dst, comp)) => (dst, comp) }
+      // merged feeds both sides of the pointer-jump join — persist it
+      // for the round so it is computed once, not twice.
       val merged = (labels ++ offers).reduceByKey(part, math.min(_: Long, _: Long))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Pointer jump: follow comp to its own current label. Every comp
       // is a node id (a min over ids), so the inner join is total and
       // keeps exactly one row per id.
@@ -91,6 +94,7 @@ object Clustering {
         .partitionBy(part)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val s = jumped.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+      merged.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = jumped
       converged = prevSum != null && s == prevSum

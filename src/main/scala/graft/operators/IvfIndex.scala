@@ -164,4 +164,20 @@ object IvfIndex {
   def forEmbeddings(spark: SparkSession, sfDir: String, nlist: Int): Index =
     cache.getOrElseUpdate((sfDir, nlist),
       build(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist))
+
+  private val persistedCache = scala.collection.concurrent.TrieMap.empty[(String, Int), Index]
+
+  /** The reference's full persistence lifecycle (save → load → search,
+    * app.py:116-147) as one memoized step: build the sf index, save it
+    * partitionBy(list_id), and return the DISK-backed index — searches
+    * against it scan the parquet postings with partition pruning, the
+    * layout the 100 TB design claims (scaladoc above). Unlike
+    * [[forEmbeddings]] nothing is cached in memory: every search is an
+    * honest pruned file scan. */
+  def persistedForEmbeddings(spark: SparkSession, sfDir: String, nlist: Int): Index =
+    persistedCache.getOrElseUpdate((sfDir, nlist), {
+      val dir = s"/root/repo/target/ivf-index/${new java.io.File(sfDir).getName}-nlist$nlist"
+      save(forEmbeddings(spark, sfDir, nlist), dir)
+      load(spark, dir)
+    })
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Text-analysis operators over the `documents` corpus — the
+  * LLM-data-pipeline extension surface (BASELINE.json north star;
+  * absent from the reference, whose only text processing is
+  * trim/split ingest, app.py:199-223). Everything here is a pure
+  * narrow map over the corpus — no shuffle, embarrassingly parallel
+  * at any scale — built from codegen'd built-ins (no UDFs).
+  *
+  * Tokenization matches the engine's embedder (Embedder.scala):
+  * lowercase, split on non-[a-z0-9] runs — one definition everywhere
+  * so token counts, fingerprints, minhash and embeddings agree.
+  */
+object TextAnalytics {
+
+  /** Lowercased [a-z0-9]+ tokens of a text column (empties removed). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Per-document surface statistics: chars, tokens, distinct tokens,
+    * longest token. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Ingest.corpusFromDocuments(spark, sfDir)
+      .withColumn("toks", tokens(col("sentence")))
+      .select(
+        col("id"),
+        length(col("sentence")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        coalesce(array_max(transform(col("toks"), t => length(t))), lit(0))
+          .cast("long").as("max_token_len"))
+      .orderBy(col("id").asc)
+  }
+
+  /** Per-document quality signals (the length/punctuation/stopword
+    * heuristics a pretraining filter runs): character-class ratios and
+    * a boolean keep/drop verdict. Ratios are exact integer-count /
+    * length divisions, so the DuckDB oracle reproduces them bit-for-bit. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+    Ingest.corpusFromDocuments(spark, sfDir)
+      .withColumn("toks", tokens(col("sentence")))
+      .select(
+        col("id"),
+        (length(regexp_replace(col("sentence"), "[^A-Za-z]", "")).cast("double") /
+          length(col("sentence"))).as("alpha_ratio"),
+        (length(regexp_replace(col("sentence"), "[^0-9]", "")).cast("double") /
+          length(col("sentence"))).as("digit_ratio"),
+        (length(regexp_replace(col("sentence"), "[^ ]", "")).cast("double") /
+          length(col("sentence"))).as("space_ratio"),
+        (size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stopword_ratio"),
+        col("toks"))
+      .withColumn("keep",
+        col("alpha_ratio") > 0.5 && size(col("toks")) >= 5 &&
+          size(col("toks")) <= 100000 && col("stopword_ratio") > 0.0)
+      .drop("toks")
+      .orderBy(col("id").asc)
+  }
+
+  /** Stopword lists for the language-ID heuristic; kept tiny and
+    * hard-coded so the DuckDB oracle can mirror them verbatim. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"))
+
+  /** Language identification by stopword-hit counting (the classic
+    * n-gram/stopword heuristic; a real model is out of scope in a
+    * zero-egress JVM). Deterministic arg-max with first-listed-wins
+    * tie-break; zero hits anywhere → 'und' (undetermined). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Ingest.corpusFromDocuments(spark, sfDir)
+      .withColumn("toks", tokens(col("sentence")))
+    val withHits = LangStopwords.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_hits",
+        size(filter(col("toks"), t => t.isin(words: _*))).cast("long"))
+    }
+    val hitCols = LangStopwords.map { case (l, _) => col(s"${l}_hits") }
+    val best = LangStopwords.map { case (lang, _) =>
+      (col(s"${lang}_hits") === greatest(hitCols: _*)) -> lit(lang)
+    }
+    val pred = best.foldRight(lit("und")) { case ((cond, lang), els) =>
+      when(cond, lang).otherwise(els)
+    }
+    withHits
+      .withColumn("lang_pred",
+        when(greatest(hitCols: _*) === 0, lit("und")).otherwise(pred))
+      .select(col("id") +: hitCols :+ col("lang_pred"): _*)
+      .orderBy(col("id").asc)
+  }
+
+  /** Token counting two ways: whitespace words and a BPE-ish
+    * pre-tokenizer regex (letter runs | digit runs | symbol runs —
+    * the shape GPT-style byte-pair pre-tokenizers use). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Ingest.corpusFromDocuments(spark, sfDir)
+      .select(
+        col("id"),
+        size(filter(split(col("sentence"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("sentence"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy(col("id").asc)
+  }
+
+  /** Per-document fingerprints: md5 of the token-normalized text plus
+    * the minimum md5 over 3-token shingles (a 1-permutation MinHash —
+    * the doc-level fingerprint a near-dup pass buckets on). Documents
+    * with fewer than 3 tokens fall back to the whole normalized text
+    * as their single shingle. */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Ingest.corpusFromDocuments(spark, sfDir)
+      .withColumn("toks", tokens(col("sentence")))
+      .withColumn("norm", concat_ws(" ", col("toks")))
+      .select(
+        col("id"),
+        md5(col("norm")).as("md5_norm"),
+        when(size(col("toks")) >= 3,
+          array_min(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(3)))))))
+          .otherwise(md5(col("norm"))).as("min_shingle_md5"))
+      .orderBy(col("id").asc)
+  }
+}

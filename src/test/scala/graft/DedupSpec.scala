@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash
+import graft.operators.Dedup
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dedup family semantics on corpora with planted duplicates — the
+  * verification layer for the non-SQL-expressible paths (simhash,
+  * IVF-bucketed doc dedup) plus unit coverage of the kernels. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 0≡1 exact dup, 2 near-dup of 0 (one word changed),
+  // 3/4/5 unrelated, 6 exact dup of 3.
+  private val planted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (3L, "completely different subject matter about database query optimization"),
+    (4L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    (5L, "vector search with inverted file indexes scales to large corpora"),
+    (6L, "completely different subject matter about database query optimization"))
+  private lazy val corpus = planted.toDF("id", "sentence")
+
+  test("dedupExactCorpus: identical texts share min-id canonical; others kept") {
+    val got = Dedup.dedupExactCorpus(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 3L, true),
+      (4L, 4L, true), (5L, 5L, true), (6L, 3L, false)))
+  }
+
+  test("dedupMinhashCorpus: exact and near dups found, unrelated pairs absent") {
+    val pairs = Dedup.dedupMinhashCorpus(corpus, minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must survive LSH + verify")
+    assert(pairs.contains((3L, 6L)), "second exact dup pair must survive")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "near-dup (1-token edit, jaccard 13/15) must be found")
+    val unrelated = Set((3L, 4L), (3L, 5L), (4L, 5L))
+    assert(pairs.intersect(unrelated).isEmpty, "unrelated docs must not pair")
+  }
+
+  test("dedupSimhashCorpus: exact dups at Hamming 0; near-dup within bound") {
+    val got = Dedup.dedupSimhashCorpus(corpus, maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((0L, 1L)) == 0)
+    assert(got((3L, 6L)) == 0)
+    assert(got.get((0L, 2L)).forall(_ <= 10))
+  }
+
+  test("simhash64 kernel: deterministic, order-sensitive token weighting") {
+    def sh(s: String): Long = SimHash.simhash64(UTF8String.fromString(s))
+    assert(sh("alpha beta gamma") == sh("alpha beta gamma"))
+    // bag-of-words fingerprint: token multiset determines the hash
+    assert(sh("beta alpha gamma") == sh("alpha beta gamma"))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sh(planted(0)._2), sh(planted(2)._2))
+    val far = hamming(sh(planted(0)._2), sh(planted(4)._2))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("docDedup (embed -> IVF -> CC): planted dups share canonicals, unrelated are singletons") {
+    val got = Dedup.docDedup(corpus, eps = 0.3, k = 5, nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      .sortBy(_._1)
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) == byId(1L), "exact dup must share canonical")
+    assert(byId(3L) == byId(6L), "exact dup must share canonical")
+    assert(byId(0L) == byId(2L), "near dup (1-token edit) within eps=0.3")
+    assert(byId(4L) != byId(0L) && byId(5L) != byId(0L) && byId(4L) != byId(5L))
+    // kept = is canonical
+    got.foreach { case (id, canon, kept) => assert(kept == (id == canon)) }
+  }
+
+  test("docDedup excludes zero-token docs from the graph (own singleton)") {
+    val weird = (planted :+ (7L, "!!! ???") :+ (8L, "!!! ???")).toDF("id", "sentence")
+    val got = Dedup.docDedup(weird, eps = 0.3, k = 5, nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // identical zero-token docs must NOT merge (distance over zero
+    // vectors is meaningless); each stays its own canonical
+    assert(got(7L) == 7L && got(8L) == 8L)
+  }
+
+  test("neardupCosine and dedupEmbedExact run on sf0.001 with consistent shapes") {
+    val cos = Dedup.neardupCosine(spark, sfSmall, minCos = 0.9)
+    assert(cos.columns.toSeq == Seq("a_id", "b_id", "cos"))
+    cos.collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)); assert(r.getDouble(2) > 0.9)
+    }
+    val ded = Dedup.dedupEmbedExact(spark, sfSmall, eps = 0.9)
+    val rows = ded.collect()
+    assert(rows.length == 500)
+    rows.foreach { r => assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1))) }
+    // canonical must be <= member id (min of component)
+    rows.foreach { r => assert(r.getLong(1) <= r.getLong(0)) }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalytics
+
+/** Text-analytics operators vs driver-side recomputation on real
+  * corpus rows (the DuckDB oracle covers full-corpus parity; these
+  * pin the per-row semantics independently). */
+class TextAnalyticsSpec extends SparkSpec {
+
+  private def toksRef(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  test("textStats matches driver-side recomputation on sf0.001 rows") {
+    val docs = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalytics.textStats(spark, sfSmall).collect()
+    assert(got.length == docs.size)
+    got.take(50).foreach { r =>
+      val s = docs(r.getLong(0))
+      val toks = toksRef(s)
+      assert(r.getLong(1) == s.length, "n_chars")
+      assert(r.getLong(2) == toks.length, "n_tokens")
+      assert(r.getLong(3) == toks.distinct.length, "n_distinct_tokens")
+      assert(r.getLong(4) == (if (toks.isEmpty) 0 else toks.map(_.length).max), "max_token_len")
+    }
+  }
+
+  test("textQuality: ratios in [0,1]; keep verdict consistent with its inputs") {
+    val rows = TextAnalytics.textQuality(spark, sfSmall).collect()
+    rows.foreach { r =>
+      val (alpha, digit, space, stop) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      Seq(alpha, digit, space, stop).foreach(x => assert(x >= 0.0 && x <= 1.0))
+      assert(alpha + digit + space <= 1.0 + 1e-9) // disjoint character classes
+    }
+  }
+
+  test("langId: word-salad corpus with english stopwords classifies en or und; hits consistent") {
+    val rows = TextAnalytics.langId(spark, sfSmall).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = (1 to 4).map(r.getLong)
+      val pred = r.getString(5)
+      if (hits.max == 0) assert(pred == "und")
+      else assert(Seq("en", "de", "es", "fr").contains(pred))
+    }
+    // the synthetic corpus embeds 'the'/'a' heavily: en must dominate
+    val en = rows.count(_.getString(5) == "en")
+    assert(en > rows.length / 2, s"expected mostly en, got $en/${rows.length}")
+  }
+
+  test("tokenCounts: ws and bpe tokenizers agree on pure-word text, diverge on punctuation") {
+    import spark.implicits._
+    val df = Seq((0L, "plain words only here"), (1L, "punct-uated, text; with symbols!"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("tokcnt-")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = TextAnalytics.tokenCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((4L, 4L)))
+    // "punct-uated, text; with symbols!" → ws: 4; bpe: punct,-,uated,",",text,";",with,symbols,"!" = 9
+    assert(got(1L) == ((4L, 9L)))
+  }
+
+  test("docFingerprint: identical normalized texts share both fingerprints") {
+    import spark.implicits._
+    val df = Seq((0L, "Alpha, beta gamma delta!"), (1L, "alpha beta GAMMA delta"),
+        (2L, "other words entirely different"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val dir = tmpDir("fp-")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = TextAnalytics.docFingerprint(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(0L) == got(1L), "normalization-equal docs share fingerprints")
+    assert(got(0L) != got(2L))
+  }
+}
