@@ -165,6 +165,17 @@ object SparkEntry {
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
     "neardup_cosine" -> ((s, d) => Dedup.neardupCosine(s, d)),
     "doc_dedup" -> ((s, d) => Dedup.docDedupFor(s, d)),
+    // --- multimodal plumbing (north star; payload stays narrow) ---
+    "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),
+    // --- streaming (SURVEY §2.9): watermark + tumbling window over a
+    // finite replay must equal the batch aggregate ---
+    "events_hourly_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.EventsStreaming.runToCompletion(
+        graft.streaming.EventsStreaming.eventsHourly(
+          graft.streaming.EventsStreaming.readEvents(s, d)), "events_hourly")
+        .orderBy(col("hour").asc, col("event_type").asc)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -469,5 +480,22 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
          |WHERE c > 0.95
          |ORDER BY a_id, b_id""".stripMargin,
+    // n_bytes/md5 computed INSIDE the partition-batched codec — a hash
+    // match proves the binary payload plumbing end to end.
+    "multimodal_features" ->
+      """SELECT doc_id AS id, 'text/plain' AS mime,
+        |  octet_length(encode(trim(text))) AS n_bytes,
+        |  md5(trim(text)) AS fp
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    // the streaming replay has no late data, so the watermarked
+    // windowed aggregate must equal the batch hourly rollup exactly.
+    "events_hourly_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md
+  * §2.9 — absent from the reference, which is request/response over
+  * in-memory state; this is the engine's extension for continuous
+  * ingestion).
+  *
+  * Design: the same logical aggregation as the batch `events_hourly`
+  * query, expressed as readStream → watermark → tumbling window →
+  * agg. At scale the file source becomes Kafka/queue — the plan shape
+  * (watermarked windowed partial aggregation, state store keyed by
+  * (window, event_type)) is identical. Late data beyond the watermark
+  * is dropped deterministically; the batch query is the ground truth
+  * the tests compare against (no late data in replay, so results must
+  * match exactly).
+  */
+object EventsStreaming {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming DataFrame of events (same nanos→micros conversion as
+    * Tables.events — the parquet TIMESTAMP(NANOS) workaround).
+    *
+    * The driver testdata is one parquet FILE per table; the streaming
+    * file source requires a directory to monitor, so the file is
+    * staged (symlinked) into target/ once — in production this
+    * directory is the landing zone new files arrive in. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      s"/root/repo/target/stream-src/${new java.io.File(sfDir).getName}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    }
+    spark.readStream.schema(rawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Hourly tumbling-window aggregate per event type — the streaming
+    * twin of RelationalOps.eventsHourly. One-hour watermark bounds
+    * state; output matches the batch query on replayed (non-late)
+    * data. */
+  def eventsHourly(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming member of the dedup family (state-store-backed
+    * `dropDuplicates`, the canonical Spark pattern for at-least-once
+    * source dedup). */
+  def dedupEvents(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming query to completion over the finite replay
+    * (Trigger.AvailableNow) into a memory sink; returns the final
+    * batch result for comparison against the batch oracle. */
+  def runToCompletion(streamed: DataFrame, namePrefix: String): DataFrame = {
+    val spark = streamed.sparkSession
+    val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(if (streamed.isStreaming && hasAggregate(streamed)) "complete" else "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+}
