@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.l2sq
+
+/** Dev diagnostic: phase-level timing of the clustering pipeline
+  * (edge generation vs CC loop vs assignment) at a given sf. Not part
+  * of the driver contract; run via
+  * `sbt "runMain graft.DevProbe /root/testdata/sf0.1"`. */
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    if (args.length > 1 && args(1) == "minhash") {
+      val sigs = graft.operators.Dedup.minhashSignatures(spark, sfDir)
+      t("sig only: agg length(sig_cat)")(
+        sigs.select(sum(length(concat_ws("|", col("sig"))))).head)
+      val q = graft.operators.Dedup.dedupMinhash(spark, sfDir)
+      println(q.queryExecution.executedPlan.toString.take(6000))
+      t("dedup_minhash count")(q.count())
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "docdedup") {
+      import graft.sources.Ingest
+      val corpus = Ingest.corpusFromDocuments(spark, sfDir)
+      val emb0 = corpus
+        .withColumn("embedding", graft.functions.embed_text(col("sentence"), 64))
+        .filter(graft.functions.vec_norm(col("embedding")) > 0)
+        .select(col("id"), col("embedding"))
+      t("embed + count")(emb0.count())
+      val index = t("IvfIndex.build")(graft.operators.IvfIndex.build(emb0, "id", "embedding", 4))
+      index.postings.groupBy("list_id").count().show()
+      val knn = graft.operators.IvfIndex.searchAll(index, emb0, "id", "embedding", 10, 2)
+      val edges = knn.filter(col("dist") < 0.3)
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = t("searchAll + edges materialize")(edges.count())
+      println(s"[probe] edges = $ne")
+      t("CC on materialized edges")(graft.operators.Clustering.connectedComponents(
+        corpus.select(col("id")), edges).count())
+      spark.stop(); return
+    }
+    val eps = 1.2
+    val emb = Tables.embeddings(spark, sfDir)
+    t("warm: embeddings count")(emb.count())
+    val a = emb.select(col("vec_id").as("src"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("dst"), col("embedding").as("b_emb"))
+    val edges = a.join(b, col("src") < col("dst"))
+      .filter(l2sq(col("a_emb"), col("b_emb")) < eps)
+      .select(col("src"), col("dst"))
+    val nEdges = t("edge generation + count")(edges.count())
+    println(s"[probe] edges = $nEdges")
+    val nodes = emb.select(col("vec_id").as("id"))
+    val comp = t("connectedComponents")(
+      { val c = graft.operators.Clustering.connectedComponents(nodes, edges); c.count(); c })
+    t("assign (full)")(graft.operators.Clustering.assign(nodes, edges).count())
+    t("clusterExact e2e")(graft.operators.Clustering.clusterExact(spark, sfDir, eps).count())
+    spark.stop()
+  }
+}

@@ -74,10 +74,12 @@ object Clustering {
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var prevSum: BigInt = null
     var iter = 0
     var converged = false
     while (!converged && iter < 50) {
+      val t0 = System.nanoTime()
       // Each node offers its label to its neighbors. sym and labels
       // share `part`, so this join moves no edge data.
       val offers = sym.join(labels).map { case (_, (dst, comp)) => (dst, comp) }
@@ -100,6 +102,8 @@ object Clustering {
       converged = prevSum != null && s == prevSum
       prevSum = s
       iter += 1
+      if (debug) System.err.println(
+        f"[cc] round $iter%2d sum=$s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     sym.unpersist(blocking = false)
     labels.toDF("id", "comp")

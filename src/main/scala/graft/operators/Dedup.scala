@@ -58,22 +58,39 @@ object Dedup {
     * md5 over 3-token shingles (docs under 3 tokens use their whole
     * normalized text as the single shingle). md5 is deliberately the
     * hash: DuckDB computes the identical signature, so the whole LSH
-    * pipeline is oracle-checkable. */
+    * pipeline is oracle-checkable.
+    *
+    * Construction is deliberately relational — explode shingles × salts
+    * into rows, hash each row, `groupBy(id, salt).min` — rather than
+    * nested higher-order-function lambdas. HOFs are CodegenFallback
+    * (interpreted, ~25µs per hash measured), and their expression trees
+    * get inlined by CollapseProject/pushdown into scan filters and both
+    * sides of self-joins, multiplying the cost ~8× (round 3 measured
+    * 740 s at sf0.1 for the HOF formulation). The relational form keeps
+    * md5 inside whole-stage codegen, computes each hash exactly once,
+    * and the aggregate is a natural pushdown barrier. Map-side partial
+    * min makes the shuffle carry one row per (doc, salt). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     minhashSignaturesCorpus(Ingest.corpusFromDocuments(spark, sfDir))
 
   def minhashSignaturesCorpus(corpus: DataFrame): DataFrame = {
-    tokenized(corpus)
+    val tok = tokenized(corpus)
+    val shingleRows = tok
       .withColumn("shingles",
         when(size(col("toks")) >= 3,
           transform(sequence(lit(1), size(col("toks")) - 2),
             i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
           .otherwise(array(concat_ws(" ", col("toks")))))
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          h => array_min(transform(col("shingles"),
-            s => md5(concat(h.cast("string"), lit(" "), s))))))
-      .select(col("id"), col("toks"), col("sig"))
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), col("s"),
+        explode(typedlit((0 until NumHashes).toArray)).as("h"))
+      .withColumn("mh", md5(concat(col("h").cast("string"), lit(" "), col("s"))))
+    val sig = shingleRows
+      .groupBy(col("id"), col("h")).agg(min(col("mh")).as("mh"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("h"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+    tok.select(col("id"), col("toks")).join(sig, Seq("id"))
   }
 
   /** Near-dup candidate pairs by LSH banding + token-Jaccard verify.
@@ -189,11 +206,16 @@ object Dedup {
       .select(col("id"), col("embedding"))
     val index = IvfIndex.build(emb, "id", "embedding", nlist)
     val knn = IvfIndex.searchAll(index, emb, "id", "embedding", k, nprobe)
+    // Materialize the candidate edges once: the CC loop's first action
+    // would otherwise re-run the whole embed→searchAll lineage.
     val edges = knn.filter(col("dist") < eps)
       .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     val nodes = corpus.select(col("id"))
     val comp = Clustering.connectedComponents(nodes, edges)
     index.postings.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     comp
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
         (col("id") === col("comp")).as("kept"))

@@ -72,7 +72,14 @@ object IvfIndex {
     * improvement, SURVEY.md §7.4). */
   def save(index: Index, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    index.postings.write.mode("overwrite")
+    // Repartition by list_id before the partitioned write: without it
+    // every shuffle partition emits a sliver into every list directory
+    // (parallelism × nlist tiny files), and scan-side file-open
+    // overhead dominates pruned searches. One file per list at bench
+    // scale; at 100 TB the same write with a higher partition count
+    // gives a bounded number of full-size files per list.
+    index.postings.repartition(col("list_id"))
+      .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$dir/postings")
   }
 
