@@ -161,6 +161,7 @@ object SparkEntry {
         .orderBy(col("id").asc)
     }),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
     "neardup_cosine" -> ((s, d) => Dedup.neardupCosine(s, d)),
@@ -457,6 +458,25 @@ object SparkEntry {
          |  JOIN tokenized tb ON tb.id = c.b_id)
          |SELECT a_id, b_id, jaccard FROM j
          |WHERE jaccard >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH $sqlMinhashSig,
+         |bands AS (
+         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |j AS (
+         |  SELECT c.a_id, c.b_id,
+         |    len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE
+         |      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard3
+         |  FROM cand c
+         |  JOIN sh sa ON sa.id = c.a_id
+         |  JOIN sh sb ON sb.id = c.b_id)
+         |SELECT a_id, b_id, jaccard3 FROM j
+         |WHERE jaccard3 >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embed_exact" ->
       s"""WITH RECURSIVE

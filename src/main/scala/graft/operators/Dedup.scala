@@ -126,6 +126,45 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** n-gram (3-token shingle) Jaccard near-dup: same LSH banding for
+    * candidates, but verified on SHINGLE sets — stricter than token-set
+    * Jaccard (word order matters), the standard n-gram dedup measure.
+    * Returns (a_id, b_id, jaccard3) with jaccard3 >= `minJaccard`. */
+  def dedupNgram(spark: SparkSession, sfDir: String,
+                 minJaccard: Double = 0.5): DataFrame =
+    dedupNgramCorpus(Ingest.corpusFromDocuments(spark, sfDir), minJaccard)
+
+  def dedupNgramCorpus(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignaturesCorpus(corpus)
+    val bands = sigs.withColumn("bandkeys",
+        expr(s"transform(sequence(0, ${NumBands - 1}), " +
+          "b -> struct(b AS band, concat(element_at(sig, 2*b+1), '|', element_at(sig, 2*b+2)) AS key))"))
+      .select(col("id"), explode(col("bandkeys")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val shingleSets = tokenized(corpus)
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+          .otherwise(array(concat_ws(" ", col("toks")))))
+      .select(col("id"), array_distinct(col("shingles")).as("sset"))
+    cand
+      .join(shingleSets.select(col("id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(shingleSets.select(col("id").as("b_id"), col("sset").as("sb")), "b_id")
+      .withColumn("jaccard3",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard3") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard3"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Near-dup pairs by 64-bit SimHash: 4×16-bit band join (pigeonhole:

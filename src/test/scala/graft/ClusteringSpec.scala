@@ -63,6 +63,19 @@ class ClusteringSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> -1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> -1L))
   }
 
+  test("empty node set: CC and assignment return empty results, no failure") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Clustering.connectedComponents(nodes, edges).count() == 0)
+    assert(Clustering.assign(nodes, edges).count() == 0)
+  }
+
+  test("single node: one -1 singleton") {
+    val got = Clustering.assign(Seq(7L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst")).collect()
+    assert(got.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, -1L)))
+  }
+
   test("empty edge set: every node is a -1 singleton") {
     val nodes = (0L until 5L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

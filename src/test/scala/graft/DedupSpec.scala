@@ -42,6 +42,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.intersect(unrelated).isEmpty, "unrelated docs must not pair")
   }
 
+  test("dedupNgramCorpus: shingle-set Jaccard is stricter than token-set Jaccard") {
+    val got = Dedup.dedupNgramCorpus(corpus, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) == 1.0, "exact dup: shingle sets identical")
+    assert(got((3L, 6L)) == 1.0)
+    // one token edited out of 14 → 3 of 12 distinct shingles differ per
+    // side; jaccard3 = 9/15 = 0.6 — found, but well below the token-set
+    // jaccard (13/15 ≈ 0.87) for the same pair
+    val j3 = got((0L, 2L))
+    assert(j3 > 0.5 && j3 < 0.7, s"jaccard3 = $j3")
+    val tokJ = Dedup.dedupMinhashCorpus(corpus, minJaccard = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j3 < tokJ((0L, 2L)), "shingle jaccard must be stricter on word edits")
+  }
+
   test("dedupSimhashCorpus: exact dups at Hamming 0; near-dup within bound") {
     val got = Dedup.dedupSimhashCorpus(corpus, maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

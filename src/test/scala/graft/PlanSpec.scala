@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, RelationalOps}
+
+/** Plan-shape assertions — the scale guarantees the design claims
+  * (SURVEY §4): predicate pushdown, column pruning, broadcast of small
+  * dims, TakeOrdered for global top-k, and no cartesian products in
+  * the bucketed candidate joins. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_project pushes predicates and prunes columns at the scan") {
+    val p = plan(RelationalOps.filterProject(spark, sfSmall))
+    // PushedFilters renders truncated in toString; IsNotNull entries
+    // prove the pushdown channel, the Filter node shows the full
+    // comparison predicates sitting directly on the scan
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert("l_discount#\\d+ > 0.08".r.findFirstIn(p).nonEmpty, p)
+    // scan must read only the 5 needed columns of 16-column lineitem
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("l_orderkey") && !scanLine.contains("l_comment") &&
+      !scanLine.contains("l_extendedprice"), s"column pruning failed: $scanLine")
+  }
+
+  test("global_topk plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(RelationalOps.globalTopK(spark, sfSmall))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("revenue_by_nation broadcasts the small dimension tables") {
+    val p = plan(RelationalOps.revenueByNation(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("IVF batch searchAll is an equi-join on list_id — no cartesian/BNLJ on the big side") {
+    val index = IvfIndex.forEmbeddings(spark, sfSmall, nlist = 4)
+    val p = plan(IvfIndex.searchAll(index, Tables.embeddings(spark, sfSmall),
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    // the only nested-loop join allowed is the tiny query×centroid one
+    // (broadcast, <= nlist rows); the postings join must be hash-based
+    val postingsJoin = p.linesIterator.filter(_.contains("list_id")).mkString("\n")
+    assert(p.contains("BroadcastHashJoin [list_id") || p.contains("SortMergeJoin [list_id") ||
+      postingsJoin.contains("HashJoin"),
+      s"postings join must be an equi-join on list_id:\n$p")
+  }
+
+  test("distance kernel stays inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q"))
+    val df = emb.join(broadcast(q))
+      .select(graft.functions.l2sq(col("embedding"), col("q")).as("d"))
+    df.collect() // finalize the adaptive plan so codegen spans appear
+    val p = plan(df)
+    // '*(n)' prefixes mark WholeStageCodegen stages in the final plan;
+    // the l2sq projection must carry one (no CodegenFallback fallback)
+    val l2sqLine = p.linesIterator
+      .find(l => l.contains("l2sq") && l.contains("Project")).getOrElse("")
+    assert(l2sqLine.trim.matches("""^\+?-?\s*\*\(\d+\).*"""),
+      s"l2sq Project not inside a codegen stage:\n$p")
+  }
+}
