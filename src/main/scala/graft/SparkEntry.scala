@@ -74,6 +74,7 @@ object SparkEntry {
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
+    "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
@@ -285,6 +286,16 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_batch_exact" ->
+      s"""SELECT src_id, dst_id, dist, rank FROM (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |    ${sqlL2sq("a.embedding", "b.embedding")} AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlL2sq("a.embedding", "b.embedding")} ASC, b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20) t
+         |WHERE rank <= 5
+         |ORDER BY src_id, rank""".stripMargin,
     "similarity_join_exact" ->
       s"""SELECT a_id, b_id, d AS dist FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -50,6 +50,27 @@ object VectorSearchOps {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** Batch exact kNN via the per-query rank window (W1): each of the
+    * first `nQueries` vectors gets its k nearest neighbors. The
+    * oracle-able twin of IvfIndex.searchAll (same window shape, no
+    * candidate pruning). */
+  def knnBatchExact(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 20, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("dist").asc, col("dst_id").asc)
+    q.join(emb.select(col("vec_id").as("dst_id"), col("embedding").as("dst_emb")),
+        col("src_id") =!= col("dst_id"))
+      .withColumn("dist", l2sq(col("src_emb"), col("dst_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("dist"), col("rank"))
+      .orderBy(col("src_id").asc, col("rank").asc)
+  }
+
   /** ε-threshold all-pairs similarity join, exact mode: every pair
     * (a, b) with a.vec_id < b.vec_id and squared-L2 distance strictly
     * below `eps` (strict `<` matches the reference's edge predicate,
