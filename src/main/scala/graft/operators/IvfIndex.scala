@@ -44,13 +44,17 @@ object IvfIndex {
     * training cache is released (round 2 leaked it for the JVM
     * lifetime, degrading every query that ran after a build). */
   def build(df: DataFrame, idCol: String, embCol: String,
-            nlist: Int, seed: Long = 42L): Index = {
+            nlist: Int, seed: Long = 42L, maxIter: Int = 20): Index = {
     val spark = df.sparkSession
+    // reference parity: building over an empty corpus is an error
+    // (app.py:223-228 rejects "no valid sentences"); isEmpty is a
+    // limit(1) probe, negligible next to training
+    require(!df.isEmpty, "cannot build an IVF index over an empty corpus")
     val withVec = df.select(col(idCol).as("id"), col(embCol).as("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20)
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(withVec)
     val postings = model.transform(withVec)

@@ -28,6 +28,15 @@ class IngestSpec extends SparkSpec {
     assert(got.map(_._2).toSet == Set("alpha", "beta", "gamma", "delta"))
   }
 
+  test("fromCsv coerces non-string cells to string (app.py:204 astype parity)") {
+    val dir = tmpDir("csv-mixed-")
+    Seq("42", "3.5", "true").toDF("sentences")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir + "/data")
+    val got = Ingest.fromCsv(spark, dir + "/data")
+    assert(got.schema("sentence").dataType.typeName == "string")
+    assert(got.collect().map(_.getString(1)).toSet == Set("42", "3.5", "true"))
+  }
+
   test("fromLines trims, drops empty lines, assigns positional ids in order") {
     val got = Ingest.fromLines(spark, "  first \n\n second\n   \nthird  ")
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq

@@ -102,6 +102,15 @@ class IvfIndexSpec extends SparkSpec {
       s"expected PartitionFilters on list_id in:\n$prunedPlan")
   }
 
+  test("building over an empty corpus errors (app.py:223-228 parity)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.build(empty, "vec_id", "embedding", nlist = 2)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("missing index directory fails like the reference's FileNotFoundError") {
     intercept[java.io.FileNotFoundException] {
       IvfIndex.load(spark, "/root/repo/target/does-not-exist")
