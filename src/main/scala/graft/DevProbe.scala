@@ -24,6 +24,45 @@ object DevProbe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    if (args.length > 1 && args(1) == "sessdiff") {
+      import graft.streaming.EventsStreaming
+      val streamed = EventsStreaming.runToCompletion(
+        EventsStreaming.userSessions(EventsStreaming.readEvents(spark, sfDir),
+          watermarkDelay = "0 seconds"), "probe_sessions")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val events = Tables.events(spark, sfDir)
+        .select("user_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      val maxTs = events.map(_._2).max
+      val gapMs = 30L * 60 * 1000
+      val all = events.groupBy(_._1).iterator.flatMap { case (uid, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = ts.foldLeft(List.empty[List[Long]]) {
+          case (Nil, t) => List(List(t))
+          case (cur :: done, t) =>
+            if (t - cur.head >= gapMs) List(t) :: cur :: done else (t :: cur) :: done
+        }
+        sessions.map(s => (uid, s.min, s.max))
+      }.toSeq
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val closed = all.filter { case (_, _, last) => last + gapMs < maxTs }
+        .map(s => (s._1, fmt.format(new java.util.Date(s._2)))).toSet
+      println(s"[probe] maxTs=$maxTs streamed=${streamed.size} closed=${closed.size}")
+      println(s"[probe] extra = ${(streamed -- closed).toSeq.sorted}")
+      (streamed -- closed).foreach { case (uid, start) =>
+        all.filter(_._1 == uid).sortBy(_._2).foreach { s =>
+          if (fmt.format(new java.util.Date(s._2)) == start)
+            println(s"[probe] extra session detail: uid=$uid start=${s._2} last=${s._3} last+gap=${s._3 + gapMs} maxTs=$maxTs")
+        }
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "sessions") {
+      graft.operators.RelationalOps.userSessions(spark, sfDir)
+        .filter(col("user_id") === 6).show(8, false)
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "minhash") {
       val sigs = graft.operators.Dedup.minhashSignatures(spark, sfDir)
       t("sig only: agg length(sig_cat)")(

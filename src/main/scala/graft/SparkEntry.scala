@@ -71,6 +71,7 @@ object SparkEntry {
     "rollup_customers" -> ((s, d) => RelationalOps.rollupCustomers(s, d)),
     "json_extract" -> ((s, d) => RelationalOps.jsonExtract(s, d)),
     "events_hourly" -> ((s, d) => RelationalOps.eventsHourly(s, d)),
+    "user_sessions" -> ((s, d) => RelationalOps.userSessions(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
@@ -272,6 +273,30 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // gaps-and-islands replay of session_window: break when the gap to
+    // the previous event is >= 30 min (Spark session is [start, last+gap)).
+    "user_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     "knn_exact_l2" ->
       s"""SELECT vec_id, d AS dist FROM (
          |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d

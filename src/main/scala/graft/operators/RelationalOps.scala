@@ -180,4 +180,25 @@ object RelationalOps {
         sum(col("value").cast(dec)).cast("double").as("sum_value"))
       .orderBy(col("hour").asc, col("event_type").asc)
   }
+
+  /** Per-user sessionization with a 30-minute inactivity gap
+    * (`session_window` — SURVEY §2.9). Session semantics: an event at
+    * exactly last_ts + gap starts a NEW session (Spark's session
+    * window is [start, last+gap)); the DuckDB oracle replays this as a
+    * gaps-and-islands query with the matching `>= gap` break. */
+  def userSessions(spark: SparkSession, sfDir: String,
+                   gap: String = "30 minutes"): DataFrame =
+    sessionize(Tables.events(spark, sfDir), gap)
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
+  /** The aggregation core, shared with the streaming twin (unordered —
+    * streaming append/update modes forbid sorts). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
 }

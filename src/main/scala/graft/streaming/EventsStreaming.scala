@@ -59,6 +59,19 @@ object EventsStreaming {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming sessionization: watermarked `session_window` per user
+    * with a 30-minute inactivity gap — stateful session merging in the
+    * state store, the streaming twin of RelationalOps.userSessions.
+    * Session-window aggregation streams in APPEND mode only: a session
+    * row emits once the watermark passes its end (last event + gap), so
+    * on a finite replay the trailing sessions — those the watermark
+    * never overtakes — are withheld. That is correct append semantics,
+    * asserted as such in StreamingSpec. */
+  def userSessions(stream: DataFrame, gap: String = "30 minutes",
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    graft.operators.RelationalOps.sessionize(
+      stream.withWatermark("ts", watermarkDelay), gap)
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming member of the dedup family (state-store-backed
     * `dropDuplicates`, the canonical Spark pattern for at-least-once
@@ -71,12 +84,14 @@ object EventsStreaming {
   /** Run a streaming query to completion over the finite replay
     * (Trigger.AvailableNow) into a memory sink; returns the final
     * batch result for comparison against the batch oracle. */
-  def runToCompletion(streamed: DataFrame, namePrefix: String): DataFrame = {
+  def runToCompletion(streamed: DataFrame, namePrefix: String,
+                      mode: Option[String] = None): DataFrame = {
     val spark = streamed.sparkSession
     val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
     val q = streamed.writeStream
       .format("memory").queryName(name)
-      .outputMode(if (streamed.isStreaming && hasAggregate(streamed)) "complete" else "append")
+      .outputMode(mode.getOrElse(
+        if (streamed.isStreaming && hasAggregate(streamed)) "complete" else "append"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
