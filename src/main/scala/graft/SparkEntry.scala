@@ -72,6 +72,7 @@ object SparkEntry {
     "json_extract" -> ((s, d) => RelationalOps.jsonExtract(s, d)),
     "events_hourly" -> ((s, d) => RelationalOps.eventsHourly(s, d)),
     "user_sessions" -> ((s, d) => RelationalOps.userSessions(s, d)),
+    "asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
@@ -273,6 +274,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // latest order per (customer, <= ts), max-orderkey tiebreak — the
+    // as-of join's point-lookup formulation.
+    "asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
     // gaps-and-islands replay of session_window: break when the gap to
     // the previous event is >= 30 min (Spark session is [start, last+gap)).
     "user_sessions" ->

@@ -181,6 +181,37 @@ object RelationalOps {
       .orderBy(col("hour").asc, col("event_type").asc)
   }
 
+  /** As-of join: each event matched to the latest order of the same
+    * customer with o_orderdate <= ts (ties broken by max o_orderkey —
+    * pinned so the oracle is deterministic). Implemented as the
+    * published scalable pattern — union both inputs on (key, time),
+    * one window pass carrying the last order forward — rather than a
+    * range join: one shuffle on the key, no interval explosion, and
+    * at 100 TB the window state per key is a single struct. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
+        lit(0).as("kind"), col("o_orderkey").as("ord_key"),
+        lit(null).cast("long").as("event_id"))
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id").as("key"), col("ts").as("t"),
+        lit(1).as("kind"), lit(null).cast("long").as("ord_key"),
+        col("event_id"))
+    // orders sort before events at equal t (kind 0 < 1): an order
+    // dated exactly at ts is visible to that event (<= semantics);
+    // among same-date orders the max ord_key wins (ascending order,
+    // last_value takes the latest row in the running frame).
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").asc, col("kind").asc, col("ord_key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("last_orderkey", last(col("ord_key"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("last_orderkey"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Per-user sessionization with a 30-minute inactivity gap
     * (`session_window` — SURVEY §2.9). Session semantics: an event at
     * exactly last_ts + gap starts a NEW session (Spark's session

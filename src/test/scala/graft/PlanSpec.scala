@@ -47,6 +47,36 @@ class PlanSpec extends SparkSpec {
       s"postings join must be an equi-join on list_id:\n$p")
   }
 
+  test("asof join matches a driver-side nested-loop oracle on sf0.001") {
+    def ms(x: Any): Long = x match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val events = Tables.events(spark, sfSmall)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ms(r.get(2))))
+    val orders = Tables.orders(spark, sfSmall)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ms(r.get(2))))
+    val expected = events.map { case (eid, uid, ts) =>
+      val cand = orders.filter(o => o._2 == uid && o._3 <= ts)
+      eid -> (if (cand.isEmpty) null
+              else cand.maxBy(o => (o._3, o._1))._1.asInstanceOf[Any])
+    }.toMap
+    val got = RelationalOps.asofJoin(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[Any]))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("approx_count_distinct within 5% of exact on document tokens (HLL scale path)") {
+    val toks = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+      .select(explode(graft.operators.TextAnalytics.tokens(col("sentence"))).as("t"))
+    val exact = toks.select(countDistinct(col("t"))).head.getLong(0)
+    val approx = toks.select(approx_count_distinct(col("t"), 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("distance kernel stays inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sfSmall)
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q"))
