@@ -73,6 +73,7 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => RelationalOps.eventsHourly(s, d)),
     "user_sessions" -> ((s, d) => RelationalOps.userSessions(s, d)),
     "asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
+    "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
@@ -274,6 +275,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "value_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // latest order per (customer, <= ts), max-orderkey tiebreak — the
     // as-of join's point-lookup formulation.
     "asof_join" ->

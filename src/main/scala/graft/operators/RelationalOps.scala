@@ -181,6 +181,21 @@ object RelationalOps {
       .orderBy(col("hour").asc, col("event_type").asc)
   }
 
+  /** Exact per-group percentiles over event values (median/p90/p99 —
+    * the distribution statistics a quality-scoring pass reports).
+    * Spark's `percentile` is the exact interpolated quantile, matching
+    * DuckDB's `quantile_cont` bit-for-bit on the same doubles. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** As-of join: each event matched to the latest order of the same
     * customer with o_orderdate <= ts (ties broken by max o_orderkey —
     * pinned so the oracle is deterministic). Implemented as the
