@@ -78,6 +78,7 @@ object SparkEntry {
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
     "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
+    "label_centroids" -> ((s, d) => VectorOps.centroidsByLabel(s, d)),
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
@@ -331,6 +332,16 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // decimal-sum mean per (label, component): shuffle-order-proof
+    // (float/double sums are not associative; decimal sums are exact)
+    "label_centroids" ->
+      """SELECT label, pos,
+        |  CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*) AS mean
+        |FROM (SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
+        |      FROM embeddings, range(1, 65) t(i))
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
     "knn_batch_exact" ->
       s"""SELECT src_id, dst_id, dist, rank FROM (
          |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,

@@ -78,6 +78,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.select(cosine_sim($"a", $"b")).head.getDouble(0) == 0.0)
   }
 
+  test("typed VectorMean aggregator equals the relational posexplode centroids") {
+    val rel = graft.operators.VectorOps.centroidsByLabel(spark, sfSmall)
+      .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    val typed = graft.operators.VectorOps.centroidsByLabelTyped(spark, sfSmall)
+      .collect().flatMap { r =>
+        r.getSeq[Float](1).zipWithIndex.map { case (v, i) => (r.getInt(0), i) -> v.toDouble }
+      }.toMap
+    assert(rel.keySet == typed.keySet)
+    rel.foreach { case (k, v) =>
+      assert(math.abs(v - typed(k)) < 1e-4, s"$k: relational=$v typed=${typed(k)}")
+    }
+  }
+
   test("SQL registration: l2sq/cosine_sim/embed_text callable from spark.sql") {
     registerVectorFunctions(spark)
     val out = spark.sql(
