@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewTools
+
+/** Scale-pattern assertions: salted joins preserve semantics and
+  * bucketed tables co-locate joins (no shuffle on the bucketed sides). */
+class ScaleToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // hot key 0 carries 90% of the fact side
+    val rnd = new scala.util.Random(11)
+    val large = Seq.tabulate(2000) { i =>
+      (if (rnd.nextDouble() < 0.9) 0L else rnd.nextInt(10).toLong, i.toLong)
+    }.toDF("k", "payload")
+    val small = (0L until 10L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = large.join(small, Seq("k"))
+      .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    val salted = SkewTools.saltedJoin(large, small, "k", salt = 8)
+      .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 2000)
+  }
+
+  test("bucketed tables join without an exchange on either side") {
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_b")
+    // a previously crashed run can leave the managed location behind
+    // without a catalog entry; clear it so saveAsTable can create
+    Seq("orders_bucketed_a", "orders_bucketed_b").foreach { t =>
+      val d = new java.io.File(s"/root/repo/target/spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
+    val orders = Tables.orders(spark, sfSmall).select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed_a")
+    orders.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed_b")
+    // force the shuffle-join path (at bench scale the table broadcasts;
+    // the point here is the 100 TB shape, where neither side fits)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val joined = spark.table("orders_bucketed_a").as("a")
+        .join(spark.table("orders_bucketed_b").as("b"), Seq("o_custkey"))
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // bucket layout IS the partitioning: the join must not re-shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan not bucket-aware:\n$plan")
+  }
+}
