@@ -23,35 +23,42 @@ class ClusteringSpec extends SparkSpec {
     }.toMap
   }
 
-  private def ccResult(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** `driverMaxEdges = 0` forces the distributed pointer-jumping loop;
+    * the default exercises the bounded driver union-find fast path. */
+  private def ccResult(n: Int, edges: Seq[(Long, Long)],
+                       driverMaxEdges: Long = 1000000L): Map[Long, Long] = {
     val nodes = (0L until n.toLong).toDF("id")
     val edgeDf = edges.toDF("src", "dst")
-    Clustering.connectedComponents(nodes, edgeDf)
+    Clustering.connectedComponents(nodes, edgeDf, driverMaxEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("CC matches union-find on a seeded random graph") {
+  test("CC matches union-find on a seeded random graph (both execution paths)") {
     val rnd = new scala.util.Random(7)
     val n = 300
     val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter { case (a, b) => a != b }
-    assert(ccResult(n, edges) == unionFind(n, edges))
+    val oracle = unionFind(n, edges)
+    assert(ccResult(n, edges) == oracle, "driver fast path")
+    assert(ccResult(n, edges, driverMaxEdges = 0L) == oracle, "distributed loop")
   }
 
   test("CC converges on a long path graph within the iteration cap (pointer jumping)") {
     // a 400-node chain has diameter 399: plain min-label propagation
     // would need 399 rounds and blow the 50-round cap; pointer jumping
-    // must collapse it in O(log n) rounds.
+    // must collapse it in O(log n) rounds. Forced onto the distributed
+    // loop — the round cap is exactly what this test exercises.
     val n = 400
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
-    val got = ccResult(n, edges)
+    val got = ccResult(n, edges, driverMaxEdges = 0L)
     assert(got.values.toSet == Set(0L), "single chain must collapse to comp 0")
   }
 
-  test("CC handles self-loops, duplicate and reversed edges, isolated nodes") {
+  test("CC handles self-loops, duplicate and reversed edges, isolated nodes (both paths)") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (4L, 5L))
-    val got = ccResult(6, edges)
-    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+    val expected = Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L)
+    assert(ccResult(6, edges) == expected, "driver fast path")
+    assert(ccResult(6, edges, driverMaxEdges = 0L) == expected, "distributed loop")
   }
 
   test("assign: multi-member components numbered 0..m-1 by min member; singletons -1") {
