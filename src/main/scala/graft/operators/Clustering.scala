@@ -67,7 +67,11 @@ object Clustering {
     *    run must not masquerade as a correct component assignment.
     *
     * `nodes`: one column `id`; `edges`: (`src`, `dst`), undirected
-    * interpretation, self-loops and duplicates tolerated. Returns
+    * interpretation, self-loops and duplicates tolerated. Edge
+    * endpoints need NOT appear in `nodes`: both strategies connect
+    * components through such phantom ids identically (they carry
+    * labels but are excluded from the output, which covers exactly
+    * `nodes`). Returns
     * (`id`, `comp`) where comp = min id in the component. The returned
     * DataFrame is backed by the final persisted labels RDD; callers
     * that cache assignments (see [[clusterExact]]) keep it warm
@@ -93,16 +97,24 @@ object Clustering {
     val edgeCount = pairsRdd.count()
 
     // Bounded driver fast path: a candidate graph at or under
-    // `driverMaxEdges` (~tens of MB of longs) is orders of magnitude
-    // below the per-round scheduling cost of a distributed fixpoint —
-    // round 3 measured 41 s of pure task overhead for a 24k-edge graph.
-    // Union-find on the driver touches ONLY edge endpoints (never the
-    // node table, which stays distributed and is labeled by a broadcast
-    // join), so driver state is O(edges) — the same bounded-collect
-    // class as the ≤nlist centroid pull. Beyond the threshold the
-    // co-partitioned pointer-jumping loop below engages unchanged.
+    // `driverMaxEdges` is orders of magnitude below the per-round
+    // scheduling cost of a distributed fixpoint — round 3 measured
+    // 41 s of pure task overhead for a 24k-edge graph. Union-find on
+    // the driver touches ONLY edge endpoints (never the node table,
+    // which stays distributed and is labeled by a broadcast join), so
+    // driver state is O(edges) — the same bounded-collect class as the
+    // ≤nlist centroid pull. Edges are collected as per-partition
+    // PRIMITIVE long arrays (16 bytes/edge exact — 16 MB at the 1M
+    // default; a boxed Array[(Long, Long)] costs ~6× that in tuple +
+    // Long object headers). Beyond the threshold the co-partitioned
+    // pointer-jumping loop below engages unchanged.
     if (edgeCount <= driverMaxEdges) {
-      val pairs = pairsRdd.collect()
+      val parts = pairsRdd.mapPartitions { it =>
+        val srcs = scala.collection.mutable.ArrayBuilder.make[Long]
+        val dsts = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { case (s, d) => srcs += s; dsts += d }
+        Iterator((srcs.result(), dsts.result()))
+      }.collect()
       pairsRdd.unpersist(blocking = false)
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -112,11 +124,20 @@ object Clustering {
         while (c != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.foreach { case (s, d) =>
-        val (ra, rb) = (find(s), find(d))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      parts.foreach { case (srcs, dsts) =>
+        var i = 0
+        while (i < srcs.length) {
+          val ra = find(srcs(i)); val rb = find(dsts(i))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          i += 1
+        }
       }
-      val moved = parent.keysIterator
+      // Snapshot keys before mapping find() over them: find path-
+      // compresses (writes parent entries), and mutating a mutable map
+      // mid-iteration is undefined by contract even when the current
+      // LongMap happens to tolerate value-only updates.
+      val ks = parent.keysIterator.toArray
+      val moved = ks.iterator
         .map(id => (id, find(id)))
         .filter { case (id, r) => r != id }
         .toSeq
@@ -139,9 +160,21 @@ object Clustering {
     sym.count()
     pairsRdd.unpersist(blocking = false)
 
-    var labels = nodes.select(col("id").cast("long")).as[Long].rdd
+    val nodeIds = nodes.select(col("id").cast("long")).as[Long].rdd
       .map(id => (id, id))
       .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The loop labels EDGE ENDPOINTS, not nodes: endpoints absent from
+    // `nodes` must still carry labels (the driver path's union-find
+    // connects through such phantom ids — the two strategies must
+    // agree), and nodes without edges are trivially their own
+    // component, so they skip the loop entirely and are labeled by the
+    // final co-partitioned left join. Seeding from `sym` preserves its
+    // partitioner, so the seed reduceByKey (endpoint dedup) is
+    // shuffle-free.
+    var labels = sym
+      .mapPartitions(_.map { case (s, _) => (s, s) }, preservesPartitioning = true)
+      .reduceByKey(part, math.min(_: Long, _: Long))
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (debug) System.err.println(
       f"[cc] setup (sym+labels) parts=$nParts ${(System.nanoTime() - tSetup) / 1e9}%6.2f s")
@@ -186,7 +219,13 @@ object Clustering {
         "WITHOUT converging — component labels may be incomplete; " +
         "downstream canonical ids are unreliable for this run.")
     sym.unpersist(blocking = false)
-    labels.toDF("id", "comp")
+    // Restrict output to `nodes` (phantom endpoints carried labels
+    // through the loop but are not part of the result) and default
+    // edge-less nodes to themselves. Both sides share `part`: no
+    // shuffle.
+    nodeIds.leftOuterJoin(labels)
+      .mapValues { case (id, o) => o.getOrElse(id) }
+      .toDF("id", "comp")
   }
 
   /** Components -> cluster assignment (reference app.py:98-112):

@@ -107,23 +107,55 @@ object Dedup {
     tok.select(col("id"), col("toks")).join(sig, Seq("id"))
   }
 
-  /** Near-dup candidate pairs by LSH banding + token-Jaccard verify.
-    * Returns (a_id, b_id, jaccard) with jaccard >= `minJaccard`.
-    * Candidates are pairs sharing at least one band key — an equi-join
-    * on (band, key), never a cross product. */
-  def dedupMinhash(spark: SparkSession, sfDir: String,
-                   minJaccard: Double = 0.8): DataFrame =
-    dedupMinhashFromSigs(cachedSigs(spark, sfDir), minJaccard)
+  /** Default cap on LSH band-bucket size (rows per (band, key)).
+    * A degenerate band key — boilerplate text, near-empty docs — makes
+    * its bucket's candidate count quadratic: one 10M-row bucket at
+    * 100 TB is a 10¹⁴-pair join ON ITS OWN. Keys above the cap are
+    * excluded from candidate generation (their pairs can still surface
+    * through the doc's other, non-degenerate bands; exact duplicates
+    * are the cheap family's job — [[dedupExact]] — not LSH's). The cap
+    * must exceed any honest bucket at oracle scale (sf0.01 buckets are
+    * ≤ dozens), so the DuckDB comparison is unaffected. */
+  val MaxBandBucket = 1000
 
-  def dedupMinhashCorpus(corpus: DataFrame, minJaccard: Double = 0.8): DataFrame =
-    dedupMinhashFromSigs(minhashSignaturesCorpus(corpus), minJaccard)
-
-  private def dedupMinhashFromSigs(sigs: DataFrame, minJaccard: Double): DataFrame = {
-    val bands = sigs.withColumn("bandkeys",
+  /** LSH band keys for a signature table: NumBands keys per doc, each
+    * concatenating the band's signature rows. Shared by the minhash and
+    * n-gram families (identical banding, different verify sets). */
+  private def lshBands(sigs: DataFrame): DataFrame =
+    sigs.withColumn("bandkeys",
         expr(s"transform(sequence(0, ${NumBands - 1}), " +
           "b -> struct(b AS band, concat(element_at(sig, 2*b+1), '|', element_at(sig, 2*b+2)) AS key))"))
       .select(col("id"), explode(col("bandkeys")).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Drop band keys whose bucket exceeds `cap` (see [[MaxBandBucket]]).
+    * A window count partitioned by (band, key): one shuffle that the
+    * following self-join on the same keys reuses (same hash
+    * partitioning), so the cap costs no extra exchange on the
+    * candidate path. */
+  private def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("key"))
+    bands.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= cap)
+      .drop("bucket_n")
+  }
+
+  /** Near-dup candidate pairs by LSH banding + token-Jaccard verify.
+    * Returns (a_id, b_id, jaccard) with jaccard >= `minJaccard`.
+    * Candidates are pairs sharing at least one band key — an equi-join
+    * on (band, key), never a cross product; buckets over `maxBucket`
+    * are excluded (degenerate-key guard, see [[MaxBandBucket]]). */
+  def dedupMinhash(spark: SparkSession, sfDir: String,
+                   minJaccard: Double = 0.8): DataFrame =
+    dedupMinhashFromSigs(cachedSigs(spark, sfDir), minJaccard, MaxBandBucket)
+
+  def dedupMinhashCorpus(corpus: DataFrame, minJaccard: Double = 0.8,
+                         maxBucket: Int = MaxBandBucket): DataFrame =
+    dedupMinhashFromSigs(minhashSignaturesCorpus(corpus), minJaccard, maxBucket)
+
+  private def dedupMinhashFromSigs(sigs: DataFrame, minJaccard: Double,
+                                   maxBucket: Int): DataFrame = {
+    val bands = capBuckets(lshBands(sigs), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -149,18 +181,15 @@ object Dedup {
   def dedupNgram(spark: SparkSession, sfDir: String,
                  minJaccard: Double = 0.5): DataFrame =
     dedupNgramImpl(cachedSigs(spark, sfDir),
-      Ingest.corpusFromDocuments(spark, sfDir), minJaccard)
+      Ingest.corpusFromDocuments(spark, sfDir), minJaccard, MaxBandBucket)
 
-  def dedupNgramCorpus(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
-    dedupNgramImpl(minhashSignaturesCorpus(corpus), corpus, minJaccard)
+  def dedupNgramCorpus(corpus: DataFrame, minJaccard: Double = 0.5,
+                       maxBucket: Int = MaxBandBucket): DataFrame =
+    dedupNgramImpl(minhashSignaturesCorpus(corpus), corpus, minJaccard, maxBucket)
 
   private def dedupNgramImpl(sigs: DataFrame, corpus: DataFrame,
-                             minJaccard: Double): DataFrame = {
-    val bands = sigs.withColumn("bandkeys",
-        expr(s"transform(sequence(0, ${NumBands - 1}), " +
-          "b -> struct(b AS band, concat(element_at(sig, 2*b+1), '|', element_at(sig, 2*b+2)) AS key))"))
-      .select(col("id"), explode(col("bandkeys")).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+                             minJaccard: Double, maxBucket: Int): DataFrame = {
+    val bands = capBuckets(lshBands(sigs), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -194,13 +223,21 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame =
     dedupSimhashCorpus(Ingest.corpusFromDocuments(spark, sfDir), maxHamming)
 
-  def dedupSimhashCorpus(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dedupSimhashCorpus(corpus: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = MaxBandBucket): DataFrame = {
     val sigs = tokenized(corpus)
       .select(col("id"), simhash64(col("sentence")).as("sig"))
-    val bands = sigs.select(col("id"), col("sig"),
+    val rawBands = sigs.select(col("id"), col("sig"),
         explode(expr("transform(sequence(0, 3), " +
           "b -> struct(b AS band, CAST(shiftright(sig, 16*b) & 65535 AS INT) AS key))")).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Same degenerate-bucket guard as the MinHash families: 16-bit
+    // bands give only 65k buckets per band, so at billions of docs
+    // even honest buckets grow — the cap bounds the join's worst key.
+    val wB = Window.partitionBy(col("band"), col("key"))
+    val bands = rawBands.withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -83,18 +83,35 @@ object EventsStreaming {
 
   /** Run a streaming query to completion over the finite replay
     * (Trigger.AvailableNow) into a memory sink; returns the final
-    * batch result for comparison against the batch oracle. */
+    * batch result for comparison against the batch oracle.
+    *
+    * The state-store partition count is fixed from
+    * `spark.sql.shuffle.partitions` when the query first plans, and
+    * stateful workloads disable AQE — so every micro-batch churns all
+    * state partitions regardless of group count. Size it for the
+    * keyspace, not the CPU count: the replay runs with a small
+    * dedicated value (GRAFT_STREAM_SHUFFLE, default 8) and the
+    * session-wide setting is restored afterwards. A production
+    * long-lived job sizes this once, at launch, for its real key
+    * cardinality. */
   def runToCompletion(streamed: DataFrame, namePrefix: String,
                       mode: Option[String] = None): DataFrame = {
     val spark = streamed.sparkSession
     val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode.getOrElse(
-        if (streamed.isStreaming && hasAggregate(streamed)) "complete" else "append"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8"))
+    try {
+      val q = streamed.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode.getOrElse(
+          if (streamed.isStreaming && hasAggregate(streamed)) "complete" else "append"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
   }
 

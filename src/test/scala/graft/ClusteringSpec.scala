@@ -61,6 +61,22 @@ class ClusteringSpec extends SparkSpec {
     assert(ccResult(6, edges, driverMaxEdges = 0L) == expected, "distributed loop")
   }
 
+  test("CC connects through edge endpoints absent from nodes, identically on both paths") {
+    // phantom id 10 bridges nodes 0 and 2; phantom id 1 bridges 5 and
+    // 6 AND is the component min — both strategies must propagate
+    // through phantoms and report the same (possibly-phantom) label,
+    // while emitting rows for exactly the node set.
+    def cc(nodes: Seq[Long], edges: Seq[(Long, Long)], maxEdges: Long): Map[Long, Long] =
+      Clustering.connectedComponents(
+          nodes.toDF("id"), edges.toDF("src", "dst"), maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Seq(0L, 2L, 3L, 5L, 6L)
+    val edges = Seq((0L, 10L), (10L, 2L), (5L, 1L), (1L, 6L))
+    val expected = Map(0L -> 0L, 2L -> 0L, 3L -> 3L, 5L -> 1L, 6L -> 1L)
+    assert(cc(nodes, edges, 1000000L) == expected, "driver fast path")
+    assert(cc(nodes, edges, 0L) == expected, "distributed loop")
+  }
+
   test("assign: multi-member components numbered 0..m-1 by min member; singletons -1") {
     // components: {0,1}, {3,4,5}; singletons: {2}, {6}
     val nodes = (0L to 6L).toDF("id")
@@ -139,6 +155,59 @@ class ClusteringSpec extends SparkSpec {
       id -> oracleIds.get(root).map(_.toLong).getOrElse(-1L)
     }
     val got = Clustering.clusterExact(spark, sfSmall, eps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+  }
+
+  test("end-to-end IVF clustering (reference flagship path) matches a driver-side replay on sf0.001") {
+    // The reference's literal default flow (app.py:77-114: k=10,
+    // nprobe=2, ε=0.75): replay searchAll's exact semantics on the
+    // driver — same trained index (seeded k-means, shared JVM cache),
+    // same (dist, id) tiebreaks — then union-find + the assign
+    // numbering, and require the distributed pipeline to agree row
+    // for row.
+    val eps = 0.75; val k = 10; val nlist = 4; val nprobe = 2
+    val index = graft.operators.IvfIndex.forEmbeddings(spark, sfSmall, nlist)
+    val postings = index.postings.select("list_id", "id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val byList = postings.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.map(r => (r._2, r._3)).toSeq
+    }
+    val edges = postings.toSeq.flatMap { case (_, id, v) =>
+      val probed = index.centroidArrays
+        .map { case (lid, c) => (lid, l2(v, c)) }
+        .sortBy { case (lid, d) => (d, lid) }
+        .take(nprobe).map(_._1)
+      probed.flatMap(l => byList.getOrElse(l, Seq.empty))
+        .filter(_._1 != id)
+        .map { case (did, dv) => (did, l2(v, dv)) }
+        .sortBy { case (did, d) => (d, did) }
+        .take(k)
+        .collect { case (did, d) if d < eps => (id, did) }
+    }
+    // union-find over vec ids (LongMap variant of the Int oracle above)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ids = postings.map(_._2).toSeq.sorted
+    val roots = ids.map(id => id -> find(id)).toMap
+    val multi = roots.groupBy(_._2).filter(_._2.size > 1).keys.toSeq.sorted
+    val cid = multi.zipWithIndex.toMap
+    val oracle = ids.map(id =>
+      id -> cid.get(roots(id)).map(_.toLong).getOrElse(-1L)).toMap
+    val got = Clustering.clusterIvf(spark, sfSmall, eps, k, nlist, nprobe)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == oracle)
   }

@@ -98,6 +98,33 @@ class DedupSpec extends SparkSpec {
     assert(got(7L) == 7L && got(8L) == 8L)
   }
 
+  test("LSH band-bucket cap: degenerate buckets excluded, honest pairs survive") {
+    // 5,000 identical boilerplate docs put 5,000 rows in each of their
+    // 4 band buckets — 12.5M candidate pairs per band without a cap,
+    // quadratic in bucket size (the one dedup-family 100 TB
+    // scale-killer named in round 3). With the cap those buckets are
+    // excluded wholesale: no boilerplate pair reaches the verify join
+    // (exact duplicates are dedup_exact's job), while the planted
+    // near-dups' small honest buckets are untouched.
+    val boiler = (100L until 5100L).map(
+      (_, "all work and no play makes jack a dull boy every single day"))
+    val mixed = (planted ++ boiler).toDF("id", "sentence")
+    val pairs = Dedup.dedupMinhashCorpus(mixed, minJaccard = 0.7, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 6L)) &&
+      pairs.contains((0L, 2L)), "small honest buckets must still pair")
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L },
+      "capped degenerate bucket must produce no candidates")
+    val ngramPairs = Dedup.dedupNgramCorpus(mixed, minJaccard = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngramPairs.contains((0L, 1L)))
+    assert(!ngramPairs.exists { case (a, b) => a >= 100L && b >= 100L })
+    val shPairs = Dedup.dedupSimhashCorpus(mixed, maxHamming = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs.contains((0L, 1L)), "identical sigs share all 4 small bands")
+    assert(!shPairs.exists { case (a, b) => a >= 100L && b >= 100L })
+  }
+
   test("neardupCosine and dedupEmbedExact run on sf0.001 with consistent shapes") {
     val cos = Dedup.neardupCosine(spark, sfSmall, minCos = 0.9)
     assert(cos.columns.toSeq == Seq("a_id", "b_id", "cos"))
