@@ -117,6 +117,11 @@ object SparkEntry {
           Tables.embeddings(s, d), "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy(col("src_id").asc, col("rank").asc)
     }),
+    // --- streaming index maintenance (SURVEY §7.5): build on half,
+    // append the rest against frozen centroids, per-list stats ---
+    // (no SQL oracle: list membership is k-means-dependent; verified
+    // directly by IndexMaintenanceSpec against driver-side argmin)
+    "ivf_append_stats" -> ((s, d) => IvfIndex.appendHalfStats(s, d)),
     // --- clustering (SURVEY §2.4 A3, §2.2 P3/P4, app.py:77-114) ---
     "cluster_exact" -> ((s, d) => Clustering.clusterExact(s, d, eps = 1.2)),
     "cluster_sizes" -> ((s, d) =>

@@ -51,6 +51,12 @@ package object functions {
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(col2e(text)))
 
+  /** Position of the nearest centroid row (squared-L2, first-min
+    * tie-break) — the narrow-map coarse-quantizer assignment used for
+    * index appends (see [[NearestList]]). */
+  def nearest_list(emb: Column, cents: Array[Array[Float]]): Column =
+    GraftSqlBridge.column(NearestList(col2e(emb), cents))
+
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))

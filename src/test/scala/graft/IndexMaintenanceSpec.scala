@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+import graft.streaming.IndexMaintenance
+
+/** Streaming index maintenance (SURVEY.md §7.5): append-only postings
+  * against frozen centroids, drift stats, and re-train generations —
+  * verified against driver-side argmin/brute-force oracles on the
+  * sf0.001 embeddings split in half (build on the first half, append
+  * the second). */
+class IndexMaintenanceSpec extends SparkSpec {
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  private lazy val corpus: Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, sfSmall)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Build on vec_id < 250, save to a fresh dir; returns the dir. */
+  private def savedHalfIndex(): String = {
+    val dir = tmpDir("ivf-maint-")
+    val first = Tables.embeddings(spark, sfSmall).filter(col("vec_id") < 250)
+    val idx = IvfIndex.build(first, "vec_id", "embedding", nlist = 4)
+    IvfIndex.save(idx, dir)
+    idx.postings.unpersist(blocking = false)
+    dir
+  }
+
+  /** Driver argmin over an index's centroids, (dist, list_id) tiebreak. */
+  private def expectedList(index: IvfIndex.Index, v: Array[Float]): Int =
+    index.centroidArrays
+      .map { case (lid, c) => (lid, l2(v, c)) }
+      .minBy { case (lid, d) => (d, lid) }._1
+
+  test("nearest_list expression matches driver-side argmin over the corpus") {
+    import spark.implicits._
+    val cents = Array(
+      Array(0f, 0f, 0f), Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(5f, 5f, 5f))
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(9f, 1f, 0f)),
+      (2L, Array(0f, 11f, -1f)), (3L, Array(5f, 5f, 4f)),
+      (4L, Array(5f, 0f, 0f))) // tie between cents 0 and 1 → first wins
+    val got = vecs.toDF("id", "emb")
+      .select(col("id"), graft.functions.nearest_list(col("emb"), cents).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def argmin(v: Array[Float]): Int =
+      cents.zipWithIndex.map { case (c, j) => (j, l2(v, c)) }
+        .minBy { case (j, d) => (d, j) }._1
+    vecs.foreach { case (id, v) => assert(got(id) == argmin(v), s"id=$id") }
+    assert(got(4L) == 0, "equidistant vector must take the first minimum")
+  }
+
+  test("append buckets new vectors by frozen centroids; full-probe search sees the union") {
+    val dir = savedHalfIndex()
+    val rest = Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250)
+    val n = IvfIndex.append(spark, dir, rest, "vec_id", "embedding")
+    assert(n == 250)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.postings.count() == 500)
+    // every appended row landed in its nearest-centroid list
+    val got = loaded.postings.filter(col("id") >= 250)
+      .select("id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    corpus.filter(_._1 >= 250).foreach { case (id, v) =>
+      assert(got(id) == expectedList(loaded, v), s"id=$id")
+    }
+    // nprobe = nlist search over the appended index ≡ brute force over
+    // the full 500 (IVFFlat stores raw vectors; append must not lose
+    // or duplicate any)
+    val (qid, q) = corpus(300)
+    val fromIdx = IvfIndex.search(loaded, q, k = 10, nprobe = 4, excludeId = Some(qid))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = corpus.filter(_._1 != qid)
+      .map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    assert(fromIdx == brute)
+  }
+
+  test("appendStream: micro-batched streaming append converges to the batch result") {
+    val dir = savedHalfIndex()
+    // stage the second half as a parquet landing zone for the stream
+    val landing = tmpDir("ivf-landing-")
+    Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream
+      .schema(Tables.embeddings(spark, sfSmall).select("vec_id", "embedding").schema)
+      .parquet(landing)
+    val q = IndexMaintenance.appendStream(stream, dir, "vec_id", "embedding")
+    q.awaitTermination()
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.postings.count() == 500)
+    val got = loaded.postings.filter(col("id") >= 250)
+      .select("id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    corpus.filter(_._1 >= 250).foreach { case (id, v) =>
+      assert(got(id) == expectedList(loaded, v), s"id=$id")
+    }
+  }
+
+  test("listStats: shares sum to 1 over nlist rows; retrain writes a fresh generation") {
+    val dir = savedHalfIndex()
+    IvfIndex.append(spark, dir,
+      Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250),
+      "vec_id", "embedding")
+    val loaded = IvfIndex.load(spark, dir)
+    val stats = IvfIndex.listStats(loaded).collect()
+    assert(stats.length == 4)
+    assert(stats.map(_.getLong(1)).sum == 500L)
+    assert(math.abs(stats.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // retrain over original+appended into a new generation dir
+    val gen2 = tmpDir("ivf-gen2-")
+    val rebuilt = IvfIndex.retrain(spark, dir, gen2, nlist = 4)
+    assert(rebuilt.postings.count() == 500)
+    assert(rebuilt.centroids.count() == 4)
+    // the new generation serves exact results at full probe
+    val (qid, q) = corpus(123)
+    val fromIdx = IvfIndex.search(rebuilt, q, k = 5, nprobe = 4, excludeId = Some(qid))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = corpus.filter(_._1 != qid)
+      .map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    assert(fromIdx == brute)
+  }
+}
