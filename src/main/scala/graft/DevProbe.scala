@@ -64,11 +64,48 @@ object DevProbe {
       spark.stop(); return
     }
     if (args.length > 1 && args(1) == "minhash") {
-      val sigs = graft.operators.Dedup.minhashSignatures(spark, sfDir)
-      t("sig only: agg length(sig_cat)")(
+      // phase splits of the signature build (mirrors
+      // Dedup.minhashSignaturesCorpus stage by stage)
+      import graft.operators.TextAnalytics
+      val corpus = graft.sources.Ingest.corpusFromDocuments(spark, sfDir)
+      val tok = corpus.withColumn("toks", TextAnalytics.tokens(col("sentence")))
+        .filter(size(col("toks")) > 0)
+      t("tokenize")(tok.count())
+      val shingleRows = tok
+        .withColumn("shingles",
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+            .otherwise(array(concat_ws(" ", col("toks")))))
+        .select(col("id"), explode(col("shingles")).as("s"))
+      val nSh = t("shingle explode")(shingleRows.count())
+      println(s"[probe] shingle rows = $nSh")
+      // candidate relational formulation: posexplode + window leads
+      // (codegen'd) instead of the interpreted transform HOF
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("pos"))
+      val tokRows = tok.select(col("id"),
+        posexplode(col("toks")).as(Seq("pos", "tk")))
+      val shWin = tokRows
+        .withColumn("t1", lead(col("tk"), 1).over(wPos))
+        .withColumn("t2", lead(col("tk"), 2).over(wPos))
+        .filter(col("t2").isNotNull)
+        .select(col("id"), concat_ws(" ", col("tk"), col("t1"), col("t2")).as("s"))
+        .unionByName(tok.filter(size(col("toks")) < 3)
+          .select(col("id"), concat_ws(" ", col("toks")).as("s")))
+      val nSh2 = t("shingle window (alt)")(shWin.count())
+      println(s"[probe] window shingle rows = $nSh2")
+      val hashed = shingleRows
+        .select(col("id"), col("s"),
+          explode(typedlit((0 until 8).toArray)).as("h"))
+        .withColumn("mh", md5(concat(col("h").cast("string"), lit(" "), col("s"))))
+      t("x8 salts + md5")(hashed.count())
+      t("groupBy(id,h).min")(hashed.groupBy("id", "h").agg(min("mh")).count())
+      val sigs = t("cachedSigs full build")(
+        graft.operators.Dedup.minhashSignatures(spark, sfDir))
+      t("sig re-agg (cached)")(
         sigs.select(sum(length(concat_ws("|", col("sig"))))).head)
       val q = graft.operators.Dedup.dedupMinhash(spark, sfDir)
-      println(q.queryExecution.executedPlan.toString.take(6000))
       t("dedup_minhash count")(q.count())
       spark.stop(); return
     }

@@ -87,19 +87,33 @@ object Dedup {
       s
     })
 
+  /** 3-token shingles as ROWS (id, s): posexplode + window leads, all
+    * codegen'd. The previous `transform(sequence, i -> slice…)`
+    * formulation is an interpreted HOF (CodegenFallback) and measured
+    * 5× slower on the same 260k shingles at sf0.1 (8.8 s vs 1.7 s,
+    * DevProbe minhash) — the same trap as the round-3 740 s MinHash
+    * postmortem, in milder form. Docs under 3 tokens contribute their
+    * whole normalized text as the single shingle (unchanged
+    * semantics; identical row multiset, order immaterial under the
+    * downstream min/set aggregation). */
+  private def shingleRows(tok: DataFrame): DataFrame = {
+    val wPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    tok.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tk")))
+      .withColumn("t1", lead(col("tk"), 1).over(wPos))
+      .withColumn("t2", lead(col("tk"), 2).over(wPos))
+      .filter(col("t2").isNotNull)
+      .select(col("id"), concat_ws(" ", col("tk"), col("t1"), col("t2")).as("s"))
+      .unionByName(tok.filter(size(col("toks")) < 3)
+        .select(col("id"), concat_ws(" ", col("toks")).as("s")))
+  }
+
   def minhashSignaturesCorpus(corpus: DataFrame): DataFrame = {
     val tok = tokenized(corpus)
-    val shingleRows = tok
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
-          .otherwise(array(concat_ws(" ", col("toks")))))
-      .select(col("id"), explode(col("shingles")).as("s"))
+    val hashed = shingleRows(tok)
       .select(col("id"), col("s"),
         explode(typedlit((0 until NumHashes).toArray)).as("h"))
       .withColumn("mh", md5(concat(col("h").cast("string"), lit(" "), col("s"))))
-    val sig = shingleRows
+    val sig = hashed
       .groupBy(col("id"), col("h")).agg(min(col("mh")).as("mh"))
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("h"), col("mh")))),
@@ -129,10 +143,12 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** Drop band keys whose bucket exceeds `cap` (see [[MaxBandBucket]]).
-    * A window count partitioned by (band, key): one shuffle that the
-    * following self-join on the same keys reuses (same hash
-    * partitioning), so the cap costs no extra exchange on the
-    * candidate path. */
+    * A window count partitioned by (band, key): one shuffle of the
+    * bands table. In the regime the cap exists for — band tables too
+    * large to broadcast, sort-merge self-join on (band, key) — that
+    * partitioning is exactly what the join requires anyway; at bench
+    * scale Spark broadcasts the capped side instead and the window
+    * shuffle is a small additive cost (measured ≤0.3 s at sf0.1). */
   private def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("key"))
     bands.withColumn("bucket_n", count(lit(1)).over(w))
@@ -196,13 +212,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    val shingleSets = tokenized(corpus)
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
-          .otherwise(array(concat_ws(" ", col("toks")))))
-      .select(col("id"), array_distinct(col("shingles")).as("sset"))
+    val shingleSets = shingleRows(tokenized(corpus))
+      .groupBy(col("id")).agg(collect_set(col("s")).as("sset"))
     cand
       .join(shingleSets.select(col("id").as("a_id"), col("sset").as("sa")), "a_id")
       .join(shingleSets.select(col("id").as("b_id"), col("sset").as("sb")), "b_id")

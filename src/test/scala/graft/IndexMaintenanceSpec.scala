@@ -56,6 +56,22 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(got(4L) == 0, "equidistant vector must take the first minimum")
   }
 
+  test("append assignment plans as a narrow map: no Exchange, stays in codegen") {
+    val index = IvfIndex.forEmbeddings(spark, sfSmall, nlist = 4)
+    val exec = IvfIndex.assignLists(index,
+        Tables.embeddings(spark, sfSmall), "vec_id", "embedding")
+      .queryExecution.executedPlan
+    val plan = exec.toString
+    assert(!plan.contains("Exchange"),
+      s"append assignment must not shuffle:\n$plan")
+    // the `*(n)` prefix in toString IS the codegen marker; check the
+    // node type to be explicit
+    assert(exec.collectFirst {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.nonEmpty,
+      s"nearest_list must stay inside codegen:\n$plan")
+  }
+
   test("append buckets new vectors by frozen centroids; full-probe search sees the union") {
     val dir = savedHalfIndex()
     val rest = Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250)
