@@ -17,9 +17,17 @@ import graft.sources.Ingest
   */
 object TextAnalytics {
 
-  /** Lowercased [a-z0-9]+ tokens of a text column (empties removed). */
+  /** Lowercased [a-z0-9]+ tokens of a text column (empties removed).
+    *
+    * `array_remove(_, "")` rather than `filter(_, length > 0)`: the
+    * two are equivalent here (splitting on separator RUNS can only
+    * produce empty strings, never nulls or whitespace tokens), and
+    * array_remove is a codegen'd built-in while filter is an
+    * interpreted higher-order function — this column feeds every text
+    * operator plus the MinHash pipeline, so it stays on the codegen
+    * path. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Per-document surface statistics: chars, tokens, distinct tokens,
     * longest token. */
