@@ -175,6 +175,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
     "neardup_cosine" -> ((s, d) => Dedup.neardupCosine(s, d)),
+    // scale path for the same question (no SQL oracle: seeded
+    // hyperplane sketch; verified in DedupSpec incl. recall vs exact)
+    "neardup_cosine_lsh" -> ((s, d) => Dedup.neardupCosineLsh(s, d)),
     "doc_dedup" -> ((s, d) => Dedup.docDedupFor(s, d)),
     // --- multimodal plumbing (north star; payload stays narrow) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),

@@ -57,6 +57,11 @@ package object functions {
   def nearest_list(emb: Column, cents: Array[Array[Float]]): Column =
     GraftSqlBridge.column(NearestList(col2e(emb), cents))
 
+  /** Sign-random-projection sketch of a float-array embedding (cosine
+    * LSH; see [[HyperplaneSketch]]). */
+  def hyperplane_sketch(emb: Column, planes: Array[Array[Float]]): Column =
+    GraftSqlBridge.column(HyperplaneSketch(col2e(emb), planes))
+
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))

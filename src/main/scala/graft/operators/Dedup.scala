@@ -296,6 +296,59 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Deterministic seeded hyperplane matrix for the cosine-LSH sketch
+    * (driver-tiny: nbits × dim floats). */
+  private[graft] def hyperplanes(dim: Int, nbits: Int = 64,
+                                 seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** SCALE path for embedding-cosine near-dup (the banded-LSH twin of
+    * [[neardupCosine]], which is the O(n²) oracle mode): sign-random-
+    * projection sketch (narrow codegen'd map), 8×8-bit band equi-join
+    * with the same degenerate-bucket cap as the text families, cosine
+    * verify on candidates only. For unit vectors `P[bit differs] =
+    * angle/π`, so a cos ≥ 0.95 pair (angle ≤ 18.2°) shares at least
+    * one of the 8 bands with probability ≈ 0.99, and near-identical
+    * pairs (cos ≥ 0.99) are found with near-certainty — approximate
+    * recall, exact precision (every emitted pair is cosine-verified).
+    * Returns (a_id, b_id, cos) like the exact mode. */
+  def neardupCosineLsh(spark: SparkSession, sfDir: String,
+                       minCos: Double = 0.95,
+                       maxBucket: Int = MaxBandBucket): DataFrame =
+    neardupCosineLshCorpus(
+      Tables.embeddings(spark, sfDir).select(
+        col("vec_id").as("id"), col("embedding")),
+      minCos, maxBucket)
+
+  def neardupCosineLshCorpus(emb: DataFrame, minCos: Double = 0.95,
+                             maxBucket: Int = MaxBandBucket): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val planes = hyperplanes(dim)
+    val sk = emb.select(col("id"),
+      graft.functions.hyperplane_sketch(col("embedding"), planes).as("sk"))
+    val rawBands = sk.select(col("id"), col("sk"),
+        explode(expr("transform(sequence(0, 7), " +
+          "b -> struct(b AS band, CAST(shiftright(sk, 8*b) & 255 AS INT) AS key))")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = capBuckets(rawBands, maxBucket)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val vecs = emb.select(col("id"), col("embedding"))
+    cand
+      .join(vecs.select(col("id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") > minCos)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** North-star document dedup: embed the corpus, IVF-bucketed
     * candidate generation (searchAll — equi-join on list_id, no cross
     * product), ε-edges, connected components. Returns

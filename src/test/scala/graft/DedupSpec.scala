@@ -125,6 +125,61 @@ class DedupSpec extends SparkSpec {
     assert(!shPairs.exists { case (a, b) => a >= 100L && b >= 100L })
   }
 
+  test("hyperplane sketch matches driver-side sign bits; LSH near-dup finds planted pairs") {
+    import spark.implicits._
+    // planted unit-ish vectors: 0≈1 (tiny perturbation, cos ≈ 0.9998),
+    // 2≈3, and 4/5 unrelated directions
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def base(): Array[Float] = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def wiggle(v: Array[Float]): Array[Float] =
+      unit(v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    val b0 = base(); val b2 = base()
+    val rows = Seq(
+      (0L, b0), (1L, wiggle(b0)), (2L, b2), (3L, wiggle(b2)),
+      (4L, base()), (5L, base()))
+    val emb = rows.toDF("id", "embedding")
+    // kernel: expression bits == driver-side sign bits on the same planes
+    val planes = Dedup.hyperplanes(64)
+    val got = emb.select(col("id"),
+        graft.functions.hyperplane_sketch(col("embedding"), planes).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      var exp = 0L
+      planes.zipWithIndex.foreach { case (p, j) =>
+        val dot = p.indices.map(i => v(i).toDouble * p(i)).sum
+        if (dot > 0.0) exp |= (1L << j)
+      }
+      assert(got(id) == exp, s"id=$id")
+    }
+    // operator: planted near-identical pairs are found with exact cosines
+    val pairs = Dedup.neardupCosineLshCorpus(emb, minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)),
+      s"planted near-dups must be found, got $pairs")
+    assert(!pairs.contains((4L, 5L)), "unrelated directions must not pair")
+  }
+
+  test("LSH cosine near-dup recall vs the exact O(n^2) mode on sf0.001") {
+    // exact mode at a threshold low enough to produce pairs on the
+    // driver embeddings; every high-cosine pair must be recovered by
+    // the banded sketch (8x8-bit bands: P[miss] < 2% at cos 0.9,
+    // vanishing as cos -> 1) — allow one straggler, require the rest.
+    val minCos = 0.9
+    val exact = Dedup.neardupCosine(spark, sfSmall, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.neardupCosineLsh(spark, sfSmall, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must have exact precision (verified pairs)")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect lsh).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+    }
+  }
+
   test("neardupCosine and dedupEmbedExact run on sf0.001 with consistent shapes") {
     val cos = Dedup.neardupCosine(spark, sfSmall, minCos = 0.9)
     assert(cos.columns.toSeq == Seq("a_id", "b_id", "cos"))
