@@ -324,7 +324,16 @@ object Dedup {
 
   def neardupCosineLshCorpus(emb: DataFrame, minCos: Double = 0.95,
                              maxBucket: Int = MaxBandBucket): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // dimension probe is a limit(1) scan; an empty corpus yields the
+    // empty pair set, matching the exact mode (whose self-join is
+    // trivially empty) rather than erroring
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty) {
+      return emb.sparkSession.emptyDataFrame
+        .withColumn("a_id", lit(0L)).withColumn("b_id", lit(0L))
+        .withColumn("cos", lit(0.0)).limit(0)
+    }
+    val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(dim)
     val sk = emb.select(col("id"),
       graft.functions.hyperplane_sketch(col("embedding"), planes).as("sk"))

@@ -161,6 +161,12 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)),
       s"planted near-dups must be found, got $pairs")
     assert(!pairs.contains((4L, 5L)), "unrelated directions must not pair")
+    // empty corpus: empty pair set with the right shape (exact-mode
+    // parity), not an error
+    val empty = Dedup.neardupCosineLshCorpus(
+      Seq.empty[(Long, Array[Float])].toDF("id", "embedding"))
+    assert(empty.columns.toSeq == Seq("a_id", "b_id", "cos"))
+    assert(empty.count() == 0)
   }
 
   test("LSH cosine near-dup recall vs the exact O(n^2) mode on sf0.001") {
