@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpec {
       s"postings join must be an equi-join on list_id:\n$p")
   }
 
+  test("LSH dedup family plans contain no cartesian product or BNLJ anywhere") {
+    // the dedup design claim (SURVEY §2.11): candidates come from band
+    // equi-joins, never all-pairs — for EVERY LSH family member,
+    // including the new cosine-sketch path
+    val plans = Seq(
+      "dedup_minhash" -> plan(graft.operators.Dedup.dedupMinhash(spark, sfSmall)),
+      "dedup_ngram" -> plan(graft.operators.Dedup.dedupNgram(spark, sfSmall)),
+      "dedup_simhash" -> plan(graft.operators.Dedup.dedupSimhash(spark, sfSmall)),
+      "neardup_cosine_lsh" -> plan(graft.operators.Dedup.neardupCosineLsh(spark, sfSmall)))
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$p")
+    }
+  }
+
   test("asof join matches a driver-side nested-loop oracle on sf0.001") {
     def ms(x: Any): Long = x match {
       case t: java.sql.Timestamp => t.getTime
