@@ -43,6 +43,24 @@ class ClusteringSpec extends SparkSpec {
     assert(ccResult(n, edges, driverMaxEdges = 0L) == oracle, "distributed loop")
   }
 
+  test("CC equivalence sweep: random graphs, both execution paths vs union-find") {
+    // randomized but seeded: 12 graph shapes (sparse, dense, self-loopy,
+    // empty-edge) — the driver fast path on every trial, the distributed
+    // loop on every third (it pays ~1 s of job overhead per run)
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val oracle = unionFind(n, edges)
+      assert(ccResult(n, edges) == oracle, s"driver path trial=$trial n=$n m=$m")
+      if (trial % 3 == 0) {
+        assert(ccResult(n, edges, driverMaxEdges = 0L) == oracle,
+          s"distributed loop trial=$trial n=$n m=$m")
+      }
+    }
+  }
+
   test("CC converges on a long path graph within the iteration cap (pointer jumping)") {
     // a 400-node chain has diameter 399: plain min-label propagation
     // would need 399 rounds and blow the 50-round cap; pointer jumping
