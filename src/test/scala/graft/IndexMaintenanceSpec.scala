@@ -100,16 +100,23 @@ class IndexMaintenanceSpec extends SparkSpec {
 
   test("appendStream: micro-batched streaming append converges to the batch result") {
     val dir = savedHalfIndex()
-    // stage the second half as a parquet landing zone for the stream
+    // stage the second half as a MULTI-FILE parquet landing zone and
+    // cap the source at one file per trigger, so the append runs as a
+    // sequence of micro-batches (each its own partitioned parquet
+    // append), not one big batch
     val landing = tmpDir("ivf-landing-")
     Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250)
       .select("vec_id", "embedding")
+      .repartition(3)
       .write.mode("overwrite").parquet(landing)
     val stream = spark.readStream
       .schema(Tables.embeddings(spark, sfSmall).select("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1")
       .parquet(landing)
     val q = IndexMaintenance.appendStream(stream, dir, "vec_id", "embedding")
     q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 data micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
     val loaded = IvfIndex.load(spark, dir)
     assert(loaded.postings.count() == 500)
     val got = loaded.postings.filter(col("id") >= 250)
