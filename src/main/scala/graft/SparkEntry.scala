@@ -156,6 +156,10 @@ object SparkEntry {
     }),
     "ingest_lines" -> ((s, _) =>
       graft.sources.Ingest.fromLines(s, "alpha\n beta \n\ngamma delta\n")),
+    // F3: the reference's newline display join, capped (app.py:231-233)
+    "corpus_display" -> ((s, d) =>
+      graft.sources.Ingest.joinedDisplay(
+        graft.sources.Ingest.corpusFromDocuments(s, d))),
     // --- text analytics (north star; BASELINE.json) ---
     "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
@@ -455,6 +459,11 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), 'beta'),
         |  (CAST(2 AS BIGINT), 'gamma delta')) AS t(id, sentence)
         |ORDER BY id""".stripMargin,
+    "corpus_display" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  string_agg(sentence, chr(10) ORDER BY id) AS joined
+        |FROM (SELECT doc_id AS id, trim(text) AS sentence FROM documents
+        |      WHERE length(trim(text)) > 0 ORDER BY id LIMIT 500)""".stripMargin,
     "text_stats" ->
       s"""WITH $sqlCorpusToks
          |SELECT id, length(sentence) AS n_chars, len(toks) AS n_tokens,

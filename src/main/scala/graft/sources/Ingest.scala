@@ -59,6 +59,22 @@ object Ingest {
       .orderBy(col("id").asc)
   }
 
+  /** Newline-joined corpus display (reference F3: the text-area
+    * render, `"\n".join(sentences)`, app.py:231-233) — the one UI
+    * string operation, expressed scale-safely: a `limit(cap)` on id
+    * order bounds what reaches the single-row aggregate (a display
+    * surface is bounded by definition; an uncapped global collect_list
+    * would funnel the corpus through one task). Returns one row
+    * (n_docs, joined) with sentences in id order. */
+  def joinedDisplay(corpus: DataFrame, cap: Int = 500): DataFrame =
+    corpus.orderBy(col("id").asc).limit(cap)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("id"), col("sentence")))),
+            x => x.getField("sentence")),
+          "\n").as("joined"))
+
   private val corpusSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("sentence", StringType, nullable = true)))

@@ -8,6 +8,14 @@ import graft.sources.Ingest
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
+  test("joinedDisplay (F3): newline join in id order with display cap") {
+    val corpus = Seq((2L, "c"), (0L, "a"), (1L, "b")).toDF("id", "sentence")
+    val r = graft.sources.Ingest.joinedDisplay(corpus).head
+    assert(r.getLong(0) == 3L && r.getString(1) == "a\nb\nc")
+    val capped = graft.sources.Ingest.joinedDisplay(corpus, cap = 2).head
+    assert(capped.getLong(0) == 2L && capped.getString(1) == "a\nb")
+  }
+
   test("fromCsv errors on a missing 'sentences' column (app.py:208 parity)") {
     val dir = tmpDir("csv-bad-")
     Seq("text_col", "hello", "world").toDF("value")
