@@ -183,6 +183,10 @@ object SparkEntry {
     // hyperplane sketch; verified in DedupSpec incl. recall vs exact)
     "neardup_cosine_lsh" -> ((s, d) => Dedup.neardupCosineLsh(s, d)),
     "doc_dedup" -> ((s, d) => Dedup.docDedupFor(s, d)),
+    // --- pipeline hygiene (north star): reproducible splits +
+    // benchmark decontamination ---
+    "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
+    "contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // --- multimodal plumbing (north star; payload stays narrow) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),
     // --- streaming (SURVEY §2.9): watermark + tumbling window over a
@@ -562,6 +566,39 @@ object SparkEntry {
          |SELECT a_id, b_id, jaccard3 FROM j
          |WHERE jaccard3 >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // deterministic md5-prefix split: DuckDB computes the identical
+    // assignment (hex-string thresholds, no numeric conversion)
+    "sample_split" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN substr(md5('graft' || doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5('graft' || doc_id::VARCHAR), 1, 2) < 'e7' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    // n-gram contamination between the benchMod-defined benchmark
+    // split and the rest: distinct 3-token shingles, df-capped, shared
+    // counts per (train, bench) pair
+    "contamination" ->
+      s"""WITH $sqlCorpusToks,
+         |tokenized AS (SELECT * FROM corpus WHERE len(toks) > 0),
+         |sh AS (
+         |  SELECT id, toks,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END AS shingles
+         |  FROM tokenized),
+         |shx AS (SELECT DISTINCT id, s
+         |        FROM (SELECT id, unnest(shingles) AS s FROM sh)),
+         |dfreq AS (SELECT s, COUNT(*) AS df FROM shx GROUP BY s),
+         |kept AS (SELECT shx.id, shx.s FROM shx JOIN dfreq USING (s)
+         |         WHERE df <= 1000)
+         |SELECT t.id AS train_id, b.id AS bench_id, COUNT(*) AS n_shared
+         |FROM kept t JOIN kept b ON t.s = b.s
+         |WHERE t.id % 50 <> 0 AND b.id % 50 = 0
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 1
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_embed_exact" ->
       s"""WITH RECURSIVE
          |edges AS (

@@ -225,6 +225,53 @@ object Dedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** Benchmark decontamination: train-side documents sharing at least
+    * `minShared` DISTINCT 3-token shingles with any benchmark-side
+    * document (the standard n-gram contamination check run before
+    * training). Returns (train_id, bench_id, n_shared) pairs.
+    *
+    * The benchmark set here is a driver-table stand-in (`id %
+    * benchMod == 0`); a real pipeline passes its eval corpus as
+    * `bench`. Candidates come from an equi-join on shingle text — the
+    * same no-cross-product shape as the LSH families — and shingles
+    * whose document frequency exceeds `maxDf` are excluded (common
+    * phrases carry no contamination signal and their buckets go
+    * quadratic; standard idf-style guard, same rationale as
+    * [[MaxBandBucket]]). */
+  def contamination(spark: SparkSession, sfDir: String,
+                    benchMod: Long = 50, minShared: Long = 1,
+                    maxDf: Int = MaxBandBucket): DataFrame = {
+    val corpus = Ingest.corpusFromDocuments(spark, sfDir)
+    contaminationSets(
+      corpus.filter(col("id") % benchMod =!= 0),
+      corpus.filter(col("id") % benchMod === 0),
+      minShared, maxDf)
+  }
+
+  def contaminationSets(train: DataFrame, bench: DataFrame,
+                        minShared: Long = 1,
+                        maxDf: Int = MaxBandBucket): DataFrame = {
+    def distinctShingles(corpus: DataFrame): DataFrame =
+      shingleRows(tokenized(corpus)).distinct()
+    val t = distinctShingles(train).select(col("id").as("train_id"), col("s"))
+    val b = distinctShingles(bench).select(col("id").as("bench_id"), col("s"))
+    // document-frequency cap over BOTH sides (a shingle's bucket is
+    // its total df); window on s, like capBuckets but keyed by the
+    // shingle alone
+    val all = t.select(col("s"), col("train_id").as("id"), lit("t").as("side"))
+      .unionByName(b.select(col("s"), col("bench_id").as("id"), lit("b").as("side")))
+    val wS = Window.partitionBy(col("s"))
+    val kept = all.withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    kept.filter(col("side") === "t").select(col("id").as("train_id"), col("s"))
+      .join(kept.filter(col("side") === "b").select(col("id").as("bench_id"), col("s")), "s")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_id").asc, col("bench_id").asc)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Near-dup pairs by 64-bit SimHash: 4×16-bit band join (pigeonhole:

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Dedup, Sampling}
+
+/** Pipeline hygiene operators: deterministic splits and benchmark
+  * decontamination. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleSplit: deterministic, total, and roughly 80/10/10 on sf0.001") {
+    val a = Sampling.sampleSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val b = Sampling.sampleSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.toSeq == b.toSeq, "assignment must be reproducible")
+    assert(a.length == 500)
+    val frac = a.groupBy(_._2).view.mapValues(_.length / 500.0).toMap
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train=$frac")
+    assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03)
+    // content-independence: the split of a given id never depends on
+    // other rows (adding docs can't move existing assignments)
+    val sub = Sampling.sampleSplitCorpus(
+      Seq((0L, "x"), (7L, "y")).toDF("id", "sentence")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = a.toMap
+    assert(sub(0L) == full(0L) && sub(7L) == full(7L))
+  }
+
+  test("contaminationSets: shared phrases detected, common shingles df-capped out") {
+    val bench = Seq(
+      (1000L, "the capital of france is paris and it sits on the seine"))
+      .toDF("id", "sentence")
+    val train = Seq(
+      // contains the benchmark phrase verbatim -> many shared shingles
+      (1L, "students wrote that the capital of france is paris and it sits on the seine today"),
+      // unrelated
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      // shares only a single common stopword-ish shingle? no 3-gram overlap
+      (3L, "the capital city budget grew fast this year"))
+      .toDF("id", "sentence")
+    val got = Dedup.contaminationSets(train, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 1000L)),
+      s"only the verbatim-phrase doc may pair, got ${got.toSeq}")
+    assert(got.head._3 >= 8, s"verbatim inclusion shares many shingles: ${got.head._3}")
+    // df cap: a shingle present in EVERY doc stops generating pairs
+    val spam = (10L until 60L).map(i => (i, "alpha beta gamma"))
+    val train2 = (spam :+ (99L, "alpha beta gamma")).toDF("id", "sentence")
+    val bench2 = Seq((2000L, "alpha beta gamma")).toDF("id", "sentence")
+    val capped = Dedup.contaminationSets(train2, bench2, minShared = 1, maxDf = 10)
+    assert(capped.count() == 0, "df-capped shingle must not pair")
+  }
+}
