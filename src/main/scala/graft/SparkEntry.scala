@@ -166,6 +166,13 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalytics.langId(s, d)),
     "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
+    "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
+    "bm25_search" -> ((s, d) => TextSearch.bm25Search(s, d)),
+    // --- corpus prep (north star): PII scrubbing + context-window
+    // chunking ---
+    "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
+    "doc_chunks" -> ((s, d) => CorpusPrep.docChunks(s, d)),
+    "mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
     // --- dedup (north star; BASELINE.json) ---
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => {
@@ -518,6 +525,91 @@ object SparkEntry {
          |           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
          |    ELSE md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) END AS min_shingle_md5
          |FROM corpus ORDER BY id""".stripMargin,
+    // token/bigram repetition: unnest + group mirrors the Spark
+    // explode/lead construction; ratios are single double divisions
+    "repetition_stats" ->
+      s"""WITH $sqlCorpusToks,
+         |tokc AS (
+         |  SELECT id, tk, count(*) AS c
+         |  FROM (SELECT id, unnest(toks) AS tk FROM corpus) GROUP BY id, tk),
+         |tok_agg AS (
+         |  SELECT id, sum(c) AS n_tokens, max(c) AS top_tok FROM tokc GROUP BY id),
+         |bgc AS (
+         |  SELECT id, bg, count(*) AS c
+         |  FROM (SELECT id, unnest(list_transform(range(1, len(toks)),
+         |                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |        FROM corpus) GROUP BY id, bg),
+         |bg_agg AS (
+         |  SELECT id, sum(c) AS n_bigrams, count(*) AS n_distinct_bg,
+         |    max(c) AS top_bg FROM bgc GROUP BY id)
+         |SELECT t.id, t.n_tokens::BIGINT AS n_tokens,
+         |  t.top_tok::DOUBLE / t.n_tokens::DOUBLE AS top_token_frac,
+         |  coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(1.0::DOUBLE - b.n_distinct_bg::DOUBLE / b.n_bigrams::DOUBLE,
+         |    0.0::DOUBLE) AS dup_bigram_frac,
+         |  coalesce(b.top_bg::DOUBLE / b.n_bigrams::DOUBLE, 0.0::DOUBLE) AS top_bigram_frac
+         |FROM tok_agg t LEFT JOIN bg_agg b USING (id) ORDER BY id""".stripMargin,
+    // BM25: every floating-point step mirrors the Spark expression
+    // tree op-for-op (decimal literals forced to DOUBLE so DuckDB
+    // doesn't fall into decimal arithmetic); the per-term pivot makes
+    // the score summation order fixed; round(6) absorbs ln() ulps
+    "bm25_search" ->
+      s"""WITH $sqlCorpusToks,
+         |docs AS (SELECT id, toks, len(toks)::BIGINT AS dl FROM corpus),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+         |tf AS (
+         |  SELECT id, dl, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
+         |  WHERE term IN ('hash', 'join', 'window')
+         |  GROUP BY id, dl, term),
+         |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT tf.id, tf.term,
+         |    (ln(((s.n_docs - d.df)::DOUBLE + 0.5::DOUBLE) / (d.df::DOUBLE + 0.5::DOUBLE)
+         |        + 1.0::DOUBLE)
+         |     * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
+         |    / (tf.tf::DOUBLE + 1.2::DOUBLE *
+         |       (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl::DOUBLE / s.avgdl)) AS c
+         |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s),
+         |pv AS (
+         |  SELECT id,
+         |    max(CASE WHEN term = 'hash' THEN c END) AS c1,
+         |    max(CASE WHEN term = 'join' THEN c END) AS c2,
+         |    max(CASE WHEN term = 'window' THEN c END) AS c3
+         |  FROM contrib GROUP BY id)
+         |SELECT id,
+         |  round(coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE)
+         |        + coalesce(c3, 0.0::DOUBLE), 6) AS score
+         |FROM pv ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    // PII scrubbing: identical patterns (common Java-regex/RE2 subset),
+    // counts over the raw text, replacement order email -> SSN -> IP
+    "pii_redact" ->
+      """SELECT doc_id AS id,
+        |  len(regexp_extract_all(trim(text), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(trim(text), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssns,
+        |  len(regexp_extract_all(trim(text), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(trim(text),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY id""".stripMargin,
+    // fixed 32-token windows; list_slice is 1-based inclusive, same
+    // clipping as Spark's slice(start, length)
+    "doc_chunks" ->
+      s"""WITH $sqlCorpusToks,
+         |docs AS (
+         |  SELECT id, toks, len(toks)::BIGINT AS n_tokens
+         |  FROM corpus WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT id, n_tokens, toks,
+         |    unnest(range(0, (n_tokens + 31) // 32)) AS chunk_idx
+         |  FROM docs)
+         |SELECT id, chunk_idx::BIGINT AS chunk_idx,
+         |  least(32, n_tokens - chunk_idx * 32)::BIGINT AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, (chunk_idx * 32 + 1)::BIGINT,
+         |    (chunk_idx * 32 + 32)::BIGINT), ' ') AS chunk_text
+         |FROM ch ORDER BY id, chunk_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY trim(text)) AS canonical_id,
@@ -575,6 +667,18 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
+    // per-source mixture downsampling audit: same md5 hex-threshold
+    // mechanism as sample_split, thresholds varying by source
+    "mixture_sample" ->
+      """SELECT source, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN substr(md5('mix' || doc_id::VARCHAR), 1, 2) <
+        |    (CASE WHEN source = 'src0' THEN 'cd'
+        |          WHEN source = 'src1' THEN '80'
+        |          WHEN source = 'src2' THEN '40'
+        |          ELSE '1a' END)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
     // n-gram contamination between the benchMod-defined benchmark
     // split and the rest: distinct 3-token shingles, df-capped, shared
     // counts per (train, bench) pair

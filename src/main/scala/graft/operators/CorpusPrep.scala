@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * filtering and tokenizer ingest: PII scrubbing and fixed-window
+  * chunking. Both are pure narrow maps (chunking fans rows out but
+  * never crosses documents) — embarrassingly parallel at any scale,
+  * no shuffle, built entirely from codegen'd built-ins.
+  *
+  * The regexes are deliberately written in the common subset of Java
+  * regex and RE2 (character classes, bounded repetition, `\b`) so the
+  * DuckDB oracle applies the IDENTICAL patterns.
+  */
+object CorpusPrep {
+
+  /** Email / IPv4 / SSN-shaped spans, counted on the raw text and
+    * replaced with typed placeholders. Replacement order (email →
+    * SSN → IP) is part of the contract; counts are independent
+    * per-pattern over the ORIGINAL text so they don't depend on
+    * earlier replacements. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactCorpus(Ingest.corpusFromDocuments(spark, sfDir))
+
+  def piiRedactCorpus(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("id"),
+      size(regexp_extract_all(col("sentence"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("sentence"), lit(SsnRe), lit(0)))
+        .cast("long").as("n_ssns"),
+      size(regexp_extract_all(col("sentence"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("sentence"), EmailRe, "<EMAIL>"),
+          SsnRe, "<SSN>"),
+        Ipv4Re, "<IP>").as("clean_text"))
+      .orderBy(col("id").asc)
+
+  /** Fixed-size non-overlapping token windows — the context-window
+    * pre-chunking step before tokenizer ingest (and the document
+    * splitter for retrieval indexing). One output row per chunk:
+    * (id, chunk_idx, n_chunk_tokens, chunk_text).
+    *
+    * The chunk list is built with one `transform(sequence(...))` over
+    * ceil(n/chunkSize) elements — a HOF, but evaluated once per CHUNK
+    * (not per token), so the CodegenFallback cost is bounded by the
+    * output row count; the posexplode keeps construction relational.
+    * Token order inside a chunk comes from `slice`, never from a
+    * shuffle-order-dependent collect_list. */
+  def docChunks(spark: SparkSession, sfDir: String,
+                chunkSize: Int = 32): DataFrame =
+    docChunksCorpus(Ingest.corpusFromDocuments(spark, sfDir), chunkSize)
+
+  def docChunksCorpus(corpus: DataFrame, chunkSize: Int = 32): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    corpus
+      .withColumn("toks", TextAnalytics.tokens(col("sentence")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .select(
+        col("id"), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0L),
+            ((col("n_tokens") + (chunkSize - 1)) / chunkSize).cast("long") - 1),
+          i => concat_ws(" ", slice(col("toks"), (i * chunkSize + 1).cast("int"),
+            lit(chunkSize))))).as(Seq("chunk_idx", "chunk_text")))
+      .select(
+        col("id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkSize.toLong),
+          col("n_tokens") - col("chunk_idx") * chunkSize).as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy(col("id").asc, col("chunk_idx").asc)
+  }
+}

@@ -38,4 +38,34 @@ object Sampling {
           .otherwise("test"))
       .select(col("id"), col("split"))
       .orderBy(col("id").asc)
+
+  /** Per-source sampling rates for the mixture (hex thresholds over
+    * the first two md5 chars, same mechanism as sampleSplit):
+    * src0 keeps ~80%, src1 ~50%, src2 ~25%, everything else ~10%. */
+  val MixtureRates: Seq[(String, String)] =
+    Seq("src0" -> "cd", "src1" -> "80", "src2" -> "40")
+  val MixtureDefaultRate: String = "1a"
+
+  /** Domain-mixture downsampling — reweighting sources to a target
+    * mixture is the step between corpus assembly and training. Keep
+    * decisions are per-row hash thresholds (deterministic, join-free,
+    * content-independent — a row's fate never depends on other rows,
+    * so the operator is a pure narrow filter at any scale). Returns
+    * the per-source audit table (source, n_total, n_kept) a pipeline
+    * logs as its mixture card. */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+                    salt: String = "mix"): DataFrame = {
+    val keepThreshold = MixtureRates.foldRight(lit(MixtureDefaultRate)) {
+      case ((src, hex), els) => when(col("source") === src, lit(hex)).otherwise(els)
+    }
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("hx",
+        substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("keep", col("hx") < keepThreshold)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -118,6 +118,58 @@ object TextAnalytics {
       .orderBy(col("id").asc)
   }
 
+  /** Gopher/C4-style repetition signals: the fraction of mass in the
+    * single most frequent token, and duplicate / most-frequent-bigram
+    * fractions — the "is this boilerplate or a word loop?" filters a
+    * pretraining pipeline runs after the surface-quality pass.
+    *
+    * Shape: one explode to token rows, bigrams built relationally with
+    * a lead() window over (id, pos) — NOT a `transform(sequence, slice)`
+    * HOF, which is CodegenFallback and measured 5× slower on the same
+    * shingle workload (Dedup.shingleRows postmortem) — then two narrow
+    * per-id aggregations. Everything partitions by doc id; no
+    * cross-document traffic at any scale. Ratios are single double
+    * divisions, reproduced bit-for-bit by the DuckDB oracle. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStatsCorpus(Ingest.corpusFromDocuments(spark, sfDir))
+
+  def repetitionStatsCorpus(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = corpus
+      .withColumn("toks", tokens(col("sentence")))
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tk")))
+    val wPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // token-level: total, distinct, max single-token count
+    val tokStats = tokRows
+      .groupBy(col("id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    // bigram-level: same aggregates over adjacent-token pairs
+    val bigramStats = tokRows
+      .withColumn("nxt", lead(col("tk"), 1).over(wPos))
+      .where(col("nxt").isNotNull)
+      .select(col("id"), concat_ws(" ", col("tk"), col("nxt")).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bg"),
+        max(col("c")).as("top_bg"))
+    tokStats
+      .join(bigramStats, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(lit(1.0) - col("n_distinct_bg").cast("double") / col("n_bigrams"),
+          lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("top_bg").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy(col("id").asc)
+  }
+
   /** Per-document fingerprints: md5 of the token-normalized text plus
     * the minimum md5 over 3-token shingles (a 1-permutation MinHash —
     * the doc-level fingerprint a near-dup pass buckets on). Documents

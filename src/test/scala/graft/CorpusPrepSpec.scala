@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.CorpusPrep
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing and context-window chunking over planted documents. */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiRedact: plants are counted and replaced, order email->ssn->ip") {
+    val corpus = Seq(
+      (0L, "reach alice@example.com or bob.smith+x@sub.domain.org today"),
+      (1L, "server 10.0.0.1 and 192.168.255.3 report ssn 123-45-6789"),
+      (2L, "clean text with no identifiers at all"),
+      (3L, "mixed a@b.io at 8.8.8.8 ssn 000-00-0000")
+    ).toDF("id", "sentence")
+    val r = CorpusPrep.piiRedactCorpus(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(0L) == ((2L, 0L, 0L, "reach <EMAIL> or <EMAIL> today")))
+    assert(r(1L) == ((0L, 1L, 2L, "server <IP> and <IP> report ssn <SSN>")))
+    assert(r(2L) == ((0L, 0L, 0L, "clean text with no identifiers at all")))
+    assert(r(3L) == ((1L, 1L, 1L, "mixed <EMAIL> at <IP> ssn <SSN>")))
+  }
+
+  test("piiRedact: version-like digit runs are not IPs (word boundaries hold)") {
+    val corpus = Seq((0L, "build 1234.5.6.7890 is not an address")).toDF("id", "sentence")
+    val row = CorpusPrep.piiRedactCorpus(corpus).collect().head
+    assert(row.getLong(3) == 0L, "no IPv4 should match inside longer digit runs")
+    assert(row.getString(4) == "build 1234.5.6.7890 is not an address")
+  }
+
+  test("docChunks: fixed windows cover the token stream exactly once") {
+    val seventy = (1 to 70).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((0L, seventy), (1L, "one two"), (2L, "...")).toDF("id", "sentence")
+    val rows = CorpusPrep.docChunksCorpus(corpus, chunkSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 2 has zero tokens -> no chunks at all
+    assert(!rows.exists(_._1 == 2L))
+    val d0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(c => (c._2, c._3)).toSeq == Seq((0L, 32L), (1L, 32L), (2L, 6L)))
+    // reassembling the chunks reproduces the normalized token stream
+    assert(d0.map(_._4).mkString(" ") == seventy)
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 2L, "one two")))
+  }
+
+  test("docChunks: chunkSize=1 degenerates to one token per row") {
+    val corpus = Seq((7L, "a b c")).toDF("id", "sentence")
+    val rows = CorpusPrep.docChunksCorpus(corpus, chunkSize = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq((0L, 1L, "a"), (1L, 1L, "b"), (2L, 1L, "c")))
+  }
+}

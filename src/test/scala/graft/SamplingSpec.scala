@@ -51,4 +51,20 @@ class SamplingSpec extends SparkSpec {
     val capped = Dedup.contaminationSets(train2, bench2, minShared = 1, maxDf = 10)
     assert(capped.count() == 0, "df-capped shingle must not pair")
   }
+
+  test("mixtureSample: deterministic per-source downsampling audit") {
+    val a = Sampling.mixtureSample(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    val b = Sampling.mixtureSample(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(a.toSeq == b.toSeq, "keep decisions must be reproducible")
+    val m = a.toMap
+    assert(a.map(_._2._1).sum == 500L, "audit covers every document")
+    assert(m.values.forall { case (t, k) => k >= 0 && k <= t })
+    // hash thresholds realize the configured ordering: src0 (~80%)
+    // keeps a larger fraction than src2 (~25%) with overwhelming margin
+    val frac = m.view.mapValues { case (t, k) => k.toDouble / t }.toMap
+    assert(frac("src0") > frac("src2"),
+      s"src0=${frac("src0")} must exceed src2=${frac("src2")}")
+  }
 }

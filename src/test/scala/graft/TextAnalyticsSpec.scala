@@ -77,4 +77,19 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(got(0L) == got(1L), "normalization-equal docs share fingerprints")
     assert(got(0L) != got(2L))
   }
+
+  test("repetitionStats: token and bigram fractions on planted loops") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a a a a b"),   // top token 4/5; bigrams: aa,aa,aa,ab
+      (1L, "w x y z"),     // all distinct
+      (2L, "solo"))        // single token -> no bigrams
+      .toDF("id", "sentence")
+    val got = TextAnalytics.repetitionStatsCorpus(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0L) == ((5L, 0.8, 4L, 1.0 - 2.0 / 4.0, 3.0 / 4.0)))
+    assert(got(1L) == ((4L, 0.25, 3L, 0.0, 1.0 / 3.0)))
+    assert(got(2L) == ((1L, 1.0, 0L, 0.0, 0.0)))
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextSearch
+
+/** BM25 lexical retrieval: hand-computed score check plus ranking
+  * sanity on a planted corpus. */
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "hash join window hash"),      // all three terms, tf(hash)=2
+    (1L, "hash table scan"),            // one term
+    (2L, "sort merge join join join"),  // one term, tf=3
+    (3L, "scan filter project"),        // no query terms
+    (4L, "window")                      // one term, shortest doc
+  ).toDF("id", "sentence")
+
+  test("bm25: docs without query terms are absent; k caps output") {
+    val r = TextSearch.bm25Corpus(corpus, Seq("hash", "join", "window"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!r.contains(3L), "doc with no query terms must not appear")
+    assert(r.keySet == Set(0L, 1L, 2L, 4L))
+    val top2 = TextSearch.bm25Corpus(corpus, Seq("hash", "join", "window"), k = 2)
+      .collect()
+    assert(top2.length == 2)
+  }
+
+  test("bm25: matches a hand-computed Lucene-BM25 score") {
+    // Corpus: N=5, dl = [4,3,5,3,1], avgdl = 16/5 = 3.2
+    val n = 5.0; val avgdl = 16.0 / 5.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def contrib(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    // doc 0: hash tf=2 df=2, join tf=1 df=2, window tf=1 df=2, dl=4
+    val expected0 =
+      contrib(2, 4, 2) + contrib(1, 4, 2) + contrib(1, 4, 2)
+    val r = TextSearch.bm25Corpus(corpus, Seq("hash", "join", "window"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(0L) - expected0) < 1e-6, s"got ${r(0L)}, want $expected0")
+    // doc 0 holds all three terms — it must outrank every single-term doc
+    assert(r(0L) > r(1L) && r(0L) > r(2L) && r(0L) > r(4L))
+    // more occurrences of a term still score higher than fewer at
+    // comparable length: doc 2 (join tf=3, dl=5) vs doc 1 (hash tf=1, dl=3)
+    val expected2 = contrib(3, 5, 2)
+    assert(math.abs(r(2L) - expected2) < 1e-6)
+  }
+
+  test("bm25: ordering is score desc with id tie-break") {
+    val dup = Seq(
+      (10L, "alpha beta"), (11L, "alpha beta"), (12L, "gamma")
+    ).toDF("id", "sentence")
+    val rows = TextSearch.bm25Corpus(dup, Seq("alpha"))
+      .collect().map(r => r.getLong(0))
+    // identical docs tie on score; lower id must come first
+    assert(rows.toSeq == Seq(10L, 11L))
+  }
+}
