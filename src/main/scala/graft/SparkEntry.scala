@@ -55,6 +55,41 @@ object SparkEntry {
       |      h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ' ' || s)))) AS sig
       |  FROM sh)""".stripMargin
 
+  /** BM25 oracle, shared by the ad-hoc and persisted-index queries
+    * (identical ranking by construction). Every floating-point step
+    * mirrors the Spark expression tree op-for-op — decimal literals
+    * forced to DOUBLE so DuckDB doesn't fall into decimal arithmetic;
+    * the per-term pivot fixes the score summation order; round(6)
+    * absorbs ln() ulps. */
+  private val sqlBm25: String =
+    s"""WITH $sqlCorpusToks,
+       |docs AS (SELECT id, toks, len(toks)::BIGINT AS dl FROM corpus),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT id, dl, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN ('hash', 'join', 'window')
+       |  GROUP BY id, dl, term),
+       |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.id, tf.term,
+       |    (ln(((s.n_docs - d.df)::DOUBLE + 0.5::DOUBLE) / (d.df::DOUBLE + 0.5::DOUBLE)
+       |        + 1.0::DOUBLE)
+       |     * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
+       |    / (tf.tf::DOUBLE + 1.2::DOUBLE *
+       |       (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl::DOUBLE / s.avgdl)) AS c
+       |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s),
+       |pv AS (
+       |  SELECT id,
+       |    max(CASE WHEN term = 'hash' THEN c END) AS c1,
+       |    max(CASE WHEN term = 'join' THEN c END) AS c2,
+       |    max(CASE WHEN term = 'window' THEN c END) AS c3
+       |  FROM contrib GROUP BY id)
+       |SELECT id,
+       |  round(coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE)
+       |        + coalesce(c3, 0.0::DOUBLE), 6) AS score
+       |FROM pv ORDER BY score DESC, id LIMIT 10""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational coverage (SURVEY §2.2-2.8) ---
@@ -168,6 +203,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
     "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
     "bm25_search" -> ((s, d) => TextSearch.bm25Search(s, d)),
+    // same scores through the persisted bucket-partitioned inverted
+    // index — the scan is partition-pruned to the query terms' buckets
+    "bm25_persisted" -> ((s, d) => TextSearch.bm25Persisted(s, d)),
     // --- corpus prep (north star): PII scrubbing + context-window
     // chunking ---
     "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
@@ -553,34 +591,10 @@ object SparkEntry {
     // tree op-for-op (decimal literals forced to DOUBLE so DuckDB
     // doesn't fall into decimal arithmetic); the per-term pivot makes
     // the score summation order fixed; round(6) absorbs ln() ulps
-    "bm25_search" ->
-      s"""WITH $sqlCorpusToks,
-         |docs AS (SELECT id, toks, len(toks)::BIGINT AS dl FROM corpus),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
-         |tf AS (
-         |  SELECT id, dl, term, count(*)::BIGINT AS tf
-         |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
-         |  WHERE term IN ('hash', 'join', 'window')
-         |  GROUP BY id, dl, term),
-         |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
-         |contrib AS (
-         |  SELECT tf.id, tf.term,
-         |    (ln(((s.n_docs - d.df)::DOUBLE + 0.5::DOUBLE) / (d.df::DOUBLE + 0.5::DOUBLE)
-         |        + 1.0::DOUBLE)
-         |     * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
-         |    / (tf.tf::DOUBLE + 1.2::DOUBLE *
-         |       (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl::DOUBLE / s.avgdl)) AS c
-         |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s),
-         |pv AS (
-         |  SELECT id,
-         |    max(CASE WHEN term = 'hash' THEN c END) AS c1,
-         |    max(CASE WHEN term = 'join' THEN c END) AS c2,
-         |    max(CASE WHEN term = 'window' THEN c END) AS c3
-         |  FROM contrib GROUP BY id)
-         |SELECT id,
-         |  round(coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE)
-         |        + coalesce(c3, 0.0::DOUBLE), 6) AS score
-         |FROM pv ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "bm25_search" -> sqlBm25,
+    // the persisted-index path must produce the IDENTICAL ranking —
+    // same tf/df/stats, same arithmetic, different scan
+    "bm25_persisted" -> sqlBm25,
     // PII scrubbing: identical patterns (common Java-regex/RE2 subset),
     // counts over the raw text, replacement order email -> SSN -> IP
     "pii_redact" ->

@@ -43,9 +43,7 @@ object TextSearch {
                  k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "query terms must be non-empty and distinct")
-    val docs = corpus
-      .withColumn("toks", TextAnalytics.tokens(col("sentence")))
-      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val docs = tokenizedDocs(corpus)
 
     // Corpus-level stats: one row, broadcast to every posting.
     val stats = docs.agg(
@@ -63,6 +61,21 @@ object TextSearch {
     // Document frequency per query term — at most |queryTerms| rows.
     val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
 
+    scoreAndTop(tf, dfreq, stats, queryTerms, k1, b, k)
+  }
+
+  private def tokenizedDocs(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", TextAnalytics.tokens(col("sentence")))
+      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+  /** Shared scoring tail: tf(id, dl, term, tf) × broadcast df × broadcast
+    * stats → per-term contributions pivoted into fixed columns and
+    * added left-to-right — deterministic summation order, mirrored
+    * verbatim by the SQL oracle. */
+  private def scoreAndTop(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                          queryTerms: Seq[String], k1: Double, b: Double,
+                          k: Int): DataFrame = {
     val contrib = tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -72,9 +85,6 @@ object TextSearch {
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
 
-    // Pivot the (at most |queryTerms|) contributions into fixed
-    // columns and add them left-to-right: deterministic summation
-    // order, mirrored verbatim by the SQL oracle.
     val perTerm = contrib.groupBy(col("id")).agg(
       max(when(col("term") === queryTerms.head, col("c"))).as(s"c_${queryTerms.head}"),
       queryTerms.tail.map(t =>
@@ -88,4 +98,110 @@ object TextSearch {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  // ---- persisted inverted index (lexical twin of IvfIndex.save) -----
+  //
+  // The ad-hoc path above re-derives postings per query — right for a
+  // one-off, wrong for a serving/curation workload that queries the
+  // same corpus repeatedly. The persisted layout is parquet partitioned
+  // by bucket = crc32(term) % nBuckets: a query's terms hash to at most
+  // |terms| buckets, so the postings scan prunes every other partition
+  // STATICALLY (same PartitionFilters mechanism the IVF index proves in
+  // IvfIndexSpec). df and corpus stats persist alongside so a search
+  // reads nothing but its buckets plus two tiny tables.
+
+  /** Inverted-index tables: term postings with their partition bucket,
+    * per-term document frequencies, one-row corpus stats (n_docs,
+    * avgdl, n_buckets). */
+  final case class TermIndex(postings: DataFrame, dfreq: DataFrame,
+                             stats: DataFrame)
+
+  def buildTermIndex(corpus: DataFrame, nBuckets: Int = 64): TermIndex = {
+    require(nBuckets > 0)
+    val docs = tokenizedDocs(corpus)
+    val postings = docs
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      // int, matching parquet partition-directory type inference on load
+      .withColumn("bucket",
+        pmod(crc32(col("term")), lit(nBuckets.toLong)).cast("int"))
+    // one row per (id, term) ⇒ df(term) = row count per term
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+      max(lit(nBuckets.toLong)).as("n_buckets"))
+    TermIndex(postings, dfreq, stats)
+  }
+
+  /** Persist as a directory of parquet tables; postings pre-repartitioned
+    * by bucket so each bucket gets one file, not parallelism × nBuckets
+    * slivers (the IvfIndex.save lesson). */
+  def saveTermIndex(index: TermIndex, dir: String): Unit = {
+    index.postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    index.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    index.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Load a saved term index; missing path fails like the reference's
+    * index load (FileNotFoundError parity, app.py:127-128). */
+  def loadTermIndex(spark: SparkSession, dir: String): TermIndex = {
+    if (!new java.io.File(dir).exists())
+      throw new java.io.FileNotFoundException(s"Term index not found: $dir")
+    TermIndex(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/dfreq"),
+      spark.read.parquet(s"$dir/stats"))
+  }
+
+  /** Driver-side CRC32 identical to Spark's `crc32` expression
+    * (java.util.zip.CRC32 over UTF-8 bytes) — lets the query compute
+    * its bucket list without touching the cluster. */
+  def termBucket(term: String, nBuckets: Long): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.remainderUnsigned(c.getValue, nBuckets)
+  }
+
+  /** BM25 against a persisted index: identical scores to [[bm25Corpus]]
+    * (same tf/df/stats, same arithmetic), but the postings scan reads
+    * ONLY the query terms' hash buckets — partition-pruned at plan
+    * time. */
+  def bm25Index(spark: SparkSession, index: TermIndex,
+                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "query terms must be non-empty and distinct")
+    val nBuckets = index.stats.select(col("n_buckets")).head().getLong(0)
+    val buckets = queryTerms.map(termBucket(_, nBuckets).toInt).distinct
+    val tf = index.postings
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("id"), col("dl"), col("term"), col("tf"))
+    val dfreq = index.dfreq.filter(col("term").isin(queryTerms: _*))
+    scoreAndTop(tf, dfreq, index.stats.drop("n_buckets"),
+      queryTerms, k1, b, k)
+  }
+
+  // Registered-query surface: persisted-index search over the sf
+  // corpus. The index build+save is memoized per (JVM, sfDir) — Verify
+  // and the bench's reps share one on-disk generation; the SEARCH
+  // re-executes every invocation, so the bench times the pruned-scan
+  // path, not the build.
+  private val termIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def persistedTermIndexFor(spark: SparkSession, sfDir: String): TermIndex = {
+    val dir = termIndexCache.getOrElseUpdate(sfDir, {
+      val d = "/root/repo/target/term-index/" + new java.io.File(sfDir).getName
+      saveTermIndex(
+        buildTermIndex(Ingest.corpusFromDocuments(spark, sfDir)), d)
+      d
+    })
+    loadTermIndex(spark, dir)
+  }
+
+  def bm25Persisted(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Index(spark, persistedTermIndexFor(spark, sfDir), DefaultQuery)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextSearch
+import org.apache.spark.sql.functions.{col, crc32, lit, pmod}
 
 /** BM25 lexical retrieval: hand-computed score check plus ranking
   * sanity on a planted corpus. */
@@ -43,6 +44,41 @@ class TextSearchSpec extends SparkSpec {
     // comparable length: doc 2 (join tf=3, dl=5) vs doc 1 (hash tf=1, dl=3)
     val expected2 = contrib(3, 5, 2)
     assert(math.abs(r(2L) - expected2) < 1e-6)
+  }
+
+  test("persisted term index: identical ranking, partition-pruned scan") {
+    val dir = tmpDir("term-index-") + "/idx"
+    TextSearch.saveTermIndex(TextSearch.buildTermIndex(corpus, nBuckets = 8), dir)
+    val idx = TextSearch.loadTermIndex(spark, dir)
+    val q = Seq("hash", "join", "window")
+    val fromIndex = TextSearch.bm25Index(spark, idx, q)
+    val adHoc = TextSearch.bm25Corpus(corpus, q)
+    assert(fromIndex.collect().toSeq == adHoc.collect().toSeq,
+      "persisted-index search must reproduce the ad-hoc ranking exactly")
+    // the postings scan must be pruned to the query terms' buckets —
+    // same PartitionFilters mechanism the IVF index proves
+    val qBuckets = q.map(TextSearch.termBucket(_, 8L).toInt).distinct
+    val pruned = idx.postings.filter(col("bucket").isin(qBuckets: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a bucket-pruned scan, got:\n$plan")
+    val scannedBuckets = pruned.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(scannedBuckets.subsetOf(qBuckets.toSet))
+  }
+
+  test("persisted term index: missing directory fails like the reference") {
+    intercept[java.io.FileNotFoundException] {
+      TextSearch.loadTermIndex(spark, "/root/repo/target/nonexistent-term-index")
+    }
+  }
+
+  test("termBucket matches Spark's crc32 expression") {
+    val terms = Seq("hash", "join", "window", "überlang", "123", "")
+    val sparkSide = terms.toDF("t")
+      .select(pmod(crc32(col("t")), lit(64L)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sparkSide == terms.map(TextSearch.termBucket(_, 64L)))
   }
 
   test("bm25: ordering is score desc with id tie-break") {
