@@ -202,6 +202,9 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
     "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
+    "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
+    "token_vocab" -> ((s, d) => TextAnalytics.tokenVocab(s, d)),
+    "corpus_datacard" -> ((s, d) => TextAnalytics.corpusDatacard(s, d)),
     "bm25_search" -> ((s, d) => TextSearch.bm25Search(s, d)),
     // same scores through the persisted bucket-partitioned inverted
     // index — the scan is partition-pruned to the query terms' buckets
@@ -591,6 +594,47 @@ object SparkEntry {
     // tree op-for-op (decimal literals forced to DOUBLE so DuckDB
     // doesn't fall into decimal arithmetic); the per-term pivot makes
     // the score summation order fixed; round(6) absorbs ln() ulps
+    // tf-idf scores rounded to 6 decimals BEFORE the rank window on
+    // both sides, so rank order is decided on engine-identical values
+    "tfidf_keywords" ->
+      s"""WITH $sqlCorpusToks,
+         |nd AS (SELECT count(*) AS n_docs FROM corpus),
+         |tf AS (
+         |  SELECT id, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT id, unnest(toks) AS term FROM corpus)
+         |  GROUP BY id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.id, tf.term,
+         |    round(tf.tf * ln(nd.n_docs::DOUBLE / d.df), 6) AS tfidf
+         |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN nd),
+         |ranked AS (
+         |  SELECT id, term, tfidf,
+         |    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT id, rank::BIGINT AS rank, term, tfidf FROM ranked
+         |WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    "token_vocab" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT term, count(*)::BIGINT AS n_occurrences,
+         |  count(DISTINCT id)::BIGINT AS n_docs
+         |FROM (SELECT id, unnest(toks) AS term FROM corpus)
+         |GROUP BY term ORDER BY n_occurrences DESC, term LIMIT 25""".stripMargin,
+    "corpus_datacard" ->
+      """WITH docs AS (
+        |  SELECT lang, source,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+        |        t -> length(t) > 0))::BIGINT AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    sum(n_tokens) AS total_tokens, avg(n_tokens) AS avg_tokens
+        |  FROM docs GROUP BY lang, source),
+        |t AS (SELECT sum(n_docs) AS corpus_docs FROM g)
+        |SELECT lang, source, n_docs::BIGINT AS n_docs,
+        |  n_docs::DOUBLE / corpus_docs::DOUBLE AS doc_share,
+        |  total_tokens::BIGINT AS total_tokens, avg_tokens
+        |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
     "bm25_search" -> sqlBm25,
     // the persisted-index path must produce the IDENTICAL ranking —
     // same tf/df/stats, same arithmetic, different scan

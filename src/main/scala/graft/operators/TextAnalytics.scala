@@ -170,6 +170,76 @@ object TextAnalytics {
       .orderBy(col("id").asc)
   }
 
+  /** Top-3 TF-IDF keywords per document — the per-doc topical summary
+    * a curation UI shows and a tagging pass joins on. Relational
+    * shape: one explode → (id, term) counts → broadcast df join →
+    * per-doc rank window partitioned by id (never global). Scores are
+    * rounded to 6 decimals BEFORE ranking so the (score desc, term
+    * asc) order the oracle replays is decided on engine-identical
+    * values (ln() may differ in the last ulp between libms). */
+  def tfidfKeywords(spark: SparkSession, sfDir: String,
+                    topK: Int = 3): DataFrame =
+    tfidfKeywordsCorpus(Ingest.corpusFromDocuments(spark, sfDir), topK)
+
+  def tfidfKeywordsCorpus(corpus: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = corpus.withColumn("toks", tokens(col("sentence")))
+      .select(col("id"), col("toks"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy(col("id").asc, col("rank").asc)
+  }
+
+  /** Vocabulary head: the corpus's most frequent tokens with their
+    * document frequencies — the boilerplate/stopword discovery query a
+    * pipeline runs before tuning its filters. Global top-k over a
+    * grouped count (plans as TakeOrderedAndProject, not a full sort). */
+  def tokenVocab(spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame =
+    Ingest.corpusFromDocuments(spark, sfDir)
+      .withColumn("toks", tokens(col("sentence")))
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(topK)
+
+  /** Per-(lang, source) dataset card: document counts, token mass,
+    * corpus share, mean document length — the stratified audit table a
+    * dataset release ships. One shuffle on the (lang, source) group
+    * key; the corpus total rides in as a broadcast single-row
+    * aggregate (never a global window). */
+  def corpusDatacard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .where(length(trim(col("text"))) > 0)
+      .select(col("lang"), col("source"),
+        size(tokens(trim(col("text")))).cast("long").as("n_tokens"))
+    val grouped = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        avg(col("n_tokens")).as("avg_tokens"))
+    grouped
+      .crossJoin(broadcast(grouped.agg(sum(col("n_docs")).as("corpus_docs"))))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("corpus_docs")).as("doc_share"),
+        col("total_tokens"), col("avg_tokens"))
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
   /** Per-document fingerprints: md5 of the token-normalized text plus
     * the minimum md5 over 3-token shingles (a 1-permutation MinHash —
     * the doc-level fingerprint a near-dup pass buckets on). Documents

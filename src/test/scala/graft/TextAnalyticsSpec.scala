@@ -78,6 +78,41 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(got(0L) != got(2L))
   }
 
+  test("tfidfKeywords: rare terms outrank common ones within a doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry dog"))
+      .toDF("id", "sentence")
+    val got = TextAnalytics.tfidfKeywordsCorpus(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byDoc = got.groupBy(_._1)
+    // doc0: apple tf=2 df=1 -> 2*ln(3) beats banana 1*ln(3/2)
+    assert(byDoc(0L).sortBy(_._2).map(_._3).toSeq == Seq("apple", "banana"))
+    // doc2: cherry tf=3 df=2 -> 3*ln(1.5)=1.216 beats dog 1*ln(3)=1.099
+    assert(byDoc(2L).sortBy(_._2).map(_._3).toSeq == Seq("cherry", "dog"))
+    val d0apple = got.find(g => g._1 == 0L && g._3 == "apple").get._4
+    assert(math.abs(d0apple - 2.0 * math.log(3.0)) < 1e-5)
+    assert(got.forall(_._2 <= 3), "row_number cap at 3")
+  }
+
+  test("tokenVocab and corpusDatacard: consistent corpus-level accounting") {
+    val vocab = TextAnalytics.tokenVocab(spark, sfSmall)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.length == 25)
+    // sorted by occurrences desc; docs containing a term never exceed
+    // its occurrence count, and never exceed the corpus size
+    assert(vocab.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    assert(vocab.forall(v => v._3 <= v._2 && v._3 <= 500))
+    val card = TextAnalytics.corpusDatacard(spark, sfSmall)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(card.map(_._3).sum == 500L, "card strata cover the corpus")
+    assert(math.abs(card.map(_._4).sum - 1.0) < 1e-9, "shares sum to 1")
+    assert(card.forall(c => c._6 > 0 && c._5 >= c._3), "tokens per doc >= 1")
+  }
+
   test("repetitionStats: token and bigram fractions on planted loops") {
     import spark.implicits._
     val corpus = Seq(
