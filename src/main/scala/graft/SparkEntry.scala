@@ -117,6 +117,10 @@ object SparkEntry {
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
+    // int8 quantization: oracled integer audit + approximate search
+    // twin (recall-tested, not SQL-expressible)
+    "quantize_stats" -> ((s, d) => Quantization.quantizeStats(s, d)),
+    "knn_quantized" -> ((s, d) => Quantization.knnQuantized(s, d)),
     "corpus_ingest" -> ((s, d) => graft.sources.Ingest.corpusFromDocuments(s, d)),
     "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
     "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),
@@ -214,6 +218,7 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
     "doc_chunks" -> ((s, d) => CorpusPrep.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
+    "pack_sequences" -> ((s, d) => CorpusPrep.packSequences(s, d)),
     // --- dedup (north star; BASELINE.json) ---
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => {
@@ -594,6 +599,25 @@ object SparkEntry {
     // tree op-for-op (decimal literals forced to DOUBLE so DuckDB
     // doesn't fall into decimal arithmetic); the per-term pivot makes
     // the score summation order fixed; round(6) absorbs ln() ulps
+    // int8 quantization audit: after the float max|x|, everything is
+    // integer arithmetic (round-half-away both engines), so the whole
+    // row hash-matches; scale itself is one float-exact division
+    "quantize_stats" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x -> round(x::DOUBLE / scale)::INTEGER)
+        |    END AS qv
+        |  FROM q)
+        |SELECT vec_id, scale,
+        |  list_sum(qv)::BIGINT AS q_sum,
+        |  list_min(qv)::BIGINT AS q_min,
+        |  list_max(qv)::BIGINT AS q_max
+        |FROM qq ORDER BY vec_id""".stripMargin,
     // tf-idf scores rounded to 6 decimals BEFORE the rank window on
     // both sides, so rank order is decided on engine-identical values
     "tfidf_keywords" ->
@@ -725,6 +749,20 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
+    // packing offsets: DuckDB's single global running sum is the
+    // semantic spec; the engine computes it as a two-phase parallel
+    // prefix sum (no global row window)
+    "pack_sequences" ->
+      s"""WITH $sqlCorpusToks,
+         |d AS (SELECT id, len(toks)::BIGINT AS n_tokens FROM corpus),
+         |c AS (
+         |  SELECT id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS start_offset
+         |  FROM d)
+         |SELECT id, n_tokens, start_offset, start_offset // 512 AS seq_id
+         |FROM c ORDER BY id""".stripMargin,
     // per-source mixture downsampling audit: same md5 hex-threshold
     // mechanism as sample_split, thresholds varying by source
     "mixture_sample" ->

@@ -62,11 +62,26 @@ package object functions {
   def hyperplane_sketch(emb: Column, planes: Array[Array[Float]]): Column =
     GraftSqlBridge.column(HyperplaneSketch(col2e(emb), planes))
 
+  /** Int8 symmetric quantization: per-vector scale (max|x|/127). */
+  def quant_scale(emb: Column): Column =
+    GraftSqlBridge.column(QuantScale(col2e(emb)))
+
+  /** Int8 symmetric quantization: array<tinyint> of round(x/scale). */
+  def quantize_i8(emb: Column): Column =
+    GraftSqlBridge.column(QuantizeI8(col2e(emb)))
+
+  /** Exact integer dot product of two quantized (array<tinyint>) vectors. */
+  def dot_i8(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotI8(col2e(a), col2e(b)))
+
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))
     GraftSqlBridge.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
     GraftSqlBridge.registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "quant_scale", es => QuantScale(es(0)))
+    GraftSqlBridge.registerFunction(spark, "quantize_i8", es => QuantizeI8(es(0)))
+    GraftSqlBridge.registerFunction(spark, "dot_i8", es => DotI8(es(0), es(1)))
     GraftSqlBridge.registerFunction(spark, "embed_text", {
       case Seq(text) => EmbedText(text, Embedder.DefaultDim)
       case Seq(text, dim) => EmbedText(text,

@@ -59,6 +59,55 @@ object CorpusPrep {
                 chunkSize: Int = 32): DataFrame =
     docChunksCorpus(Ingest.corpusFromDocuments(spark, sfDir), chunkSize)
 
+  /** Sequence packing: each document's start offset in the
+    * concatenated id-ordered token stream, and the fixed-length
+    * training sequence (seq_id = offset div seqLen) its first token
+    * lands in — the deterministic packing map a tokenizer-ingest job
+    * materializes before writing training shards.
+    *
+    * A naive global cumulative sum is a no-partition window — every
+    * row through one task (the WindowExec trap, BASELINE.md). Instead:
+    * blocks of `blockSize` consecutive ids get LOCAL window cumsums
+    * (partitioned by block — parallel), block totals are collected to
+    * the driver (#blocks rows, bounded and tiny relative to the data:
+    * 1e12 docs / 1e6-id blocks = 1e6 longs), prefix-summed there, and
+    * joined back as a broadcast — the standard two-phase parallel
+    * prefix sum expressed in DataFrame ops. */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    seqLen: Long = 512L): DataFrame =
+    packSequencesCorpus(Ingest.corpusFromDocuments(spark, sfDir), seqLen)
+
+  def packSequencesCorpus(corpus: DataFrame, seqLen: Long = 512L,
+                          blockSize: Long = 4096L): DataFrame = {
+    require(seqLen > 0 && blockSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val docs = corpus
+      .withColumn("n_tokens", size(TextAnalytics.tokens(col("sentence"))).cast("long"))
+      .select(col("id"), col("n_tokens"),
+        (col("id") / blockSize).cast("long").as("block"))
+    val wLocal = Window.partitionBy(col("block")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = docs.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // block totals → driver prefix sum (bounded collect, primitive-
+    // friendly row count) → broadcast join back
+    val totals = docs.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefixSums = totals.scanLeft(0L)((acc, t) => acc + t._2)
+    import spark.implicits._
+    val prefixDf = totals.zip(prefixSums)
+      .map { case ((blk, _), before) => (blk, before) }.toSeq
+      .toDF("block", "block_prefix")
+    withLocal
+      .join(broadcast(prefixDf), Seq("block"))
+      .withColumn("start_offset", col("block_prefix") + col("local_off"))
+      .select(col("id"), col("n_tokens"), col("start_offset"),
+        (col("start_offset") / seqLen).cast("long").as("seq_id"))
+      .orderBy(col("id").asc)
+  }
+
   def docChunksCorpus(corpus: DataFrame, chunkSize: Int = 32): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
     corpus

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{cosine_sim, dot_i8, quant_scale, quantize_i8}
+
+/** Int8-quantized similarity search over the `embeddings` table — the
+  * memory-compression scale path (4× smaller postings than float32;
+  * the reference keeps full floats in FAISS, app.py:48-55). Kernels
+  * are the native codegen'd expressions in
+  * [[graft.functions.QuantizeI8]] / [[graft.functions.DotI8]].
+  *
+  * Quantized cosine needs NO rescaling: the per-vector scales cancel
+  * in dot/(|a||b|), so ranking is pure integer dot products plus one
+  * final division — bit-reproducible across engines, no float
+  * accumulation order to disagree on.
+  */
+object Quantization {
+
+  /** Per-vector quantization audit: scale and integer summary of the
+    * quantized vector. Everything after the float max|x| is integer
+    * arithmetic, so the DuckDB oracle matches hash-exactly. */
+  def quantizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), quantize_i8(col("embedding")).as("q"),
+        quant_scale(col("embedding")).as("scale"))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"))
+      .orderBy(col("vec_id").asc)
+
+  /** Top-k by quantized cosine similarity (descending, vec_id
+    * tie-break): integer dot products over array<tinyint>, one double
+    * division at the end. Approximate vs exact cosine (quantization
+    * error ~1/254 per component) — verified by a recall test, not a
+    * SQL oracle. */
+  def knnQuantized(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                   k: Int = 10): DataFrame = {
+    val quantized = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), quantize_i8(col("embedding")).as("q"))
+    val q = quantized.filter(col("vec_id") === queryId)
+      .select(col("q").as("q_query"))
+    quantized.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("dot_qq", dot_i8(col("q"), col("q_query")))
+      .withColumn("norm_a", dot_i8(col("q"), col("q")))
+      .withColumn("norm_b", dot_i8(col("q_query"), col("q_query")))
+      .withColumn("sim",
+        when(col("norm_a") === 0L || col("norm_b") === 0L, lit(0.0))
+          .otherwise(col("dot_qq").cast("double") /
+            (sqrt(col("norm_a").cast("double")) * sqrt(col("norm_b").cast("double")))))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** Recall@k of quantized cosine against exact cosine for one query —
+    * driver-visible quality probe (reference-style: FAISS users run
+    * the same check when they switch SQ8 on). */
+  def quantizedRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      k: Int = 10): Double = {
+    val exact = VectorSearchOps.knnExactCosine(spark, sfDir, queryId, k)
+      .collect().map(_.getLong(0)).toSet
+    val quant = knnQuantized(spark, sfDir, queryId, k)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(quant).size.toDouble / k
+  }
+}

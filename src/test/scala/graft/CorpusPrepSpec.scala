@@ -44,6 +44,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(d1.map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 2L, "one two")))
   }
 
+  test("packSequences: offsets equal the serial cumulative sum across blocks") {
+    // blockSize=3 forces multiple blocks over 10 docs, exercising the
+    // block-local window + driver prefix join; compare to the serial spec
+    val corpus = (0L until 10L).map(i =>
+      (i * 7L % 10L, ("tok " * (i + 1).toInt).trim)).toDF("id", "sentence")
+    val got = CorpusPrep.packSequencesCorpus(corpus, seqLen = 5L, blockSize = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val serial = got.sortBy(_._1).foldLeft((0L, Vector.empty[(Long, Long, Long, Long)])) {
+      case ((off, acc), (id, n, _, _)) =>
+        (off + n, acc :+ ((id, n, off, off / 5L)))
+    }._2
+    assert(got.toSeq == serial.toSeq,
+      "two-phase prefix sum must equal the serial cumulative sum")
+    // offsets tile the stream: each doc starts where the previous ended
+    val sorted = got.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2)
+    }
+  }
+
   test("docChunks: chunkSize=1 degenerates to one token per row") {
     val corpus = Seq((7L, "a b c")).toDF("id", "sentence")
     val rows = CorpusPrep.docChunksCorpus(corpus, chunkSize = 1)

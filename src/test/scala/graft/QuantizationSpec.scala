@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Quantization
+import graft.functions.{dot_i8, quant_scale, quantize_i8}
+import org.apache.spark.sql.functions._
+
+/** Int8 quantization kernels and the quantized-search quality bar. */
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantize roundtrip error is bounded by scale/2 per component") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)))
+    val rows = vecs.toDF("id", "v")
+      .select(col("id"), col("v"), quantize_i8(col("v")).as("q"),
+        quant_scale(col("v")).as("scale"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1); val q = r.getSeq[Byte](2); val s = r.getDouble(3)
+      assert(q.length == v.length)
+      assert(q.forall(b => b >= -127 && b <= 127), "symmetric range")
+      v.zip(q).foreach { case (x, b) =>
+        assert(math.abs(x.toDouble - b * s) <= s / 2 + 1e-12,
+          s"component $x reconstructs to ${b * s} with scale $s")
+      }
+    }
+  }
+
+  test("rounding is half AWAY FROM ZERO (not Math.round's half-up)") {
+    // scale = 127/127 = 1.0 exactly, so -0.5 hits the half-step exactly:
+    // away-from-zero gives -1; Java Math.round would give 0
+    val q = Seq((0L, Array(127.0f, -0.5f, 0.5f, -1.5f))).toDF("id", "v")
+      .select(quantize_i8(col("v"))).collect().head.getSeq[Byte](0)
+    assert(q.toSeq == Seq[Byte](127, -1, 1, -2))
+  }
+
+  test("all-zero vector quantizes to zeros with scale 0") {
+    val r = Seq((0L, Array(0f, 0f, 0f))).toDF("id", "v")
+      .select(quantize_i8(col("v")).as("q"), quant_scale(col("v")).as("s"))
+      .collect().head
+    assert(r.getSeq[Byte](0).toSeq == Seq[Byte](0, 0, 0))
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("dot_i8 matches a driver-side integer loop") {
+    val a = Array[Byte](1, -2, 3, 127)
+    val b = Array[Byte](-1, 2, 3, 127)
+    val expected = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(dot_i8(col("a"), col("b"))).collect().head.getLong(0)
+    assert(got == expected)
+    // mixed binary × array<tinyint> also works (wire query vs stored postings)
+    val mixed = Seq((a, Array(1.0f, -2.0f, 3.0f, 127.0f))).toDF("a", "v")
+      .select(dot_i8(col("a"), quantize_i8(col("v"))))
+      .collect().head.getLong(0)
+    // scale = 1.0 exactly -> quantized = (1, -2, 3, 127) = a, so this is a·a
+    assert(mixed == a.map(x => x.toLong * x.toLong).sum)
+    // dimension mismatch fails loudly, like the float kernels
+    intercept[Exception] {
+      Seq((Array[Byte](1, 2), Array[Byte](1))).toDF("a", "b")
+        .select(dot_i8(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("quantized cosine kNN recalls the exact top-10 on sf0.001") {
+    val recall = Quantization.quantizedRecall(spark, sfSmall, queryId = 0L, k = 10)
+    assert(recall >= 0.7, s"recall@10 = $recall — int8 error should cost little")
+  }
+
+  test("quant functions register for SQL") {
+    graft.functions.registerVectorFunctions(spark)
+    val r = spark.sql(
+      "SELECT dot_i8(quantize_i8(array(127.0F, -0.5F)), quantize_i8(array(127.0F, -0.5F))) AS d")
+      .collect().head.getLong(0)
+    // scale = 1.0 exactly -> (127, -1) . (127, -1) = 16129 + 1
+    assert(r == 16130L)
+  }
+}
