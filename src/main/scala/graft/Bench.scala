@@ -75,6 +75,7 @@ object Bench {
       "cluster_ivf_assign" -> (() => { Clustering.clusterIvf(spark, sfDir).count(); () }),
       "doc_dedup_pipeline" -> (() => { Dedup.docDedupFor(spark, sfDir).count(); () }),
       "ivf_append_lifecycle" -> (() => { IvfIndex.appendHalfStats(spark, sfDir).count(); () }),
+      "term_index_persisted" -> (() => { TextSearch.persistedTermIndexFor(spark, sfDir).postings.count(); () }),
     )
     val warm = warmups.map { case (name, fn) => name -> timed(s"warm:$name")(fn()) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

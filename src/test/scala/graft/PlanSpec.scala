@@ -106,4 +106,27 @@ class PlanSpec extends SparkSpec {
     assert(l2sqLine.trim.matches("""^\+?-?\s*\*\(\d+\).*"""),
       s"l2sq Project not inside a codegen stage:\n$p")
   }
+
+  test("int8 quantization kernels stay inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val df = emb.select(
+      graft.functions.dot_i8(
+        graft.functions.quantize_i8(col("embedding")),
+        graft.functions.quantize_i8(col("embedding"))).as("d"))
+    df.collect()
+    val p = plan(df)
+    val line = p.linesIterator
+      .find(l => l.contains("dot_i8") && l.contains("Project")).getOrElse("")
+    assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""),
+      s"dot_i8/quantize_i8 Project not inside a codegen stage:\n$p")
+  }
+
+  test("bm25 joins are broadcasts — no shuffle join, no big-side cartesian") {
+    val df = graft.operators.TextSearch.bm25Search(spark, sfSmall)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"df/stats must ride in as broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
 }
