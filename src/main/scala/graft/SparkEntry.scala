@@ -219,6 +219,10 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => CorpusPrep.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
     "pack_sequences" -> ((s, d) => CorpusPrep.packSequences(s, d)),
+    // composed end-to-end curation decision table (quality × dedup ×
+    // split × mixture, one boolean per stage)
+    "curation_decisions" -> ((s, d) => CorpusPrep.curationDecisions(s, d)),
+    "profile_lineitem" -> ((s, d) => Profiling.profileLineitem(s, d)),
     // --- dedup (north star; BASELINE.json) ---
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => {
@@ -749,6 +753,59 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
+    // the composed curation table: every stage's predicate is the
+    // same SQL its standalone query uses
+    "curation_decisions" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, trim(text) AS sentence, source,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |d AS (
+        |  SELECT id,
+        |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+        |     AND len(toks) >= 5 AND len(toks) <= 100000
+        |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+        |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
+        |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept,
+        |    CASE WHEN substr(md5('graft' || id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5('graft' || id::VARCHAR), 1, 2) < 'e7' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    substr(md5('mix' || id::VARCHAR), 1, 2) <
+        |      (CASE WHEN source = 'src0' THEN 'cd'
+        |            WHEN source = 'src1' THEN '80'
+        |            WHEN source = 'src2' THEN '40'
+        |            ELSE '1a' END) AS mix_keep
+        |  FROM docs)
+        |SELECT id, keep_quality, dedup_kept, split, mix_keep,
+        |  (keep_quality AND dedup_kept AND mix_keep) AS final_keep
+        |FROM d ORDER BY id""".stripMargin,
+    // one wide aggregate unpivoted to rows; timestamps profile as
+    // epoch micros so min/max stay double-typed
+    "profile_lineitem" ->
+      """WITH a AS (SELECT
+        |  count(*) AS n_rows,
+        |  count(l_orderkey) c1, count(DISTINCT l_orderkey) d1,
+        |    min(l_orderkey)::DOUBLE mn1, max(l_orderkey)::DOUBLE mx1,
+        |  count(l_quantity) c2, count(DISTINCT l_quantity) d2,
+        |    min(l_quantity)::DOUBLE mn2, max(l_quantity)::DOUBLE mx2,
+        |  count(l_extendedprice) c3, count(DISTINCT l_extendedprice) d3,
+        |    min(l_extendedprice)::DOUBLE mn3, max(l_extendedprice)::DOUBLE mx3,
+        |  count(l_discount) c4, count(DISTINCT l_discount) d4,
+        |    min(l_discount)::DOUBLE mn4, max(l_discount)::DOUBLE mx4,
+        |  count(l_shipdate) c5, count(DISTINCT l_shipdate) d5,
+        |    epoch_us(min(l_shipdate))::DOUBLE mn5, epoch_us(max(l_shipdate))::DOUBLE mx5,
+        |  count(l_returnflag) c6, count(DISTINCT l_returnflag) d6
+        |  FROM lineitem)
+        |SELECT col_name, n_null::BIGINT AS n_null, n_distinct::BIGINT AS n_distinct,
+        |  min_num, max_num FROM (
+        |  SELECT 'l_orderkey' AS col_name, n_rows - c1 AS n_null, d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
+        |  UNION ALL SELECT 'l_quantity', n_rows - c2, d2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'l_extendedprice', n_rows - c3, d3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'l_discount', n_rows - c4, d4, mn4, mx4 FROM a
+        |  UNION ALL SELECT 'l_shipdate', n_rows - c5, d5, mn5, mx5 FROM a
+        |  UNION ALL SELECT 'l_returnflag', n_rows - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
+        |ORDER BY col_name""".stripMargin,
     // packing offsets: DuckDB's single global running sum is the
     // semantic spec; the engine computes it as a two-phase parallel
     // prefix sum (no global row window)

@@ -44,6 +44,59 @@ object CorpusPrep {
         Ipv4Re, "<IP>").as("clean_text"))
       .orderBy(col("id").asc)
 
+  /** The composed end-to-end curation decision table — what a corpus
+    * actually ships through before tokenizer ingest, with one boolean
+    * per stage so every drop is attributable:
+    *
+    *   keep_quality — surface-quality heuristics (TextAnalytics.textQuality)
+    *   dedup_kept   — exact-dup canonical representative (min-id over
+    *                  identical trimmed text; Dedup.dedupExact semantics)
+    *   split        — reproducible train/val/test (Sampling.sampleSplit)
+    *   mix_keep     — domain-mixture downsampling (Sampling.MixtureRates)
+    *   final_keep   — conjunction (split is carried, not a filter)
+    *
+    * One window over identical-text groups is the only shuffle; the
+    * quality/split/mixture stages are narrow maps, so the whole
+    * decision table costs what dedup_exact costs at any scale. */
+  def curationDecisions(spark: SparkSession, sfDir: String,
+                        splitSalt: String = "graft",
+                        mixSalt: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("id"), trim(col("text")).as("sentence"),
+        col("source"))
+    val toks = TextAnalytics.tokens(col("sentence"))
+    val alphaRatio =
+      length(regexp_replace(col("sentence"), "[^A-Za-z]", "")).cast("double") /
+        length(col("sentence"))
+    val stopwordRatio =
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        greatest(size(toks), lit(1))
+    val mixThreshold = Sampling.MixtureRates.foldRight(lit(Sampling.MixtureDefaultRate)) {
+      case ((src, hex), els) => when(col("source") === src, lit(hex)).otherwise(els)
+    }
+    val splitHex = substring(md5(concat(lit(splitSalt), col("id").cast("string"))), 1, 2)
+    docs
+      .withColumn("keep_quality",
+        alphaRatio > 0.5 && size(toks) >= 5 && size(toks) <= 100000 &&
+          stopwordRatio > 0.0)
+      .withColumn("dedup_kept",
+        col("id") === min(col("id")).over(Window.partitionBy(col("sentence"))))
+      .withColumn("split",
+        when(splitHex < "cd", "train").when(splitHex < "e7", "val")
+          .otherwise("test"))
+      .withColumn("mix_keep",
+        substring(md5(concat(lit(mixSalt), col("id").cast("string"))), 1, 2)
+          < mixThreshold)
+      .withColumn("final_keep",
+        col("keep_quality") && col("dedup_kept") && col("mix_keep"))
+      .select(col("id"), col("keep_quality"), col("dedup_kept"), col("split"),
+        col("mix_keep"), col("final_keep"))
+      .orderBy(col("id").asc)
+  }
+
   /** Fixed-size non-overlapping token windows — the context-window
     * pre-chunking step before tokenizer ingest (and the document
     * splitter for retrieval indexing). One output row per chunk:

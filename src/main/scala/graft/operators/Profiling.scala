@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data profiling — the per-column audit (row/null/distinct counts,
+  * numeric ranges) a pipeline materializes before trusting a new drop
+  * of data. ONE pass over the table: a single wide aggregate row
+  * (count/min/max are cheap; the exact distinct counts share one
+  * Expand) unpivoted with `stack` into one row per column.
+  *
+  * Exact `countDistinct` is deliberate here because the oracle needs
+  * exactness; the scale path for wide tables is
+  * `approx_count_distinct` (HLL — accuracy-tested in PlanSpec), a
+  * one-word swap. Timestamps profile as epoch microseconds so min/max
+  * stay in one double-typed column pair without engine-specific
+  * timestamp formatting. */
+object Profiling {
+
+  def profileLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("c1"), countDistinct(col("l_orderkey")).as("d1"),
+      min(col("l_orderkey")).cast("double").as("mn1"),
+      max(col("l_orderkey")).cast("double").as("mx1"),
+      count(col("l_quantity")).as("c2"), countDistinct(col("l_quantity")).as("d2"),
+      min(col("l_quantity")).cast("double").as("mn2"),
+      max(col("l_quantity")).cast("double").as("mx2"),
+      count(col("l_extendedprice")).as("c3"), countDistinct(col("l_extendedprice")).as("d3"),
+      min(col("l_extendedprice")).cast("double").as("mn3"),
+      max(col("l_extendedprice")).cast("double").as("mx3"),
+      count(col("l_discount")).as("c4"), countDistinct(col("l_discount")).as("d4"),
+      min(col("l_discount")).cast("double").as("mn4"),
+      max(col("l_discount")).cast("double").as("mx4"),
+      count(col("l_shipdate")).as("c5"), countDistinct(col("l_shipdate")).as("d5"),
+      // l_shipdate reads as TIMESTAMP_NTZ; the cast to TIMESTAMP is
+      // identity under the engine's fixed UTC session timezone, and
+      // unix_micros then matches DuckDB's epoch_us
+      unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("double").as("mn5"),
+      unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("double").as("mx5"),
+      count(col("l_returnflag")).as("c6"), countDistinct(col("l_returnflag")).as("d6"))
+    wide.select(expr(
+      """stack(6,
+        |  'l_orderkey',      n_rows - c1, d1, mn1, mx1,
+        |  'l_quantity',      n_rows - c2, d2, mn2, mx2,
+        |  'l_extendedprice', n_rows - c3, d3, mn3, mx3,
+        |  'l_discount',      n_rows - c4, d4, mn4, mx4,
+        |  'l_shipdate',      n_rows - c5, d5, mn5, mx5,
+        |  'l_returnflag',    n_rows - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (col_name, n_null, n_distinct, min_num, max_num)""".stripMargin))
+      .orderBy(col("col_name").asc)
+  }
+}

@@ -64,6 +64,24 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("curationDecisions: stage booleans agree with the standalone operators") {
+    import graft.operators.{Dedup, Sampling}
+    val dec = CorpusPrep.curationDecisions(spark, sfSmall).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getString(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(dec.size == 500)
+    // split column must equal sample_split's assignment exactly
+    val splits = Sampling.sampleSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec.forall { case (id, d) => d._3 == splits(id) })
+    // dedup_kept must equal dedup_exact's kept flag
+    val kept = Dedup.dedupExact(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dec.forall { case (id, d) => d._2 == kept(id) })
+    // final_keep is the conjunction, never true when a stage dropped
+    assert(dec.values.forall(d => d._5 == (d._1 && d._2 && d._4)))
+  }
+
   test("docChunks: chunkSize=1 degenerates to one token per row") {
     val corpus = Seq((7L, "a b c")).toDF("id", "sentence")
     val rows = CorpusPrep.docChunksCorpus(corpus, chunkSize = 1)
