@@ -121,6 +121,7 @@ object SparkEntry {
     // twin (recall-tested, not SQL-expressible)
     "quantize_stats" -> ((s, d) => Quantization.quantizeStats(s, d)),
     "knn_quantized" -> ((s, d) => Quantization.knnQuantized(s, d)),
+    "ivf_search_quantized" -> ((s, d) => Quantization.ivfSearchQuantized(s, d)),
     "corpus_ingest" -> ((s, d) => graft.sources.Ingest.corpusFromDocuments(s, d)),
     "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
     "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),

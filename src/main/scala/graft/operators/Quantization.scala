@@ -58,6 +58,40 @@ object Quantization {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** IVF + int8: quantized postings inside the inverted lists (the
+    * FAISS IVF-SQ8 shape — coarse quantizer prunes lists, scalar-
+    * quantized codes score candidates; at 100 TB this is what keeps
+    * the probed lists resident: 4× smaller than float32). List probing
+    * uses the float centroids (small); candidate scoring is quantized
+    * cosine — integer dots, scales cancel. With nprobe = nlist this
+    * must equal [[knnQuantized]] exactly (test-pinned). */
+  def ivfSearchQuantized(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                         k: Int = 10, nlist: Int = 4, nprobe: Int = 2): DataFrame = {
+    val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val probed = IvfIndex.probeLists(index, q, nprobe)
+    val qPosting = index.postings
+      .filter(col("id") === queryId)
+      .select(quantize_i8(col("embedding")).as("q_query"))
+    index.postings
+      .filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"), quantize_i8(col("embedding")).as("q"))
+      .join(broadcast(qPosting))
+      .withColumn("dot_qq", dot_i8(col("q"), col("q_query")))
+      .withColumn("norm_a", dot_i8(col("q"), col("q")))
+      .withColumn("norm_b", dot_i8(col("q_query"), col("q_query")))
+      .withColumn("sim",
+        when(col("norm_a") === 0L || col("norm_b") === 0L, lit(0.0))
+          .otherwise(col("dot_qq").cast("double") /
+            (sqrt(col("norm_a").cast("double")) * sqrt(col("norm_b").cast("double")))))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
+
   /** Recall@k of quantized cosine against exact cosine for one query —
     * driver-visible quality probe (reference-style: FAISS users run
     * the same check when they switch SQ8 on). */

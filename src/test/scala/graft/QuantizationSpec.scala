@@ -68,6 +68,20 @@ class QuantizationSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall — int8 error should cost little")
   }
 
+  test("IVF-quantized search with nprobe = nlist equals the flat quantized scan") {
+    val full = Quantization.ivfSearchQuantized(spark, sfSmall,
+      queryId = 0L, k = 10, nlist = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flat = Quantization.knnQuantized(spark, sfSmall, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == flat,
+      "probing every list must reproduce the flat quantized ranking exactly")
+    // pruned probing returns k rows from the probed subset only
+    val pruned = Quantization.ivfSearchQuantized(spark, sfSmall,
+      queryId = 0L, k = 10, nlist = 4, nprobe = 2).collect()
+    assert(pruned.length == 10)
+  }
+
   test("quant functions register for SQL") {
     graft.functions.registerVectorFunctions(spark)
     val r = spark.sql(
