@@ -249,6 +249,12 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),
     // --- streaming (SURVEY §2.9): watermark + tumbling window over a
     // finite replay must equal the batch aggregate ---
+    // streaming curation: quality filter + state-store fingerprint
+    // dedup over a file-landing replay; the fingerprint SET is
+    // deterministic (which duplicate survives is not — only the set is
+    // compared)
+    "doc_curation_stream" -> ((s, d) =>
+      graft.streaming.DocCuration.curatedFingerprints(s, d)),
     "events_hourly_stream" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.streaming.EventsStreaming.runToCompletion(
@@ -754,6 +760,17 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
+    // streaming curation replay ≡ batch: distinct fingerprints of
+    // quality-passing docs (same quality predicate as text_quality)
+    "doc_curation_stream" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT DISTINCT md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) AS md5_norm
+         |FROM corpus
+         |WHERE (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |  AND len(toks) >= 5 AND len(toks) <= 100000
+         |  AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |      / greatest(len(toks), 1) > 0.0)
+         |ORDER BY md5_norm""".stripMargin,
     // the composed curation table: every stage's predicate is the
     // same SQL its standalone query uses
     "curation_decisions" ->

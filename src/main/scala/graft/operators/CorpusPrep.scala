@@ -62,26 +62,16 @@ object CorpusPrep {
                         splitSalt: String = "graft",
                         mixSalt: String = "mix"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
     val docs = graft.Tables.documents(spark, sfDir)
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id").as("id"), trim(col("text")).as("sentence"),
         col("source"))
-    val toks = TextAnalytics.tokens(col("sentence"))
-    val alphaRatio =
-      length(regexp_replace(col("sentence"), "[^A-Za-z]", "")).cast("double") /
-        length(col("sentence"))
-    val stopwordRatio =
-      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
-        greatest(size(toks), lit(1))
     val mixThreshold = Sampling.MixtureRates.foldRight(lit(Sampling.MixtureDefaultRate)) {
       case ((src, hex), els) => when(col("source") === src, lit(hex)).otherwise(els)
     }
     val splitHex = substring(md5(concat(lit(splitSalt), col("id").cast("string"))), 1, 2)
     docs
-      .withColumn("keep_quality",
-        alphaRatio > 0.5 && size(toks) >= 5 && size(toks) <= 100000 &&
-          stopwordRatio > 0.0)
+      .withColumn("keep_quality", TextAnalytics.qualityKeep(col("sentence")))
       .withColumn("dedup_kept",
         col("id") === min(col("id")).over(Window.partitionBy(col("sentence"))))
       .withColumn("split",

@@ -44,12 +44,33 @@ object TextAnalytics {
       .orderBy(col("id").asc)
   }
 
+  /** The stopword list the quality verdict counts against (tiny and
+    * hard-coded so the DuckDB oracle mirrors it verbatim). */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** The engine's single keep/drop quality predicate over a trimmed
+    * non-empty text column — shared by `text_quality`,
+    * `curation_decisions`, and the streaming curation pipeline so the
+    * three can never drift apart. */
+  def qualityKeep(sentence: Column): Column = {
+    val toks = tokens(sentence)
+    val alphaRatio =
+      length(regexp_replace(sentence, "[^A-Za-z]", "")).cast("double") /
+        length(sentence)
+    val stopwordRatio =
+      size(filter(toks, t => t.isin(QualityStopwords: _*))).cast("double") /
+        greatest(size(toks), lit(1))
+    alphaRatio > 0.5 && size(toks) >= 5 && size(toks) <= 100000 &&
+      stopwordRatio > 0.0
+  }
+
   /** Per-document quality signals (the length/punctuation/stopword
     * heuristics a pretraining filter runs): character-class ratios and
     * a boolean keep/drop verdict. Ratios are exact integer-count /
     * length divisions, so the DuckDB oracle reproduces them bit-for-bit. */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+    val stopwords = QualityStopwords
     Ingest.corpusFromDocuments(spark, sfDir)
       .withColumn("toks", tokens(col("sentence")))
       .select(

@@ -59,6 +59,48 @@ class StreamingSpec extends SparkSpec {
       s"expected [$lo, $hi] closed sessions, streamed ${streamed.size}")
   }
 
+  test("streaming curation: cross-micro-batch dedup, set equals batch curation") {
+    import graft.streaming.DocCuration
+    import graft.operators.TextAnalytics
+    import spark.implicits._
+    // three files, one per micro-batch; the same high-quality sentence
+    // is planted in files 1 and 3 so dedup must work ACROSS batches
+    val goodA = "the quick brown fox jumps over the lazy dog again and again"
+    val goodB = "a model of the data is trained on the corpus of documents"
+    val lowQ = "zz zz zz"  // fails quality (no stopwords, < 5 distinct alpha)
+    val dir = tmpDir("doc-stream-")
+    val files = Seq(
+      Seq((0L, goodA), (1L, lowQ)),
+      Seq((2L, goodB)),
+      Seq((3L, goodA), (4L, "  ")))  // duplicate of file-1 doc + blank
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.parquet(s"$dir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$i"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$dir/part$i.parquet")))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val out = EventsStreaming.runToCompletion(
+      DocCuration.curateDocuments(stream), "doc_curation_test")
+    val got = out.select("md5_norm").collect().map(_.getString(0)).sorted.toSeq
+    // batch ground truth: distinct fingerprints of quality-passing docs
+    val batch = files.flatten.toDF("doc_id", "text")
+      .withColumn("sentence", trim(col("text")))
+      .where(length(col("sentence")) > 0)
+      .where(TextAnalytics.qualityKeep(col("sentence")))
+      .select(md5(concat_ws(" ", TextAnalytics.tokens(col("sentence")))).as("m"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(got == batch, "stream fingerprint set must equal batch curation")
+    assert(got.size == 2, s"goodA dedups across micro-batches, lowQ/blank drop: $got")
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val deduped = EventsStreaming.runToCompletion(
       EventsStreaming.dedupEvents(EventsStreaming.readEvents(spark, sfSmall)),
