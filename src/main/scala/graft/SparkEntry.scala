@@ -204,6 +204,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
     "lang_id" -> ((s, d) => TextAnalytics.langId(s, d)),
+    "lang_confusion" -> ((s, d) => TextAnalytics.langConfusion(s, d)),
     "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
     "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
@@ -567,6 +568,28 @@ object SparkEntry {
          |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
          |       ELSE 'fr' END AS lang_pred
          |FROM hits ORDER BY id""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH $sqlCorpusToks,
+         |hits AS (
+         |  SELECT id,
+         |    len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','that','it','for'))) AS en_hits,
+         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de_hits,
+         |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','las','un','una','por'))) AS es_hits,
+         |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS fr_hits
+         |  FROM corpus),
+         |pred AS (
+         |  SELECT id,
+         |    CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+         |         WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+         |         WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+         |         WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM hits)
+         |SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+         |FROM documents d JOIN pred p ON d.doc_id = p.id
+         |WHERE length(trim(d.text)) > 0
+         |GROUP BY d.lang, p.lang_pred
+         |ORDER BY d.lang, p.lang_pred""".stripMargin,
     "token_counts" ->
       """SELECT doc_id AS id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS ws_tokens,

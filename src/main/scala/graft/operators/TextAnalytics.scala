@@ -124,6 +124,22 @@ object TextAnalytics {
       .orderBy(col("id").asc)
   }
 
+  /** Language-ID confusion matrix: declared `lang` column vs the
+    * heuristic's prediction, with group counts — the audit a pipeline
+    * runs to decide whether to trust source-declared language tags.
+    * One narrow prediction pass + one groupBy shuffle on the tiny
+    * (lang, lang_pred) key space. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = langId(spark, sfDir).select(col("id"), col("lang_pred"))
+    graft.Tables.documents(spark, sfDir)
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("id"), col("lang"))
+      .join(pred, "id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang").asc, col("lang_pred").asc)
+  }
+
   /** Token counting two ways: whitespace words and a BPE-ish
     * pre-tokenizer regex (letter runs | digit runs | symbol runs —
     * the shape GPT-style byte-pair pre-tokenizers use). */
