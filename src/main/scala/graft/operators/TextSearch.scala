@@ -118,6 +118,10 @@ object TextSearch {
 
   def buildTermIndex(corpus: DataFrame, nBuckets: Int = 64): TermIndex = {
     require(nBuckets > 0)
+    // reference parity with the IVF build: indexing an empty corpus is
+    // an error (and an empty partitioned postings write would be an
+    // unloadable schema-less directory)
+    require(!corpus.isEmpty, "cannot build a term index over an empty corpus")
     val docs = tokenizedDocs(corpus)
     val postings = docs
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))

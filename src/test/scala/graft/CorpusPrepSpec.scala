@@ -82,6 +82,13 @@ class CorpusPrepSpec extends SparkSpec {
     assert(dec.values.forall(d => d._5 == (d._1 && d._2 && d._4)))
   }
 
+  test("packSequences/docChunks: empty corpus degenerates to empty, not error") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "sentence")
+    assert(CorpusPrep.packSequencesCorpus(empty).collect().isEmpty)
+    assert(CorpusPrep.docChunksCorpus(empty).collect().isEmpty)
+    assert(CorpusPrep.piiRedactCorpus(empty).collect().isEmpty)
+  }
+
   test("docChunks: chunkSize=1 degenerates to one token per row") {
     val corpus = Seq((7L, "a b c")).toDF("id", "sentence")
     val rows = CorpusPrep.docChunksCorpus(corpus, chunkSize = 1)

@@ -81,6 +81,19 @@ class TextSearchSpec extends SparkSpec {
     assert(sparkSide == terms.map(TextSearch.termBucket(_, 64L)))
   }
 
+  test("bm25: no matching term anywhere yields an empty result, not an error") {
+    val r = TextSearch.bm25Corpus(corpus, Seq("zzzzunseen"))
+    assert(r.collect().isEmpty)
+    // ad-hoc search over an empty corpus is empty; INDEXING one is an
+    // error (reference parity with the IVF build — and an empty
+    // partitioned write would be an unloadable schema-less directory)
+    val empty = Seq.empty[(Long, String)].toDF("id", "sentence")
+    assert(TextSearch.bm25Corpus(empty, Seq("hash")).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      TextSearch.buildTermIndex(empty, nBuckets = 4)
+    }
+  }
+
   test("bm25: ordering is score desc with id tie-break") {
     val dup = Seq(
       (10L, "alpha beta"), (11L, "alpha beta"), (12L, "gamma")
