@@ -108,6 +108,7 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => RelationalOps.eventsHourly(s, d)),
     "user_sessions" -> ((s, d) => RelationalOps.userSessions(s, d)),
     "asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
+    "interval_join" -> ((s, d) => RelationalOps.intervalJoinCounts(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
@@ -375,6 +376,23 @@ object SparkEntry {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
+    // the oracle states the interval join declaratively (inequality
+    // join); the engine computes it as a bucketed equi-join — results
+    // must agree exactly
+    "interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts AS cts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, count(*) AS n
+        |  FROM clicks c JOIN purchases p
+        |    ON c.user_id = p.user_id
+        |   AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |  GROUP BY c.event_id)
+        |SELECT c.event_id, coalesce(j.n, 0)::BIGINT AS n_purchases_1h
+        |FROM clicks c LEFT JOIN j USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     // gaps-and-islands replay of session_window: break when the gap to
     // the previous event is >= 30 min (Spark session is [start, last+gap)).
     "user_sessions" ->

@@ -237,6 +237,41 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Interval join: purchases by the same user within one hour AFTER
+    * each click (attribution-window semantics). A naive formulation is
+    * an inequality-only join — Spark plans that as a broadcast
+    * nested-loop / cartesian and it dies at scale. The engine's shape
+    * is the standard BUCKETED interval join: both sides bucket to the
+    * interval length (1 h), the left side explodes to its two
+    * candidate buckets, and the join is a pure EQUI-join on
+    * (user_id, bucket) with the exact interval re-checked after — at
+    * most 2× row amplification on one side, no cross product,
+    * partition-prunable at any scale. */
+  def intervalJoinCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourUs = 3600000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .withColumn("bucket", floor(unix_micros(col("pts")) / hourUs))
+    val exploded = clicks
+      .withColumn("cbucket", floor(unix_micros(col("cts")) / hourUs))
+      .withColumn("bucket",
+        explode(array(col("cbucket"), col("cbucket") + 1)))
+    val counts = exploded
+      .join(purchases, Seq("user_id", "bucket"))
+      .where(col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_purchases_1h"))
+    clicks.select(col("event_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_purchases_1h"), lit(0L)).as("n_purchases_1h"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** The aggregation core, shared with the streaming twin (unordered —
     * streaming append/update modes forbid sorts). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -121,6 +121,14 @@ class PlanSpec extends SparkSpec {
       s"dot_i8/quantize_i8 Project not inside a codegen stage:\n$p")
   }
 
+  test("interval join is a bucketed equi-join — never a nested loop") {
+    val df = graft.operators.RelationalOps.intervalJoinCounts(spark, sfSmall)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"inequality must ride on the bucket equi-join, not a nested loop:\n$p")
+  }
+
   test("bm25 joins are broadcasts — no shuffle join, no big-side cartesian") {
     val df = graft.operators.TextSearch.bm25Search(spark, sfSmall)
     df.collect()
