@@ -109,6 +109,8 @@ object SparkEntry {
     "user_sessions" -> ((s, d) => RelationalOps.userSessions(s, d)),
     "asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
     "interval_join" -> ((s, d) => RelationalOps.intervalJoinCounts(s, d)),
+    "events_rolling" -> ((s, d) => RelationalOps.eventsRolling(s, d)),
+    "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
@@ -393,6 +395,23 @@ object SparkEntry {
         |SELECT c.event_id, coalesce(j.n, 0)::BIGINT AS n_purchases_1h
         |FROM clicks c LEFT JOIN j USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    // RANGE frame mirrored on epoch micros; decimal-summed values
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "events_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     // gaps-and-islands replay of session_window: break when the gap to
     // the previous event is >= 30 min (Spark session is [start, last+gap)).
     "user_sessions" ->

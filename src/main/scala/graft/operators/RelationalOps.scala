@@ -237,6 +237,41 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Rolling one-hour window per user: for each event, the count and
+    * value-sum of that user's events in [ts − 1 h, ts] — a RANGE
+    * window frame (value-based, so same-timestamp ties land in the
+    * same frame deterministically, unlike a ROWS frame). Sums ride
+    * through decimal so accumulation order can't smear doubles. */
+  def eventsRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_value_1h",
+        sum(col("value").cast(dec)).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_1h"),
+        col("sum_value_1h"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Hour × event-type pivot: one row per hour, one count column per
+    * type (explicit value list — no extra distinct-discovery job, and
+    * the pivot stays a single partial-aggregable groupBy). */
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, sfDir)
+      .withColumn("hour", date_format(col("ts"), "yyyy-MM-dd HH"))
+      .groupBy(col("hour"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy(col("hour").asc)
+  }
+
   /** Interval join: purchases by the same user within one hour AFTER
     * each click (attribution-window semantics). A naive formulation is
     * an inequality-only join — Spark plans that as a broadcast
