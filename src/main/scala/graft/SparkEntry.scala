@@ -251,6 +251,7 @@ object SparkEntry {
     "contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // --- multimodal plumbing (north star; payload stays narrow) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),
+    "frame_sample" -> ((s, d) => MultimodalOps.frameSampleStats(s, d)),
     // --- streaming (SURVEY §2.9): watermark + tumbling window over a
     // finite replay must equal the batch aggregate ---
     // streaming curation: quality filter + state-store fingerprint
@@ -964,6 +965,21 @@ object SparkEntry {
         |  md5(trim(text)) AS fp
         |FROM documents WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
+    // frame sampling: 64-byte frames, every 2nd kept; documents are
+    // ASCII (asserted at build time in the testdata) so substr slices
+    // the same bytes the codec hashes
+    "frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, trim(text) AS s FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |f AS (
+        |  SELECT id, s, unnest(range(0, (length(s) + 63) // 64)) AS frame_idx
+        |  FROM d)
+        |SELECT id, frame_idx::BIGINT AS frame_idx,
+        |  least(64, length(s) - frame_idx * 64)::BIGINT AS n_frame_bytes,
+        |  md5(substr(s, (frame_idx * 64 + 1)::INTEGER, 64)) AS frame_md5
+        |FROM f WHERE frame_idx % 2 = 0
+        |ORDER BY id, frame_idx""".stripMargin,
     // the streaming replay has no late data, so the watermarked
     // windowed aggregate must equal the batch hourly rollup exactly.
     "events_hourly_stream" ->

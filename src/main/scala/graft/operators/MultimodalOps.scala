@@ -82,6 +82,49 @@ object MultimodalOps {
     }
   }
 
+  /** One sampled frame: payload slice index + its scalar features. */
+  case class FrameRow(id: Long, frame_idx: Long, n_frame_bytes: Long,
+                      frame_md5: String)
+
+  /** Frame sampling — the video-side primitive of the multimodal
+    * family: treat the payload as fixed-size frames, keep every
+    * `stride`-th one, fingerprint each INSIDE the partition-batched
+    * codec (same batch loop as [[extractFeatures]]; a real deployment
+    * decodes the kept frames here instead of hashing slices). Fan-out
+    * is rows-per-frame but stays narrow — the payload itself is
+    * dropped, only per-frame scalars leave the map. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   stride: Int = 2): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator
+          .filter(_ % stride == 0)
+          .map { i =>
+            val from = i * frameBytes
+            val until = math.min(r.payload.length, from + frameBytes)
+            md.reset()
+            val fp = md.digest(java.util.Arrays.copyOfRange(r.payload, from, until))
+              .map("%02x".format(_)).mkString
+            FrameRow(r.id, i.toLong, (until - from).toLong, fp)
+          }
+      }
+    }
+  }
+
+  /** Registered-query surface for frame sampling over the stand-in
+    * corpus (documents are ASCII, so the DuckDB oracle reproduces the
+    * byte slices with substr — asserted by the hash match). */
+  def frameSampleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    sampleFrames(mediaFromDocuments(spark, sfDir))
+      .toDF()
+      .orderBy(col("id").asc, col("frame_idx").asc)
+  }
+
   /** Oracle-able scalar projection of the multimodal pipeline:
     * (id, mime, n_bytes, fp). n_bytes/md5 are computed inside the
     * batched codec, so a hash-match here proves the binary plumbing

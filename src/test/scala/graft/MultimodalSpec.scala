@@ -35,6 +35,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames: stride-2 frame selection covers exactly the even frames") {
+    import spark.implicits._
+    // 150 bytes -> frames 0..2 (64, 64, 22 bytes); stride 2 keeps 0 and 2
+    val payload = ("x" * 150).getBytes("UTF-8")
+    val media = Seq(MultimodalOps.MediaRow(7L, "video/fake", payload)).toDS()
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.n_frame_bytes)).toSeq ==
+      Seq((0L, 64L), (2L, 22L)))
+    // fingerprints are of the SLICES: frame 0 is 64 x's, frame 2 is 22 x's
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(frames(0).frame_md5 == h("x" * 64))
+    assert(frames(1).frame_md5 == h("x" * 22))
+    // stride 1 keeps every frame; empty payload yields no frames
+    assert(MultimodalOps.sampleFrames(media, 64, 1).count() == 3)
+    val empty = Seq(MultimodalOps.MediaRow(8L, "video/fake",
+      Array.emptyByteArray)).toDS()
+    assert(MultimodalOps.sampleFrames(empty, 64, 2).count() == 0)
+  }
+
   test("fakeDecode is deterministic and payload-sensitive") {
     val a = MultimodalOps.fakeDecode("same bytes".getBytes)
     val b = MultimodalOps.fakeDecode("same bytes".getBytes)
