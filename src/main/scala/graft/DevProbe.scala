@@ -109,6 +109,29 @@ object DevProbe {
       t("dedup_minhash count")(q.count())
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "bm25") {
+      import graft.operators.TextSearch
+      import graft.sources.Ingest
+      val corpus = Ingest.corpusFromDocuments(spark, sfDir)
+      t("bm25 ad-hoc search")(
+        TextSearch.bm25Corpus(corpus, TextSearch.DefaultQuery).collect())
+      val idx = t("term index build+save+load")(
+        TextSearch.persistedTermIndexFor(spark, sfDir))
+      t("bm25 pruned index search")(
+        TextSearch.bm25Index(spark, idx, TextSearch.DefaultQuery).collect())
+      t("bm25 pruned search (2nd)")(
+        TextSearch.bm25Index(spark, idx, TextSearch.DefaultQuery).collect())
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "quant") {
+      import graft.operators.Quantization
+      t("quantize_stats")(Quantization.quantizeStats(spark, sfDir).count())
+      t("knn_quantized")(Quantization.knnQuantized(spark, sfDir).collect())
+      t("ivf_search_quantized")(
+        Quantization.ivfSearchQuantized(spark, sfDir).collect())
+      println(f"[probe] recall@10 = ${Quantization.quantizedRecall(spark, sfDir)}%.2f")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "docdedup") {
       import graft.sources.Ingest
       val corpus = Ingest.corpusFromDocuments(spark, sfDir)
