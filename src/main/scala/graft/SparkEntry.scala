@@ -117,6 +117,7 @@ object SparkEntry {
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
     "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
     "label_centroids" -> ((s, d) => VectorOps.centroidsByLabel(s, d)),
+    "hard_negatives" -> ((s, d) => VectorSearchOps.hardNegatives(s, d)),
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
@@ -451,6 +452,20 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // contrastive hard-negative mining: most-similar cross-label pairs
+    "hard_negatives" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.label <> a.label
+         |  WHERE a.vec_id < 20),
+         |r AS (
+         |  SELECT anchor_id, neg_id, sim,
+         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id ASC) AS rank
+         |  FROM p)
+         |SELECT anchor_id, rank::BIGINT AS rank, neg_id, sim FROM r
+         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     // decimal-sum mean per (label, component): shuffle-order-proof
     // (float/double sums are not associative; decimal sums are exact)
     "label_centroids" ->

@@ -50,6 +50,34 @@ object VectorSearchOps {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each of the
+    * first `nAnchors` vectors, the `k` most cosine-similar vectors
+    * with a DIFFERENT label — the pairs a contrastive loss learns the
+    * most from. Same scale shape as batch kNN (broadcast anchors ×
+    * corpus scan, per-anchor rank window); the label inequality is a
+    * pre-window filter, so mismatched pairs never enter the shuffle.
+    * At corpus×corpus scale the anchors side swaps for the IVF/LSH
+    * candidate generators like every other similarity operator. */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+                    nAnchors: Int = 20, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    emb.select(col("vec_id").as("neg_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"))
+      .join(broadcast(anchors), col("n_label") =!= col("a_label"))
+      .withColumn("sim", cosine_sim(col("a_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("sim"))
+      .orderBy(col("anchor_id").asc, col("rank").asc)
+  }
+
   /** Batch exact kNN via the per-query rank window (W1): each of the
     * first `nQueries` vectors gets its k nearest neighbors. The
     * oracle-able twin of IvfIndex.searchAll (same window shape, no

@@ -28,4 +28,22 @@ class EmbedOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == expected)
   }
+
+  test("hardNegatives: cross-label only, similarity-descending per anchor") {
+    val labels = Tables.embeddings(spark, sfSmall)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.operators.VectorSearchOps
+      .hardNegatives(spark, sfSmall, nAnchors = 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20, "5 anchors x 4 negatives")
+    rows.foreach { case (a, _, n, _) =>
+      assert(labels(a) != labels(n), s"pair ($a,$n) shares a label")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-(_: Double)).toSeq,
+        "similarity must descend with rank")
+    }
+  }
 }
