@@ -110,6 +110,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
     "interval_join" -> ((s, d) => RelationalOps.intervalJoinCounts(s, d)),
     "events_rolling" -> ((s, d) => RelationalOps.eventsRolling(s, d)),
+    "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
@@ -406,6 +407,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // dense grid via generate_series; zero-filled cells
+    "events_hourly_dense" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1 FROM events),
+        |grid AS (
+        |  SELECT strftime(g.h, '%Y-%m-%d %H') AS hour, t.event_type
+        |  FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |actual AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.hour, g.event_type,
+        |  coalesce(a.n, 0)::BIGINT AS n,
+        |  coalesce(a.sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN actual a USING (hour, event_type)
+        |ORDER BY hour, event_type""".stripMargin,
     "events_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,

@@ -237,6 +237,35 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Gap-filled hourly series: every (hour, event_type) cell of the
+    * complete time grid, zero-filled where no events landed — the
+    * dense-resampling step before any windowed model sees the series.
+    * The grid is generated from one broadcast min/max aggregate and a
+    * `sequence` explode: grid size is hours × types regardless of
+    * event volume, so the dense join stays a broadcast at any scale. */
+  def eventsHourlyDense(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"))
+      .crossJoin(types)
+    val actual = ev
+      .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+    grid.join(actual, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("hour").asc, col("event_type").asc)
+  }
+
   /** Rolling one-hour window per user: for each event, the count and
     * value-sum of that user's events in [ts − 1 h, ts] — a RANGE
     * window frame (value-based, so same-timestamp ties land in the
