@@ -113,6 +113,9 @@ object SparkEntry {
     "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
+    // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
+    // exact query (no SQL oracle — sketch internals differ by engine)
+    "value_percentiles_approx" -> ((s, d) => RelationalOps.valuePercentilesApprox(s, d)),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),

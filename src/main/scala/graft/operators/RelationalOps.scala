@@ -237,6 +237,25 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Sketch twin of [[valuePercentiles]]: `approx_percentile`
+    * (Greenwald-Khanna, mergeable partial sketches — the per-group
+    * state is O(1/accuracy) regardless of row count, which is what
+    * survives a 100 TB groupBy where exact percentiles must shuffle
+    * every value). No SQL oracle (sketch internals are
+    * engine-specific); the accuracy bound vs the exact query is
+    * test-pinned instead, like the HLL path. */
+  def valuePercentilesApprox(spark: SparkSession, sfDir: String,
+                             accuracy: Int = 10000): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        approx_percentile(col("value"), lit(0.9), lit(accuracy)).as("p90"),
+        approx_percentile(col("value"), lit(0.99), lit(accuracy)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Gap-filled hourly series: every (hour, event_type) cell of the
     * complete time grid, zero-filled where no events landed — the
     * dense-resampling step before any windowed model sees the series.

@@ -121,6 +121,30 @@ class PlanSpec extends SparkSpec {
       s"dot_i8/quantize_i8 Project not inside a codegen stage:\n$p")
   }
 
+  test("approx percentiles land within the value spread of the exact ones") {
+    val exact = RelationalOps.valuePercentiles(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = RelationalOps.valuePercentilesApprox(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx.keySet == exact.keySet)
+    // GK guarantees RANK error (≤ n/accuracy), not value error — a
+    // heavy tail makes value-distance meaningless at p99. Assert the
+    // returned element's rank is within a few positions of the target.
+    val byType = Tables.events(spark, sfSmall)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (et, (a50, a90, a99)) =>
+      val vs = byType(et); val n = vs.length
+      def rankOf(x: Double): Int = vs.count(_ <= x)
+      Seq(0.5 -> a50, 0.9 -> a90, 0.99 -> a99).foreach { case (p, a) =>
+        val target = p * n
+        assert((rankOf(a) - target).abs <= math.max(3.0, n / 100.0),
+          s"$et p$p: approx $a has rank ${rankOf(a)} of $n, target $target")
+      }
+    }
+  }
+
   test("interval join is a bucketed equi-join — never a nested loop") {
     val df = graft.operators.RelationalOps.intervalJoinCounts(spark, sfSmall)
     df.collect()
