@@ -233,6 +233,7 @@ object SparkEntry {
     // split × mixture, one boolean per stage)
     "curation_decisions" -> ((s, d) => CorpusPrep.curationDecisions(s, d)),
     "profile_lineitem" -> ((s, d) => Profiling.profileLineitem(s, d)),
+    "zorder_layout" -> ((s, d) => ZOrder.zorderLayout(s, d)),
     // --- dedup (north star; BASELINE.json) ---
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => {
@@ -923,6 +924,12 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_shipdate', n_rows - c5, d5, mn5, mx5 FROM a
         |  UNION ALL SELECT 'l_returnflag', n_rows - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
         |ORDER BY col_name""".stripMargin,
+    // Morton code mirrored term-for-term (pure integer bit ops)
+    "zorder_layout" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${operators.ZOrder.zValueSql("(l_orderkey % 65536)", "(l_partkey % 65536)")} AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     // packing offsets: DuckDB's single global running sum is the
     // semantic spec; the engine computes it as a two-phase parallel
     // prefix sum (no global row window)

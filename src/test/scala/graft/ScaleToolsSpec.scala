@@ -59,4 +59,23 @@ class ScaleToolsSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
       s"scan not bucket-aware:\n$plan")
   }
+
+  test("zValue interleaves bits: even positions from x, odd from y") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // x=0b11 -> bits at 0,2 = 5; y=0b01 -> bit at 1 = 2; z = 7
+    // x=0, y=0b11 -> bits at 1,3 = 10
+    val got = Seq((3L, 1L), (0L, 3L), (65535L, 65535L)).toDF("x", "y")
+      .select(graft.operators.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got(0) == 7L && got(1) == 10L)
+    assert(got(2) == (1L << 32) - 1, "all 32 low bits set")
+    // locality: points close in both dims are close in z — the
+    // defining property the file-layout clustering relies on
+    def z(x: Long, y: Long): Long =
+      Seq((x, y)).toDF("x", "y")
+        .select(graft.operators.ZOrder.zValue(col("x"), col("y")))
+        .collect().head.getLong(0)
+    assert((z(10, 10) - z(10, 11)).abs < (z(10, 10) - z(10, 200)).abs)
+  }
 }
