@@ -67,6 +67,19 @@ class TextSearchSpec extends SparkSpec {
     assert(scannedBuckets.subsetOf(qBuckets.toSet))
   }
 
+  test("persisted term index writes one file per bucket, not sliver files") {
+    val dir = tmpDir("term-files-") + "/idx"
+    TextSearch.saveTermIndex(TextSearch.buildTermIndex(corpus, nBuckets = 4), dir)
+    val bucketDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1,
+        s"${d.getName}: $parts files — pre-repartition(bucket) must give one per bucket")
+    }
+  }
+
   test("persisted term index: missing directory fails like the reference") {
     intercept[java.io.FileNotFoundException] {
       TextSearch.loadTermIndex(spark, "/root/repo/target/nonexistent-term-index")
