@@ -111,6 +111,7 @@ object SparkEntry {
     "interval_join" -> ((s, d) => RelationalOps.intervalJoinCounts(s, d)),
     "events_rolling" -> ((s, d) => RelationalOps.eventsRolling(s, d)),
     "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
+    "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
@@ -411,6 +412,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // CUBE: hour() matches because both engines read the event ts in
+    // UTC; NULL-first ordering mirrors Spark's asc_nulls_first
+    "cube_events" ->
+      """SELECT event_type, extract(hour FROM ts)::BIGINT AS hod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, hod)
+        |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
     // dense grid via generate_series; zero-filled cells
     "events_hourly_dense" ->
       """WITH b AS (

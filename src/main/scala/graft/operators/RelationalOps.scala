@@ -237,6 +237,19 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** CUBE over (event_type, hour-of-day): all four grouping sets in
+    * one pass (type×hour, type, hour, grand total) — the other half of
+    * the grouping-sets family next to `rollup_customers`. Neither
+    * dimension is nullable, so the aggregated-out NULL markers are
+    * unambiguous without grouping() columns. */
+  def cubeEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("hod", hour(col("ts")).cast("long"))
+      .cube(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first)
+
   /** Sketch twin of [[valuePercentiles]]: `approx_percentile`
     * (Greenwald-Khanna, mergeable partial sketches — the per-group
     * state is O(1/accuracy) regardless of row count, which is what
