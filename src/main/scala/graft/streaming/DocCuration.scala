@@ -56,6 +56,24 @@ object DocCuration {
         md5(concat_ws(" ", TextAnalytics.tokens(col("sentence")))))
       .dropDuplicates("md5_norm")
 
+  /** The production-posture variant: documents carry an arrival
+    * timestamp, and dedup state is BOUNDED to the watermark horizon
+    * with `dropDuplicatesWithinWatermark` — a duplicate arriving
+    * within `watermarkDelay` of the original is dropped; one arriving
+    * after the state expired is admitted again (the explicit
+    * correctness/state-size trade a 100 TB feed makes; unbounded
+    * dedup is a batch backfill's job). */
+  def curateDocumentsBounded(stream: DataFrame,
+                             watermarkDelay: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("sentence", trim(col("text")))
+      .where(length(col("sentence")) > 0)
+      .where(TextAnalytics.qualityKeep(col("sentence")))
+      .withColumn("md5_norm",
+        md5(concat_ws(" ", TextAnalytics.tokens(col("sentence")))))
+      .withWatermark("arrival_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("md5_norm")
+
   /** Registered-query surface: the curated corpus's fingerprint set.
     * WHICH doc of a duplicate group survives depends on arrival order
     * (micro-batch interleaving), but the fingerprint SET is

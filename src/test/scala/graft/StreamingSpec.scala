@@ -101,6 +101,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 2, s"goodA dedups across micro-batches, lowQ/blank drop: $got")
   }
 
+  test("bounded curation dedup: state expires with the watermark") {
+    import graft.streaming.DocCuration
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "a model of the data is trained on the corpus of documents"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600L * 1000)
+    val dir = tmpDir("doc-bounded-")
+    // the dedup decision uses the PREVIOUS batch's watermark, so state
+    // eviction needs an intervening batch to advance it:
+    // f0: original at T0 (kept; state expiry keeps extending with dups)
+    // f1: dup at T0+3h — batch watermark is T0-1h, state alive -> drop
+    // f2: unrelated doc at T0+9h — advances the watermark to T0+8h
+    // f3: dup at T0+10h — batch watermark T0+8h > every prior expiry,
+    //     state evicted -> the duplicate is ADMITTED again
+    Seq((0, Seq((0L, good, at(0)))), (1, Seq((1L, good, at(3)))),
+        (2, Seq((2L, other, at(9)))), (3, Seq((3L, good, at(10))))
+    ).foreach { case (i, rows) =>
+      rows.toDF("doc_id", "text", "arrival_ts")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$i"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$dir/part$i.parquet")))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, arrival_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val out = graft.streaming.EventsStreaming.runToCompletion(
+      DocCuration.curateDocumentsBounded(stream, "1 hour"), "doc_bounded")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(0L, 2L, 3L),
+      s"in-horizon dup dropped, post-expiry dup re-admitted; got $out")
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val deduped = EventsStreaming.runToCompletion(
       EventsStreaming.dedupEvents(EventsStreaming.readEvents(spark, sfSmall)),
