@@ -112,6 +112,7 @@ object SparkEntry {
     "events_rolling" -> ((s, d) => RelationalOps.eventsRolling(s, d)),
     "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
+    "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
@@ -412,6 +413,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // bivariate moments rounded to 6 (Welford-vs-naive accumulators)
+    "correlation_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+        |  round(stddev_samp(l_quantity), 6) AS std_q,
+        |  round(stddev_samp(l_extendedprice), 6) AS std_p,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // CUBE: hour() matches because both engines read the event ts in
     // UTC; NULL-first ordering mirrors Spark's asc_nulls_first
     "cube_events" ->

@@ -237,6 +237,22 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance and stddevs of (quantity, extendedprice) by return
+    * flag. Engines accumulate moments differently (Welford vs naive
+    * sums), so values are rounded to 6 decimals on both sides — the
+    * same ulp-absorption discipline as the BM25/tf-idf scores. */
+  def correlationStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 6).as("std_q"),
+        round(stddev_samp(col("l_extendedprice")), 6).as("std_p"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+
   /** CUBE over (event_type, hour-of-day): all four grouping sets in
     * one pass (type×hour, type, hour, grand total) — the other half of
     * the grouping-sets family next to `rollup_customers`. Neither
