@@ -113,6 +113,7 @@ object SparkEntry {
     "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
+    "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
@@ -413,6 +414,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // NTILE with a total-order tiebreak -> engine-exact deciles
+    "value_deciles" ->
+      """WITH d AS (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |                    ORDER BY value, event_id) AS decile
+        |  FROM events)
+        |SELECT event_type, decile::BIGINT AS decile, COUNT(*) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM d GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
     // bivariate moments rounded to 6 (Welford-vs-naive accumulators)
     "correlation_stats" ->
       """SELECT l_returnflag,

@@ -237,6 +237,22 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** Decile table: NTILE(10) over (value, event_id) per event type —
+    * the equal-frequency binning a feature pipeline uses for
+    * bucketized features. The event_id tiebreak makes the decile
+    * assignment a total order, so per-decile min/max/count are
+    * engine-exact without rounding. */
+  def valueDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type").asc, col("decile").asc)
+  }
+
   /** Bivariate statistics per group: Pearson correlation, sample
     * covariance and stddevs of (quantity, extendedprice) by return
     * flag. Engines accumulate moments differently (Welford vs naive
