@@ -114,6 +114,7 @@ object SparkEntry {
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
+    "min_cost_supplier" -> ((s, d) => RelationalOps.minCostSupplier(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
@@ -414,6 +415,26 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // Q2-flavored correlated-min as a window; per-row division then
+    // MIN is accumulation-order-free
+    "min_cost_supplier" ->
+      """WITH best AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS best_price
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |r AS (
+        |  SELECT l_partkey, l_suppkey, best_price,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY best_price, l_suppkey) AS rn
+        |  FROM best)
+        |SELECT p.p_partkey, p.p_size, s.s_suppkey, s.s_name, n.n_name,
+        |  r.best_price
+        |FROM r
+        |JOIN part p ON r.l_partkey = p.p_partkey AND p.p_size < 10
+        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE r.rn = 1
+        |ORDER BY p.p_partkey""".stripMargin,
     // NTILE with a total-order tiebreak -> engine-exact deciles
     "value_deciles" ->
       """WITH d AS (

@@ -237,6 +237,37 @@ object RelationalOps {
     sessionize(Tables.events(spark, sfDir), gap)
       .orderBy(col("user_id").asc, col("session_start").asc)
 
+  /** TPC-H Q2-flavored min-cost supplier: for each small part, the
+    * supplier with the best observed unit price (lineitem is the
+    * part↔supplier link; per-row double division then MIN, which is
+    * accumulation-order-free — no decimal-division scale divergence
+    * between engines), resolved through supplier → nation. Shape: one
+    * (part, supp) aggregation shuffle, a per-part rank window, then
+    * broadcast dimension joins — Q2's correlated subquery expressed
+    * as a window, the idiomatic Spark translation. */
+  def minCostSupplier(spark: SparkSession, sfDir: String,
+                      maxSize: Int = 10): DataFrame = {
+    val best = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("best_price"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("best_price").asc, col("l_suppkey").asc)
+    best
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(Tables.part(spark, sfDir).where(col("p_size") < maxSize),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_size"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("best_price"))
+      .orderBy(col("p_partkey").asc)
+  }
+
   /** Decile table: NTILE(10) over (value, event_id) per event type —
     * the equal-frequency binning a feature pipeline uses for
     * bucketized features. The event_id tiebreak makes the decile
