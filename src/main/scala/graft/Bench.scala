@@ -76,6 +76,7 @@ object Bench {
       "doc_dedup_pipeline" -> (() => { Dedup.docDedupFor(spark, sfDir).count(); () }),
       "ivf_append_lifecycle" -> (() => { IvfIndex.appendHalfStats(spark, sfDir).count(); () }),
       "term_index_persisted" -> (() => { TextSearch.persistedTermIndexFor(spark, sfDir).postings.count(); () }),
+      "pq_codebooks_m8k16" -> (() => { Pq.forEmbeddings(spark, sfDir); () }),
     )
     val warm = warmups.map { case (name, fn) => name -> timed(s"warm:$name")(fn()) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

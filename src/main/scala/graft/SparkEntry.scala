@@ -115,6 +115,12 @@ object SparkEntry {
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
     "min_cost_supplier" -> ((s, d) => RelationalOps.minCostSupplier(s, d)),
+    "shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
+    "late_priority_orders" -> ((s, d) => RelationalOps.latePriorityOrders(s, d)),
+    "promo_revenue" -> ((s, d) => RelationalOps.promoRevenue(s, d)),
+    "small_qty_revenue" -> ((s, d) => RelationalOps.smallQtyRevenue(s, d)),
+    "big_orders" -> ((s, d) => RelationalOps.bigOrders(s, d)),
+    "value_ranks" -> ((s, d) => RelationalOps.valueRanks(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
     // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
@@ -134,6 +140,13 @@ object SparkEntry {
     "quantize_stats" -> ((s, d) => Quantization.quantizeStats(s, d)),
     "knn_quantized" -> ((s, d) => Quantization.knnQuantized(s, d)),
     "ivf_search_quantized" -> ((s, d) => Quantization.ivfSearchQuantized(s, d)),
+    // product quantization (IVF-PQ shape): codebook audit + ADC search
+    // (codebooks are learned, so recall/equality are test-pinned, not
+    // SQL-expressible)
+    "pq_stats" -> ((s, d) => Pq.pqStats(s, d)),
+    "knn_pq" -> ((s, d) => Pq.searchPq(s, d, rerank = 100)),
+    "ivf_search_pq" -> ((s, d) => Pq.ivfSearchPq(s, d)),
+    "pq_persisted_search" -> ((s, d) => Pq.persistedSearchPq(s, d)),
     "corpus_ingest" -> ((s, d) => graft.sources.Ingest.corpusFromDocuments(s, d)),
     "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
     "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),
@@ -276,6 +289,17 @@ object SparkEntry {
         graft.streaming.EventsStreaming.eventsHourly(
           graft.streaming.EventsStreaming.readEvents(s, d)), "events_hourly")
         .orderBy(col("hour").asc, col("event_type").asc)
+    }),
+    // custom-state sessionization (flatMapGroupsWithState +
+    // EventTimeTimeout): append emits watermark-closed sessions only,
+    // so rows ≠ the batch twin by design (no SQL oracle; the
+    // session_window-parity and cross-batch state tests pin it)
+    "user_sessions_stateful" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.EventsStreaming.runToCompletion(
+        graft.streaming.StatefulSessions.userSessionsStateful(
+          graft.streaming.EventsStreaming.readEvents(s, d)), "sessions_stateful")
+        .orderBy(col("user_id").asc, col("session_start").asc)
     }),
   )
 
@@ -435,6 +459,92 @@ object SparkEntry {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |WHERE r.rn = 1
         |ORDER BY p.p_partkey""".stripMargin,
+    // Q3-shaped unshipped-revenue top-N (decimal revenue, total-order
+    // tiebreak on the orderkey)
+    "shipping_priority" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // Q4-shaped (restated on this schema: shipped >30 days after the
+    // order date stands in for commit<receipt)
+    "late_priority_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Q14-shaped: CASE without ELSE ≡ Spark sum(when(...)) null-skip;
+    // the pct is one double multiply+divide on identical operands
+    "promo_revenue" ->
+      """WITH x AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM x""".stripMargin,
+    // Q17-shaped: the 0.2·avg threshold restated multiplicatively
+    // (5·qty·cnt < Σqty) keeps the predicate in exact arithmetic
+    "small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * pp.cnt * 5 < pp.sum_qty""".stripMargin,
+    // Q18-shaped: HAVING on the exact decimal quantity sum; detail
+    // joins after the reduction
+    "big_orders" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM heavy
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    // rank-ratio windows over a total order: identical doubles in any
+    // engine (rank arithmetic, not accumulation)
+    "value_ranks" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    percent_rank() OVER (PARTITION BY event_type
+        |                         ORDER BY value, event_id) AS pct_rank,
+        |    cume_dist() OVER (PARTITION BY event_type
+        |                      ORDER BY value, event_id) AS cume
+        |  FROM events)
+        |SELECT event_type, event_id, value, pct_rank, cume
+        |FROM r WHERE pct_rank >= 0.99
+        |ORDER BY event_type, event_id""".stripMargin,
     // NTILE with a total-order tiebreak -> engine-exact deciles
     "value_deciles" ->
       """WITH d AS (

@@ -62,6 +62,17 @@ package object functions {
   def hyperplane_sketch(emb: Column, planes: Array[Array[Float]]): Column =
     GraftSqlBridge.column(HyperplaneSketch(col2e(emb), planes))
 
+  /** Product-quantization encode: one byte code per subspace, argmin
+    * over the per-subspace codebook (see [[PqEncode]]). */
+  def pq_encode(emb: Column, books: Array[Array[Array[Float]]],
+                asBinary: Boolean = false): Column =
+    GraftSqlBridge.column(PqEncode(col2e(emb), books, asBinary))
+
+  /** Asymmetric-distance score of a PQ code array against a per-query
+    * subspace lookup table (see [[PqAdc]]). */
+  def pq_adc(codes: Column, lut: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(PqAdc(col2e(codes), lut))
+
   /** Int8 symmetric quantization: per-vector scale (max|x|/127). */
   def quant_scale(emb: Column): Column =
     GraftSqlBridge.column(QuantScale(col2e(emb)))

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{pq_adc, pq_encode}
+
+/** Product quantization over the embeddings table — the compression
+  * step past IVF-Flat (reference app.py:47-56 keeps full float
+  * vectors) and past scalar int8 ([[Quantization]]): each vector is
+  * stored as `m` byte codes instead of D floats (64-dim → 8 bytes,
+  * 32×), and search scores candidates from a per-query lookup table
+  * without ever touching the original floats (ADC — Jégou et al.,
+  * TPAMI 2011; the FAISS IVFPQ shape).
+  *
+  * Scale posture: codebooks are trained per-subspace with MLlib
+  * k-means on a bounded sample (PQ training needs thousands of rows
+  * per centroid, not the corpus); encode is a codegen'd NARROW map
+  * ([[graft.functions.PqEncode]] — the m·k·D/m floats ride along as a
+  * reference object); search is a narrow ADC scan + top-k
+  * (TakeOrderedAndProject), and the IVF-PQ variant additionally prunes
+  * to the probed lists first. Nothing here shuffles except the final
+  * top-k exchange.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `books(s)(j)` = centroid j of subspace s.
+    * Driver-tiny (m·k·dsub floats — 8·16·8 = 1 KiB at the defaults). */
+  case class Model(m: Int, k: Int, dsub: Int, books: Array[Array[Array[Float]]])
+
+  // Per-JVM model cache: Verify + Bench invoke the pq queries
+  // separately; training is the expensive step and is deterministic
+  // (seeded), so pay it once (same convention as IvfIndex.indexCache).
+  private[graft] val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+
+  /** Train per-subspace codebooks with seeded MLlib k-means. The
+    * training frame is persisted once and reused for all `m` fits;
+    * above `maxTrainRows` a seeded sample caps training cost (PQ
+    * codebooks converge on samples — training on 100 TB would be
+    * wasted work, and the sample keeps the fit driver-schedulable). */
+  def train(df: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
+            seed: Long = 42L, maxTrainRows: Long = 100000L): Model = {
+    require(k <= 128, s"pq: k=$k codes must fit a signed byte (k <= 128)")
+    val dim = df.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val n = df.count()
+    val sampled =
+      if (n > maxTrainRows) df.sample(withReplacement = false,
+        maxTrainRows.toDouble / n, seed)
+      else df
+    // One persisted frame carrying every subvector slice; each of the
+    // m fits reads its own column from the same cached data.
+    val sliced = sampled.select(
+      (0 until m).map(s =>
+        array_to_vector(slice(col(embCol), s * dsub + 1, dsub)).as(s"sub_$s")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sliced.count()
+    val books = (0 until m).map { s =>
+      new KMeans()
+        .setK(k).setSeed(seed + s).setMaxIter(10)
+        .setFeaturesCol(s"sub_$s").setPredictionCol("code")
+        .fit(sliced)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    sliced.unpersist(blocking = false)
+    Model(m, k, dsub, books)
+  }
+
+  def forEmbeddings(spark: SparkSession, sfDir: String,
+                    m: Int = 8, k: Int = 16): Model =
+    modelCache.getOrElseUpdate((sfDir, m, k), {
+      train(Tables.embeddings(spark, sfDir), "embedding", m, k)
+    })
+
+  /** (vec_id, codes) — the encoded corpus. A pure narrow map. */
+  def encode(df: DataFrame, idCol: String, embCol: String, model: Model): DataFrame =
+    df.select(col(idCol).as("vec_id"), pq_encode(col(embCol), model.books).as("codes"))
+
+  /** Per-query ADC lookup table: lut(s)(j) = ||q_s − books(s)(j)||². */
+  private[graft] def adcTable(model: Model, q: Array[Float]): Array[Array[Double]] = {
+    require(q.length == model.m * model.dsub,
+      s"pq: query dim ${q.length} vs model ${model.m * model.dsub}")
+    Array.tabulate(model.m) { s =>
+      val off = s * model.dsub
+      model.books(s).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < model.dsub) {
+          val d = q(off + i).toDouble - c(i); acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** Flat PQ top-k: encode the corpus, score every code array against
+    * the query LUT, take the k smallest approximate distances
+    * (ascending, vec_id tie-break; the query row itself excluded, as
+    * in the exact-kNN queries).
+    *
+    * `rerank` > 0 engages the FAISS refine pattern (IndexRefineFlat):
+    * the ADC pass keeps a `rerank`-sized shortlist — a
+    * TakeOrderedAndProject over the narrow coded scan — and only the
+    * shortlist's float vectors are fetched (broadcast semi-join
+    * against the shortlist ids) and scored exactly. On data with weak
+    * low-dimensional structure pure ADC ranking degrades (distance
+    * concentration); the re-rank restores recall while still never
+    * reading more than `rerank` full vectors per query. */
+  def searchPq(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+               kNeighbors: Int = 10, m: Int = 8, k: Int = 16,
+               rerank: Int = 0): DataFrame = {
+    val model = forEmbeddings(spark, sfDir, m, k)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val adc = encode(emb, "vec_id", "embedding", model)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), pq_adc(col("codes"), adcTable(model, q)).as("adc_dist"))
+    if (rerank <= 0) {
+      adc.orderBy(col("adc_dist").asc, col("vec_id").asc).limit(kNeighbors)
+    } else {
+      val shortlist = adc
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(math.max(rerank, kNeighbors))
+        .select(col("vec_id"))
+      val qRow = emb.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_embedding"))
+      emb.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+        .join(broadcast(qRow))
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), col("q_embedding")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(kNeighbors)
+    }
+  }
+
+  /** IVF-PQ: coarse centroids prune to the probed lists (the same
+    * partition-pruning shape as [[IvfIndex]]); only the surviving
+    * postings are PQ-scored. With nprobe = nlist this equals
+    * [[searchPq]] exactly (test-pinned). */
+  def ivfSearchPq(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                  kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
+                  m: Int = 8, k: Int = 16): DataFrame = {
+    val model = forEmbeddings(spark, sfDir, m, k)
+    val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val probed = IvfIndex.probeLists(index, q, nprobe)
+    index.postings
+      .filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        pq_adc(pq_encode(col("embedding"), model.books), adcTable(model, q)).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(kNeighbors)
+  }
+
+  /** Codebook-usage audit: one row per (subspace, code) with the
+    * number of corpus vectors encoding to it — dead codes and
+    * one-code-dominates subspaces are how PQ quality problems
+    * surface. Distributed: posexplode of the (tiny) code arrays +
+    * one group-key shuffle. */
+  def pqStats(spark: SparkSession, sfDir: String,
+              m: Int = 8, k: Int = 16): DataFrame = {
+    val model = forEmbeddings(spark, sfDir, m, k)
+    encode(Tables.embeddings(spark, sfDir), "vec_id", "embedding", model)
+      .select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("subspace").asc, col("code").asc)
+  }
+
+  /** Persist IVF-PQ postings: (id, codes) under `list_id=` partition
+    * directories, codes as BINARY (m bytes flat, no array header — the
+    * on-disk form [[graft.functions.PqAdc]]'s dual-type contract
+    * exists for). This is the full FAISS IVFPQ layout as a parquet
+    * directory tree: the coarse quantizer prunes partitions, the rows
+    * inside are 32× smaller than the float postings. */
+  def savePostings(spark: SparkSession, sfDir: String, dir: String,
+                   nlist: Int = 4, m: Int = 8, k: Int = 16): Unit = {
+    val model = forEmbeddings(spark, sfDir, m, k)
+    val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    index.postings
+      .select(col("list_id"), col("id"),
+        pq_encode(col("embedding"), model.books, asBinary = true).as("codes"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite")
+      .partitionBy("list_id").parquet(dir)
+  }
+
+  private val persistedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), String]
+
+  /** IVF-PQ search over the PERSISTED code postings: probe lists
+    * driver-side, scan only the probed `list_id=` partitions (static
+    * partition pruning — same plan shape as
+    * [[IvfIndex.persistedForEmbeddings]] searches), ADC-score the
+    * binary codes. Nothing float-typed is read at all. */
+  def persistedSearchPq(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                        kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
+                        m: Int = 8, k: Int = 16): DataFrame = {
+    val dir = persistedCache.getOrElseUpdate((sfDir, nlist, m, k), {
+      val d = s"/root/repo/target/pq-postings/${new java.io.File(sfDir).getName}-nlist$nlist-m$m-k$k"
+      savePostings(spark, sfDir, d, nlist, m, k)
+      d
+    })
+    val model = forEmbeddings(spark, sfDir, m, k)
+    val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val probed = IvfIndex.probeLists(index, q, nprobe)
+    spark.read.parquet(dir)
+      .filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        pq_adc(col("codes"), adcTable(model, q)).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(kNeighbors)
+  }
+
+  /** Recall@k of flat PQ against exact L2 — the quality probe a user
+    * runs before switching compression on (same shape as
+    * [[Quantization.quantizedRecall]]). */
+  def pqRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+               kNeighbors: Int = 10, rerank: Int = 0): Double = {
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, queryId, kNeighbors)
+      .collect().map(_.getLong(0)).toSet
+    val approx = searchPq(spark, sfDir, queryId, kNeighbors, rerank = rerank)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / kNeighbors
+  }
+}

@@ -431,6 +431,140 @@ object RelationalOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** TPC-H Q3-shaped shipping priority: the unshipped-revenue top-N.
+    * customer is a broadcast dim (segment filter first); orders ⋈
+    * lineitem is the one real shuffle, on the join key both sides
+    * already aggregate on. Revenue sums in decimal, the final top-N is
+    * a TakeOrderedAndProject — never a full sort. */
+  def shippingPriority(spark: SparkSession, sfDir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-07-01",
+                       topN: Int = 10): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === lit(segment))
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(topN)
+  }
+
+  /** TPC-H Q4-shaped order-priority check, restated on this schema's
+    * columns (no commit/receipt dates): orders in a quarter having at
+    * least one line item shipped more than 30 days after the order
+    * date. The EXISTS is a left-semi join with the lag predicate
+    * INSIDE the join condition — lineitem never materializes a
+    * filtered copy, and the semi join short-circuits per order. */
+  def latePriorityOrders(spark: SparkSession, sfDir: String,
+                         qStart: String = "1997-01-01",
+                         qEnd: String = "1997-04-01"): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(qStart) && col("o_orderdate") < lit(qEnd))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** TPC-H Q14-shaped promo revenue share for one ship month: a
+    * conditional aggregate over lineitem ⋈ broadcast(part). Both sums
+    * are exact decimals; the percentage is one double multiply +
+    * divide on identical operands in both engines, so the single
+    * output row hash-matches without rounding. */
+  def promoRevenue(spark: SparkSession, sfDir: String,
+                   mStart: String = "1997-09-01",
+                   mEnd: String = "1997-10-01"): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(mStart) && col("l_shipdate") < lit(mEnd))
+    val p = broadcast(Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_type")))
+    val disc = col("l_extendedprice").cast(dec) *
+      (lit(1) - col("l_discount")).cast(dec)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === lit("PROMO"), disc)).cast("double").as("promo_revenue"),
+        sum(disc).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: line items whose
+    * quantity is under 20% of their part's average quantity. The
+    * correlated scalar subquery becomes one per-part aggregate joined
+    * back to lineitem; the 0.2·avg threshold is restated
+    * MULTIPLICATIVELY (5·qty·cnt < Σqty) so the whole predicate stays
+    * in exact decimal/integer arithmetic — no division, nothing for
+    * the engines to round differently. */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    l.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(perPart, Seq("l_partkey"))
+      .where(col("l_quantity").cast(dec) * col("cnt") * lit(5) < col("sum_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast(dec)).cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total line
+    * quantity exceeds a threshold, with the customer resolved. The
+    * HAVING is a post-aggregate filter on the exact decimal sum; the
+    * qualifying set is tiny at any scale, so the customer/order
+    * detail joins happen after the reduction, never before. */
+  def bigOrders(spark: SparkSession, sfDir: String,
+                minQty: Int = 120, topN: Int = 100): DataFrame = {
+    val heavy = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("total_qty"))
+      .filter(col("total_qty") > lit(minQty))
+    heavy
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(topN)
+  }
+
+  /** Distribution-rank window functions over event values:
+    * percent_rank and cume_dist per event type. Both are pure rank
+    * ratios ((rank−1)/(n−1), rank/n) over a TOTAL order (value,
+    * event_id), so the doubles are identical in any engine — rank
+    * arithmetic, not accumulation. */
+  def valueRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("pct_rank") >= 0.99)
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("event_type").asc, col("event_id").asc)
+  }
+
   /** The aggregation core, shared with the streaming twin (unordered —
     * streaming append/update modes forbid sorts). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -153,6 +153,30 @@ class PlanSpec extends SparkSpec {
       s"inequality must ride on the bucket equi-join, not a nested loop:\n$p")
   }
 
+  test("PQ encode+ADC kernels stay inside whole-stage codegen") {
+    val model = graft.operators.Pq.forEmbeddings(spark, sfSmall)
+    val emb = Tables.embeddings(spark, sfSmall)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val df = emb.select(graft.functions.pq_adc(
+      graft.functions.pq_encode(col("embedding"), model.books),
+      graft.operators.Pq.adcTable(model, q)).as("adc"))
+    df.collect()
+    val p = plan(df)
+    val line = p.linesIterator
+      .find(l => l.contains("pq_adc") && l.contains("Project")).getOrElse("")
+    assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""),
+      s"pq_adc/pq_encode Project not inside a codegen stage:\n$p")
+  }
+
+  test("shipping_priority broadcasts the filtered customer dim; big_orders takes ordered") {
+    val p1 = plan(RelationalOps.shippingPriority(spark, sfSmall))
+    assert(p1.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p1")
+    assert(p1.contains("TakeOrderedAndProject"), s"top-N must not full-sort:\n$p1")
+    val p2 = plan(RelationalOps.bigOrders(spark, sfSmall))
+    assert(p2.contains("TakeOrderedAndProject"), s"top-N must not full-sort:\n$p2")
+  }
+
   test("bm25 joins are broadcasts — no shuffle join, no big-side cartesian") {
     val df = graft.operators.TextSearch.bm25Search(spark, sfSmall)
     df.collect()
