@@ -132,6 +132,22 @@ object DevProbe {
       println(f"[probe] recall@10 = ${Quantization.quantizedRecall(spark, sfDir)}%.2f")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "pq") {
+      import graft.operators.Pq
+      val model = t("pq codebook train (m=8,k=16)")(
+        Pq.train(Tables.embeddings(spark, sfDir), "embedding"))
+      Pq.modelCache.put((sfDir, 8, 16), model)
+      t("encode corpus")(Pq.encode(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", model).count())
+      t("knn_pq ADC-only")(Pq.searchPq(spark, sfDir).collect())
+      t("knn_pq refine=100")(Pq.searchPq(spark, sfDir, rerank = 100).collect())
+      t("ivf_search_pq nprobe=2")(Pq.ivfSearchPq(spark, sfDir).collect())
+      t("pq_persisted first touch")(Pq.persistedSearchPq(spark, sfDir).collect())
+      t("pq_persisted warm")(Pq.persistedSearchPq(spark, sfDir).collect())
+      println(f"[probe] ADC recall@10   = ${Pq.pqRecall(spark, sfDir)}%.2f")
+      println(f"[probe] refine recall@10 = ${Pq.pqRecall(spark, sfDir, rerank = 100)}%.2f")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "docdedup") {
       import graft.sources.Ingest
       val corpus = Ingest.corpusFromDocuments(spark, sfDir)

@@ -235,6 +235,9 @@ object SparkEntry {
     "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
     "token_vocab" -> ((s, d) => TextAnalytics.tokenVocab(s, d)),
+    // CMS sketch estimates aren't SQL-expressible; the n_exact column
+    // and the over-count bound are test-pinned
+    "vocab_cms" -> ((s, d) => TextAnalytics.vocabCms(s, d)),
     "corpus_datacard" -> ((s, d) => TextAnalytics.corpusDatacard(s, d)),
     "bm25_search" -> ((s, d) => TextSearch.bm25Search(s, d)),
     // same scores through the persisted bucket-partitioned inverted
@@ -294,6 +297,11 @@ object SparkEntry {
     // EventTimeTimeout): append emits watermark-closed sessions only,
     // so rows ≠ the batch twin by design (no SQL oracle; the
     // session_window-parity and cross-batch state tests pin it)
+    // stream-stream join: click->purchase attribution pairs with
+    // per-side watermarks; single-batch replay emits every pair, so a
+    // full SQL oracle applies
+    "attribution_stream" -> ((s, d) =>
+      graft.streaming.ClickAttribution.attributionReplay(s, d)),
     "user_sessions_stateful" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.streaming.EventsStreaming.runToCompletion(
@@ -1198,5 +1206,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // stream-stream join on a single-batch replay = the batch
+    // inequality join, pair for pair
+    "attribution_stream" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

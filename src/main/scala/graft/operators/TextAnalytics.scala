@@ -255,6 +255,31 @@ object TextAnalytics {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(topK)
 
+  /** Count-min-sketch heavy-hitter audit — the third member of the
+    * sketch family (HLL cardinality, GK percentiles, CMS frequencies).
+    * The sketch is built distributed (one pass, mergeable per-partition
+    * sketches — at 100 TB this replaces the full (term → count) shuffle
+    * with a fixed eps×confidence-sized table per partition); the exact
+    * head counts come from the same aggregation [[tokenVocab]] runs,
+    * and the output row compares them: CMS never under-counts, and
+    * over-counts by at most eps·N with the configured confidence
+    * (test-pinned). Seeded, so estimates are reproducible. */
+  def vocabCms(spark: SparkSession, sfDir: String, topK: Int = 25,
+               eps: Double = 0.0005, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val toks = Ingest.corpusFromDocuments(spark, sfDir)
+      .select(explode(tokens(col("sentence"))).as("term"))
+    val sketch = toks.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
+    val head = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term").asc)
+      .limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    head.map { case (t, n) => (t, n, sketch.estimateCount(t)) }.toSeq
+      .toDF("term", "n_exact", "n_cms")
+      .orderBy(col("n_exact").desc, col("term").asc)
+  }
+
   /** Per-(lang, source) dataset card: document counts, token mass,
     * corpus share, mean document length — the stratified audit table a
     * dataset release ships. One shuffle on the (lang, source) group

@@ -137,6 +137,63 @@ class StreamingSpec extends SparkSpec {
       s"in-horizon dup dropped, post-expiry dup re-admitted; got $out")
   }
 
+  test("stream-stream attribution join equals the batch inequality join pair-for-pair") {
+    import graft.streaming.ClickAttribution
+    val streamed = ClickAttribution.attributionReplay(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sfSmall)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+    assert(streamed.nonEmpty, "replay must produce at least one attributed pair")
+  }
+
+  test("stream-stream join matches across micro-batch boundaries (click and purchase in different batches)") {
+    import spark.implicits._
+    import graft.streaming.{ClickAttribution, EventsStreaming}
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val dir = tmpDir("ss-join-")
+    // f0: click by user 1; f1: purchase by user 1 at +20min (in window)
+    // and a purchase at +90min (out of window)
+    val files = Seq(
+      Seq((100L, at(0), 1L, "click", 1.0, "{}")),
+      Seq((200L, at(20), 1L, "purchase", 5.0, "{}"),
+          (201L, at(90), 1L, "purchase", 7.0, "{}")))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$i"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(q => java.nio.file.Files.move(q,
+          java.nio.file.Paths.get(s"$dir/part$i.parquet")))
+    }
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val joined = side("click", "click_id", "c_user", "cts")
+      .join(side("purchase", "purchase_id", "p_user", "pts"),
+        col("c_user") === col("p_user") &&
+          col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id")
+    val got = EventsStreaming.runToCompletion(joined, "ss_join_split")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 200L)),
+      s"cross-batch in-window pair joins, out-of-window does not: $got")
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val deduped = EventsStreaming.runToCompletion(
       EventsStreaming.dedupEvents(EventsStreaming.readEvents(spark, sfSmall)),

@@ -113,6 +113,27 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(card.forall(c => c._6 > 0 && c._5 >= c._3), "tokens per doc >= 1")
   }
 
+  test("vocabCms: sketch never under-counts and over-counts within eps·N") {
+    import org.apache.spark.sql.functions._
+    val eps = 0.0005
+    val rows = TextAnalytics.vocabCms(spark, sfSmall, topK = 25, eps = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 25)
+    val totalTokens = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+      .select(explode(TextAnalytics.tokens(col("sentence")))).count()
+    rows.foreach { case (t, exact, cms) =>
+      assert(cms >= exact, s"CMS under-counted '$t': $cms < $exact")
+      assert(cms - exact <= math.max(1L, math.ceil(eps * totalTokens).toLong),
+        s"CMS over-count for '$t' beyond eps*N: $cms vs $exact (N=$totalTokens)")
+    }
+    // the exact head must agree with the tokenVocab aggregation
+    val vocab = TextAnalytics.tokenVocab(spark, sfSmall, topK = 25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (t, exact, _) =>
+      assert(vocab(t) == exact, s"head term '$t' count drift")
+    }
+  }
+
   test("repetitionStats: token and bigram fractions on planted loops") {
     import spark.implicits._
     val corpus = Seq(
