@@ -111,6 +111,8 @@ object SparkEntry {
     "interval_join" -> ((s, d) => RelationalOps.intervalJoinCounts(s, d)),
     "events_rolling" -> ((s, d) => RelationalOps.eventsRolling(s, d)),
     "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
+    "events_hopping" -> ((s, d) => RelationalOps.eventsHopping(s, d)),
+    "grouping_sets_docs" -> ((s, d) => RelationalOps.docsGroupingSets(s, d)),
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
@@ -221,6 +223,20 @@ object SparkEntry {
     }),
     "ingest_lines" -> ((s, _) =>
       graft.sources.Ingest.fromLines(s, "alpha\n beta \n\ngamma delta\n")),
+    // JSONL source round trip (schema-inferred json scan; the oracle
+    // restates the semantics over the documents view, same pattern as
+    // ingest_csv)
+    "ingest_jsonl" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      val dir = s"/root/repo/target/fixtures/jsonl-${new java.io.File(d).getName}"
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .coalesce(1).write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
     // F3: the reference's newline display join, capped (app.py:231-233)
     "corpus_display" -> ((s, d) =>
       graft.sources.Ingest.joinedDisplay(
@@ -777,6 +793,26 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), 'beta'),
         |  (CAST(2 AS BIGINT), 'gamma delta')) AS t(id, sentence)
         |ORDER BY id""".stripMargin,
+    "ingest_jsonl" ->
+      """SELECT doc_id, lang, source, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // GROUPING SETS marginals; NULLS FIRST mirrored (Spark asc default)
+    "grouping_sets_docs" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE length(trim(text)) > 0
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // hopping windows: every event lands in exactly size/slide = 4
+    // windows; the cross join against range(4) reconstructs them
+    "events_hopping" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 900) * 900)
+        |          - k.range * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M') AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, range(4) k
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "corpus_display" ->
       """SELECT COUNT(*) AS n_docs,
         |  string_agg(sentence, chr(10) ORDER BY id) AS joined

@@ -525,6 +525,41 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Arbitrary GROUPING SETS — the third grouping-set form next to
+    * ROLLUP (`rollup_customers`) and CUBE (`cube_events`): per-lang
+    * and per-source marginals plus the grand total in ONE pass (one
+    * Expand + one shuffle), without the full cross of CUBE. Expressed
+    * through `spark.sql` — the DataFrame API has rollup/cube but not
+    * arbitrary sets, so this also exercises the SQL entry point over a
+    * registered view. */
+  def docsGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .where(length(trim(col("text"))) > 0)
+      .createOrReplaceTempView("documents_gs")
+    spark.sql(
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents_gs
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Hopping (sliding) window aggregate: 1-hour windows every 15
+    * minutes — the overlapping-window mode `events_hourly`'s tumbling
+    * windows don't cover. Spark assigns each event to exactly
+    * size/slide = 4 windows inside the groupBy (no explicit explode);
+    * the shuffle carries 4× rows, the same cost the semantics dictate
+    * on any engine. Decimal sums for oracle parity. */
+  def eventsHopping(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start").asc, col("event_type").asc)
+  }
+
   /** TPC-H Q18-shaped large-volume orders: orders whose total line
     * quantity exceeds a threshold, with the customer resolved. The
     * HAVING is a post-aggregate filter on the exact decimal sum; the

@@ -26,14 +26,24 @@ object IndexMaintenance {
     * (`idCol`, `embCol`) rows is assigned and appended to the
     * persisted index at `dir`. AvailableNow processes the backlog and
     * stops — swap the trigger for a continuous one in a long-lived
-    * job. */
+    * job.
+    *
+    * `checkpointDir` makes the job RESTARTABLE: the file-source offsets
+    * commit there, so a relaunch after a stop (or a crash) resumes
+    * from the first unprocessed file instead of re-appending the whole
+    * backlog — the restart test pins that no row is appended twice.
+    * Without it Spark uses a throwaway checkpoint (fine for tests,
+    * never for production). */
   def appendStream(newVectors: DataFrame, dir: String,
-                   idCol: String, embCol: String): StreamingQuery =
-    newVectors.writeStream
+                   idCol: String, embCol: String,
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = newVectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IvfIndex.append(batch.sparkSession, dir, batch, idCol, embCol)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

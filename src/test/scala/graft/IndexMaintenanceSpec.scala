@@ -127,6 +127,42 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("appendStream restart from checkpoint: resumes at the first unprocessed file, no row twice") {
+    val dir = savedHalfIndex()
+    val landing = tmpDir("ivf-restart-landing-")
+    val ckpt = tmpDir("ivf-restart-ckpt-")
+    val schema = Tables.embeddings(spark, sfSmall)
+      .select("vec_id", "embedding").schema
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = tmpDir("ivf-restart-stage-")
+      Tables.embeddings(spark, sfSmall)
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      IndexMaintenance.appendStream(stream, dir, "vec_id", "embedding",
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    stage(250, 375, "part0"); run()
+    assert(IvfIndex.load(spark, dir).postings.count() == 375)
+    // second launch, SAME checkpoint: part0's offsets are committed, so
+    // only the newly-landed file is processed — a re-append of part0
+    // would show up as duplicate ids below
+    stage(375, 500, "part1"); run()
+    // third launch with nothing new: a no-op
+    run()
+    val postings = IvfIndex.load(spark, dir).postings
+    assert(postings.count() == 500)
+    assert(postings.select("id").distinct().count() == 500,
+      "restart must not re-append already-committed files")
+  }
+
   test("listStats: shares sum to 1 over nlist rows; retrain writes a fresh generation") {
     val dir = savedHalfIndex()
     IvfIndex.append(spark, dir,
