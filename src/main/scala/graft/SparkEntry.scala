@@ -113,6 +113,7 @@ object SparkEntry {
     "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
     "events_hopping" -> ((s, d) => RelationalOps.eventsHopping(s, d)),
     "grouping_sets_docs" -> ((s, d) => RelationalOps.docsGroupingSets(s, d)),
+    "user_conversion" -> ((s, d) => RelationalOps.userConversion(s, d)),
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
@@ -796,6 +797,27 @@ object SparkEntry {
     "ingest_jsonl" ->
       """SELECT doc_id, lang, source, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // cogroup funnel: first-click anchoring restated as SQL aggregates;
+    // exact epoch-micros arithmetic end to end
+    "user_conversion" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks, min(epoch_us(ts)) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |f AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.first_click
+        |  GROUP BY e.user_id)
+        |SELECT c.user_id, c.n_clicks,
+        |  coalesce(p.n_purchases, 0) AS n_purchases,
+        |  f.first_conv - c.first_click AS conv_latency_us
+        |FROM c
+        |LEFT JOIN p ON c.user_id = p.user_id
+        |LEFT JOIN f ON c.user_id = f.user_id
+        |ORDER BY c.user_id""".stripMargin,
     // GROUPING SETS marginals; NULLS FIRST mirrored (Spark asc default)
     "grouping_sets_docs" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros, floor}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
@@ -28,14 +28,20 @@ object Tables {
     * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via
     * schema override and truncate to microseconds — the same
     * conversion DuckDB applies internally (its timestamps are µs), so
-    * oracle comparisons stay exact. */
+    * oracle comparisons stay exact.
+    *
+    * The truncation MUST be integer division (`div`): epoch nanos
+    * (~1.7e18) exceed a double's 2^53 exact-integer range, so
+    * `floor(ts / 1000)` — double division — lands ±1 µs off the true
+    * value on ~half the rows. Coarse-granularity oracles never saw it;
+    * exact-micros ones (conv latencies) do. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.read.schema(raw).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -525,6 +525,47 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Per-user click→purchase conversion via
+    * `KeyValueGroupedDataset.cogroup` — the typed API for when BOTH
+    * groups of a key must be seen together by arbitrary logic (here:
+    * first-click anchoring, which a join can express but a funnel
+    * model quickly outgrows). One co-partitioned shuffle on user_id;
+    * each side's group arrives as an iterator, nothing is collected.
+    * Timestamps are compared in exact epoch micros so the oracle
+    * (plain SQL aggregates) hash-matches. */
+  def userConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    clicks.cogroup(purchases) { (uid, cs, ps) =>
+      val cTimes = cs.map(t => us(t._2)).toArray
+      if (cTimes.isEmpty) Iterator.empty // purchasers who never clicked
+      else {
+        val firstClick = cTimes.min
+        var nP = 0L
+        var firstConv = Long.MaxValue
+        ps.foreach { p =>
+          val t = us(p._2); nP += 1
+          if (t >= firstClick && t < firstConv) firstConv = t
+        }
+        Iterator((uid, cTimes.length.toLong, nP,
+          if (firstConv == Long.MaxValue) None else Some(firstConv - firstClick)))
+      }
+    }.toDF("user_id", "n_clicks", "n_purchases", "conv_latency_us")
+      .orderBy(col("user_id").asc)
+  }
+
   /** Arbitrary GROUPING SETS — the third grouping-set form next to
     * ROLLUP (`rollup_customers`) and CUBE (`cube_events`): per-lang
     * and per-source marginals plus the grand total in ONE pass (one

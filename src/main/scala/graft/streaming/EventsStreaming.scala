@@ -43,7 +43,8 @@ object EventsStreaming {
     }
     spark.readStream.schema(rawSchema)
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer `div`, not double division — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Hourly tumbling-window aggregate per event type — the streaming
