@@ -216,6 +216,80 @@ object IvfIndex {
     n
   }
 
+  /** Idempotent per-batch append — the sink for at-least-once replay
+    * (`foreachBatch` re-delivers a batch whenever a crash lands between
+    * the write and the offset commit; plain [[append]] would then
+    * duplicate rows). Stage → prefixed move → marker commit:
+    *
+    *  1. a committed marker (`_committed/<batchId>`) short-circuits a
+    *     replay of a fully-committed batch to a no-op;
+    *  2. the batch is written to a per-batch staging directory with
+    *     `mode=overwrite` (re-staging after a crash is itself
+    *     idempotent);
+    *  3. any `b<batchId>-*` files from a crashed earlier commit attempt
+    *     are deleted from the postings directories, then the staged
+    *     files are MOVED in under that prefix (local-fs rename; on an
+    *     object store the same protocol runs against a manifest);
+    *  4. the marker is written last — a crash anywhere before it
+    *     replays into steps 2–3, which repair and redo cleanly.
+    *
+    * `namespace` scopes the batchId sequence to one writer (batch ids
+    * restart at 0 per checkpoint, so two jobs appending to one index
+    * must not share a marker space). Returns rows appended (0 for a
+    * replayed committed batch). */
+  def appendBatch(spark: SparkSession, dir: String, rows: DataFrame,
+                  idCol: String, embCol: String, batchId: Long,
+                  namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = if (namespace.isEmpty) s"$batchId" else s"$namespace-$batchId"
+    val marker = Paths.get(s"$dir/_committed/$tag")
+    if (Files.exists(marker)) return 0L
+    val staging = s"$dir/_staging/batch-$tag"
+    val index = load(spark, dir)
+    val assigned = assignLists(index, rows, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = assigned.count()
+    assigned.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    assigned.unpersist(blocking = false)
+    val postingsRoot = Paths.get(s"$dir/postings")
+    // step 3a: clear partial files from a crashed prior attempt
+    if (Files.exists(postingsRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(postingsRoot).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("list_id="))
+        .foreach { listDir =>
+          Files.list(listDir).iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"b$tag-"))
+            .foreach(Files.delete(_))
+        }
+    }
+    // step 3b: move staged data files in under the batch prefix
+    val stagingRoot = Paths.get(staging)
+    locally {
+      import scala.jdk.CollectionConverters._
+      Files.list(stagingRoot).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("list_id="))
+        .foreach { listDir =>
+          val dst = postingsRoot.resolve(listDir.getFileName)
+          Files.createDirectories(dst)
+          Files.list(listDir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { f =>
+              Files.move(f, dst.resolve(s"b$tag-${f.getFileName}"),
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+        }
+    }
+    // step 4: commit marker, then drop staging
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, n.toString.getBytes("UTF-8"))
+    deleteRecursively(staging)
+    n
+  }
+
   /** Per-list posting counts plus each list's share of the total —
     * the staleness signal for scheduling re-training (appends against
     * frozen centroids skew list sizes as the data distribution

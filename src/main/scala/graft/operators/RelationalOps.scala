@@ -651,4 +651,109 @@ object RelationalOps {
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** CUBE over a NULLABLE dimension with `grouping_id()` — the
+    * disambiguation [[cubeEvents]] doesn't need (its dimensions are
+    * non-nullable): here `etype` is NULL for 'view' events, so a NULL
+    * in the output is ambiguous between "the NULL group" and
+    * "aggregated out" until gid says which (bit 2 = etype rolled up,
+    * bit 1 = hod rolled up — Spark's left-to-right bit order, which
+    * GROUPING(etype)*2 + GROUPING(hod) reproduces in ANSI SQL). */
+  def cubeEventsGid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("etype", expr("nullif(event_type, 'view')"))
+      .withColumn("hod", hour(col("ts")).cast("long"))
+      .cube(col("etype"), col("hod"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("gid"), col("etype"), col("hod"), col("n"), col("sum_value"))
+      .orderBy(col("gid").asc, col("etype").asc_nulls_first,
+        col("hod").asc_nulls_first)
+
+  /** TPC-H Q21-shaped sole-blame supplier ranking, restated on this
+    * schema (no commit/receipt dates — "late" is a returned line,
+    * l_returnflag = 'R'): suppliers whose returned line sits in a
+    * finished multi-supplier order where NO other supplier's line was
+    * returned. The EXISTS and NOT EXISTS are a left-semi and a
+    * left-anti self-join on lineitem, both equi-keyed on l_orderkey
+    * with the supplier inequality INSIDE the join condition — two
+    * join-key-aligned shuffles of the same relation, no cartesian
+    * anywhere; orders and supplier ride along as broadcasts. The final
+    * top-N is a TakeOrderedAndProject. */
+  def lateSoleSuppliers(spark: SparkSession, sfDir: String,
+                        topN: Int = 25): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val l1 = li.filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === lit("F"))
+      .select(col("o_orderkey"))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+    l1
+      .join(l2, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), Seq("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(topN)
+  }
+
+  // Bucketed-table registry: one write per (sfDir, session) — the
+  // tables are the point (their layout), not their content, so the
+  // write is memoized like the index caches.
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Customer order totals over BUCKETED tables — the zero-Exchange
+    * co-located join as a driver-visible query (previously only a plan
+    * test). Both sides are written `bucketBy(8, custkey)` +
+    * `sortBy`, so the sort-merge join (forced by the `merge` hint —
+    * at bench scale the dim would broadcast, hiding the shape) reads
+    * each bucket pair directly: NO Exchange before the join, and the
+    * post-join groupBy on the same key reuses the bucket partitioning
+    * — the plan's only exchange is the final presentation sort. This
+    * is the 100 TB co-located fact⋈fact shape: bucket once at write
+    * time, every downstream join/agg on that key is shuffle-free. */
+  def bucketedCustomerOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ordersTbl, custTbl) = bucketedTables.getOrElseUpdate(sfDir, {
+      val tag = new java.io.File(sfDir).getName.replace(".", "_")
+      val to = s"orders_bkt_$tag"; val tc = s"customer_bkt_$tag"
+      Seq(to, tc).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // a crashed run can leave the managed dir without a catalog row
+        val w = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:") + s"/$t")
+        if (w.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(w)
+        }
+      }
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+      (to, tc)
+    })
+    spark.table(custTbl).hint("merge")
+      .join(spark.table(ordersTbl).hint("merge"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("total_spent"))
+      .orderBy(col("c_custkey").asc)
+  }
 }

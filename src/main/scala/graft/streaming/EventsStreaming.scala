@@ -25,8 +25,9 @@ object EventsStreaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming DataFrame of events (same nanos→micros conversion as
-    * Tables.events — the parquet TIMESTAMP(NANOS) workaround).
+  /** Streaming DataFrame of events — same per-generation ts handling
+    * as Tables.events (timestamp[us] from round 6; legacy
+    * TIMESTAMP(NANOS)-as-long before).
     *
     * The driver testdata is one parquet FILE per table; the streaming
     * file source requires a directory to monitor, so the file is
@@ -41,10 +42,26 @@ object EventsStreaming {
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     }
-    spark.readStream.schema(rawSchema)
-      .parquet(stage.toString)
-      // integer `div`, not double division — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Probe the footer with batch schema inference (streaming sources
+    // need an explicit schema): success = µs generation, throw =
+    // legacy nanos. Mirrors Tables.events so the stream and its batch
+    // twins see byte-identical timestamps.
+    val inferred =
+      try Some(spark.read.parquet(stage.toString).schema)
+      catch {
+        case _: org.apache.spark.SparkException |
+             _: org.apache.spark.sql.AnalysisException => None
+      }
+    inferred match {
+      case Some(schema) =>
+        spark.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts", expr("cast(ts as timestamp)"))
+      case None =>
+        spark.readStream.schema(rawSchema)
+          .parquet(stage.toString)
+          // integer `div`, not double division — see Tables.events
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** Hourly tumbling-window aggregate per event type — the streaming

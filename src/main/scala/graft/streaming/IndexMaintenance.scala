@@ -32,14 +32,27 @@ object IndexMaintenance {
     * commit there, so a relaunch after a stop (or a crash) resumes
     * from the first unprocessed file instead of re-appending the whole
     * backlog — the restart test pins that no row is appended twice.
-    * Without it Spark uses a throwaway checkpoint (fine for tests,
-    * never for production). */
+    * foreachBatch is at-least-once (a crash between the append and the
+    * offset commit replays the batch), so the sink is the IDEMPOTENT
+    * [[IvfIndex.appendBatch]]: a replayed batchId repairs any partial
+    * commit and never lands a row twice — exactly-once postings on top
+    * of an at-least-once delivery. Without a checkpointDir Spark uses
+    * a throwaway checkpoint (fine for tests, never for production). */
   def appendStream(newVectors: DataFrame, dir: String,
                    idCol: String, embCol: String,
                    checkpointDir: Option[String] = None): StreamingQuery = {
+    // batchIds are scoped to a checkpoint (they restart at 0 for a
+    // fresh one), so the idempotence markers are namespaced by the
+    // checkpoint identity; a throwaway-checkpoint run gets a random
+    // namespace — it has no replay to dedupe and must not collide with
+    // a later run's batch 0.
+    val ns = checkpointDir
+      .map(d => (d.hashCode & 0x7fffffff).toString)
+      .getOrElse(java.util.UUID.randomUUID.toString.take(8))
     val writer = newVectors.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfIndex.append(batch.sparkSession, dir, batch, idCol, embCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IvfIndex.appendBatch(batch.sparkSession, dir, batch, idCol, embCol,
+          batchId, namespace = ns)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -40,8 +40,13 @@ object StatefulSessions {
 
   private val GapUs = 30L * 60 * 1000000
 
+  // valueOf (shortest decimal representation), NOT new BigDecimal
+  // (exact binary expansion): Spark's double->decimal(18,2) cast goes
+  // through Decimal(double) = BigDecimal.valueOf, so e.g. 2.675
+  // (stored 2.67499999…) must round to 2.68 here too or the batch
+  // twin's parity breaks on inputs with >2 decimal digits.
   private def toCents(value: Double): Long =
-    new java.math.BigDecimal(value)
+    java.math.BigDecimal.valueOf(value)
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()
 

@@ -163,6 +163,31 @@ class IndexMaintenanceSpec extends SparkSpec {
       "restart must not re-append already-committed files")
   }
 
+  test("appendBatch: replay of a committed batch is a no-op; a crash before the marker repairs") {
+    val dir = savedHalfIndex()
+    val rest = Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250)
+    val n1 = IvfIndex.appendBatch(spark, dir, rest, "vec_id", "embedding",
+      batchId = 7L, namespace = "t")
+    assert(n1 == 250)
+    assert(IvfIndex.load(spark, dir).postings.count() == 500)
+    // at-least-once replay AFTER the commit marker: no-op
+    val n2 = IvfIndex.appendBatch(spark, dir, rest, "vec_id", "embedding",
+      batchId = 7L, namespace = "t")
+    assert(n2 == 0L, "replay of a committed batch must append nothing")
+    assert(IvfIndex.load(spark, dir).postings.count() == 500)
+    // crash BETWEEN the file moves and the marker write: delete the
+    // marker (the moved files stay) and replay — the prefixed files
+    // from the partial commit are replaced, not duplicated
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed/t-7"))
+    val n3 = IvfIndex.appendBatch(spark, dir, rest, "vec_id", "embedding",
+      batchId = 7L, namespace = "t")
+    assert(n3 == 250)
+    val postings = IvfIndex.load(spark, dir).postings
+    assert(postings.count() == 500,
+      "replay after a pre-marker crash must repair, not duplicate")
+    assert(postings.select("id").distinct().count() == 500)
+  }
+
   test("listStats: shares sum to 1 over nlist rows; retrain writes a fresh generation") {
     val dir = savedHalfIndex()
     IvfIndex.append(spark, dir,
