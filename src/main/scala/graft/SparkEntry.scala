@@ -115,6 +115,14 @@ object SparkEntry {
     "grouping_sets_docs" -> ((s, d) => RelationalOps.docsGroupingSets(s, d)),
     "user_conversion" -> ((s, d) => RelationalOps.userConversion(s, d)),
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
+    // cube over a NULLABLE dimension: grouping_id() disambiguates the
+    // NULL group from the aggregated-out marker
+    "cube_events_gid" -> ((s, d) => RelationalOps.cubeEventsGid(s, d)),
+    // TPC-H Q21 shape: semi + anti self-join on lineitem, equi-keyed
+    "late_sole_suppliers" -> ((s, d) => RelationalOps.lateSoleSuppliers(s, d)),
+    // zero-Exchange co-located join over bucketed tables (plan-asserted
+    // in BucketedQuerySpec)
+    "bucketed_customer_orders" -> ((s, d) => RelationalOps.bucketedCustomerOrders(s, d)),
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
     "min_cost_supplier" -> ((s, d) => RelationalOps.minCostSupplier(s, d)),
@@ -270,6 +278,9 @@ object SparkEntry {
     // split × mixture, one boolean per stage)
     "curation_decisions" -> ((s, d) => CorpusPrep.curationDecisions(s, d)),
     "profile_lineitem" -> ((s, d) => Profiling.profileLineitem(s, d)),
+    // HLL twin: the wide-table path (no Expand); accuracy test-pinned
+    // within 5% of the exact profile, no SQL oracle (sketch internals)
+    "profile_lineitem_approx" -> ((s, d) => Profiling.profileLineitemApprox(s, d)),
     "zorder_layout" -> ((s, d) => ZOrder.zorderLayout(s, d)),
     // --- dedup (north star; BASELINE.json) ---
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -600,6 +611,49 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE (event_type, hod)
         |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
+    // CUBE with grouping_id over a nullable dimension: Spark's
+    // grouping_id() bit order (left dim = high bit) restated as
+    // GROUPING(etype)*2 + GROUPING(hod); NULLS FIRST mirrors
+    // asc_nulls_first, and gid leads the sort so the NULL-value group
+    // and the rolled-up marker rows order identically in both engines
+    "cube_events_gid" ->
+      """WITH src AS (
+        |  SELECT nullif(event_type, 'view') AS etype,
+        |         extract(hour FROM ts)::BIGINT AS hod, value
+        |  FROM events)
+        |SELECT (GROUPING(etype)*2 + GROUPING(hod))::BIGINT AS gid,
+        |  etype, hod, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM src
+        |GROUP BY CUBE (etype, hod)
+        |ORDER BY gid, etype NULLS FIRST, hod NULLS FIRST""".stripMargin,
+    // Q21 shape: EXISTS/NOT EXISTS as correlated subqueries; "late" is
+    // restated as a returned line (this schema has no receipt/commit
+    // dates)
+    "late_sole_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 25""".stripMargin,
+    // bucketed co-located join: values are layout-independent, so the
+    // oracle is the plain join+agg
+    "bucketed_customer_orders" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
     // dense grid via generate_series; zero-filled cells
     "events_hourly_dense" ->
       """WITH b AS (

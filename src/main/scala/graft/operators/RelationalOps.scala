@@ -700,7 +700,7 @@ object RelationalOps {
       .join(l3, col("l_orderkey") === col("o3") &&
         col("l_suppkey") =!= col("s3"), "left_anti")
       .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), Seq("s_suppkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)

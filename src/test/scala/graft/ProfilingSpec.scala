@@ -23,4 +23,25 @@ class ProfilingSpec extends SparkSpec {
     assert(p("l_returnflag")._3.isEmpty && p("l_returnflag")._4.isEmpty)
     assert(p("l_returnflag")._2 == 3L, "R/A/N return flags")
   }
+
+  test("profileLineitemApprox: HLL distincts within 5% of exact; no Expand in the plan") {
+    val exact = Profiling.profileLineitem(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approxDf = Profiling.profileLineitemApprox(spark, sfSmall)
+    val approx = approxDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))
+    assert(approx.map(_._1).toSet == exact.keySet)
+    approx.foreach { case (col, nulls, nd, _, _) =>
+      assert(nulls == 0L)
+      val e = exact(col)
+      assert(math.abs(nd - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$col: approx $nd vs exact $e beyond 5%")
+    }
+    // the scale claim itself: sketches aggregate in ONE pass with no
+    // Expand (the exact profile's countDistincts share one)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"HLL profile must not Expand the table:\n$plan")
+  }
 }
