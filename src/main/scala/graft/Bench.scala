@@ -58,7 +58,8 @@ object Bench {
     "ivf_index_persisted" -> 2.5, "cluster_exact_assign" -> 5.0,
     "cluster_ivf_assign" -> 5.0, "doc_dedup_pipeline" -> 13.0,
     "ivf_append_lifecycle" -> 7.0, "term_index_persisted" -> 5.5,
-    "pq_codebooks_m8k16" -> 20.0, "attribution_stream" -> 16.0,
+    "pq_codebooks_m8k16" -> 20.0, "pq_flat_codes" -> 8.0,
+    "pq_residual_codes" -> 25.0, "attribution_stream" -> 16.0,
     "user_sessions_stateful" -> 10.0, "events_hourly_stream" -> 5.0
   ).withDefaultValue(8.0)
 
@@ -126,6 +127,12 @@ object Bench {
       "ivf_append_lifecycle" -> (() => { IvfIndex.appendHalfStats(spark, sfDir).count(); () }),
       "term_index_persisted" -> (() => { TextSearch.persistedTermIndexFor(spark, sfDir).postings.count(); () }),
       "pq_codebooks_m8k16" -> (() => { Pq.forEmbeddings(spark, sfDir); () }),
+      // coded-corpus caches the searches scan (codes, never floats):
+      // flat for knn_pq, residual postings for ivf_search_pq
+      "pq_flat_codes" -> (() => {
+        Pq.flatCodedFor(spark, sfDir, 8, 16).count(); () }),
+      "pq_residual_codes" -> (() => {
+        Pq.codedPostings(spark, sfDir, 4, 8, 16, residual = true).count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

@@ -148,6 +148,18 @@ object DevProbe {
       println(f"[probe] refine recall@10 = ${Pq.pqRecall(spark, sfDir, rerank = 100)}%.2f")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "pqres") {
+      import graft.operators.Pq
+      for (nprobe <- Seq(2, 4)) {
+        val qs = 0L to 9L
+        val raw = qs.map(q => Pq.ivfPqRecall(spark, sfDir, q, 10,
+          nlist = 4, nprobe = nprobe, residual = false)).sum / qs.size
+        val res = qs.map(q => Pq.ivfPqRecall(spark, sfDir, q, 10,
+          nlist = 4, nprobe = nprobe, residual = true)).sum / qs.size
+        println(f"[probe] nprobe=$nprobe raw=$raw%.3f residual=$res%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "docdedup") {
       import graft.sources.Ingest
       val corpus = Ingest.corpusFromDocuments(spark, sfDir)

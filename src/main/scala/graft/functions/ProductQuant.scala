@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -119,6 +119,92 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Per-LIST asymmetric distance — the residual-PQ scoring kernel
+  * (FAISS `IndexIVFPQ`): codes encode r = x − centroid(list), so each
+  * probed list needs its own lookup table built from the QUERY's
+  * residual against that list's centroid:
+  * `luts(list)(s)(j) = ||(q − c_list)_s − book(s)(j)||²`, and
+  * ||q − (c_list + decode(codes))||² = Σ_s luts(list)(s)(codes(s)).
+  *
+  * `luts` is indexed by list_id (nlist × m × k doubles, driver-tiny
+  * at any real nlist×k since only PROBED lists are populated — the
+  * rest are empty arrays, and evaluating one loudly errors rather
+  * than silently scoring 0). One scan with this expression scores a
+  * multi-list candidate frame in place — no per-list union, no
+  * re-reading floats. */
+case class PqAdcByList(left: Expression, right: Expression,
+                       luts: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def prettyName: String = "pq_adc_by_list"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(ByteType, _) | BinaryType)
+          if luts.exists(_.nonEmpty) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (IntegerType, ArrayType(ByteType, _) | BinaryType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "pq_adc_by_list: no populated lookup tables")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_by_list requires (int, array<tinyint>|binary), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(listId: Any, input: Any): Any = {
+    val lid = listId.asInstanceOf[Int]
+    if (lid < 0 || lid >= luts.length || luts(lid).isEmpty) {
+      throw new IllegalArgumentException(
+        s"pq_adc_by_list: list $lid has no lookup table (not probed?)")
+    }
+    val lut = luts(lid)
+    val (n, at: (Int => Byte)) = input match {
+      case b: Array[Byte] => (b.length, (i: Int) => b(i))
+      case a: ArrayData   => (a.numElements(), (i: Int) => a.getByte(i))
+    }
+    if (n != lut.length) {
+      throw new IllegalArgumentException(
+        s"pq_adc_by_list: code length mismatch ($n vs ${lut.length})")
+    }
+    var acc = 0.0
+    var s = 0
+    while (s < n) { acc += lut(s)(at(s) & 0xff); s += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lid, a) => {
+      val isBin = right.dataType == BinaryType
+      val len = if (isBin) s"$a.length" else s"$a.numElements()"
+      def at(i: String) = if (isBin) s"$a[$i]" else s"$a.getByte($i)"
+      val tabs = ctx.addReferenceObj("luts", luts, "double[][][]")
+      val lut = ctx.freshName("lut")
+      val s = ctx.freshName("s"); val acc = ctx.freshName("acc")
+      s"""
+         |if ($lid < 0 || $lid >= ${luts.length} || $tabs[$lid].length == 0) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_by_list: list " + $lid + " has no lookup table (not probed?)");
+         |}
+         |double[][] $lut = $tabs[$lid];
+         |if ($len != $lut.length) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_by_list: code length mismatch (" + $len + " vs " + $lut.length + ")");
+         |}
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $lut.length; $s++) {
+         |  $acc += $lut[$s][${at(s)} & 0xff];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Asymmetric distance computation (ADC): given a per-query lookup

@@ -73,6 +73,12 @@ package object functions {
   def pq_adc(codes: Column, lut: Array[Array[Double]]): Column =
     GraftSqlBridge.column(PqAdc(col2e(codes), lut))
 
+  /** Residual-PQ asymmetric distance: picks the probed list's lookup
+    * table by list_id (see [[PqAdcByList]]). */
+  def pq_adc_by_list(listId: Column, codes: Column,
+                     luts: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqAdcByList(col2e(listId), col2e(codes), luts))
+
   /** Int8 symmetric quantization: per-vector scale (max|x|/127). */
   def quant_scale(emb: Column): Column =
     GraftSqlBridge.column(QuantScale(col2e(emb)))

@@ -80,6 +80,22 @@ object Pq {
   def encode(df: DataFrame, idCol: String, embCol: String, model: Model): DataFrame =
     df.select(col(idCol).as("vec_id"), pq_encode(col(embCol), model.books).as("codes"))
 
+  // Flat-PQ coded corpus, memoized: searchPq must scan CODES (32×
+  // smaller), not re-encode the float corpus per query — same fix as
+  // the IVF codedPostings cache.
+  private val flatCodedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  private[graft] def flatCodedFor(spark: SparkSession, sfDir: String,
+                                  m: Int, k: Int): DataFrame =
+    flatCodedCache.getOrElseUpdate((sfDir, m, k), {
+      val model = forEmbeddings(spark, sfDir, m, k)
+      val cached = encode(Tables.embeddings(spark, sfDir), "vec_id", "embedding", model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      cached
+    })
+
   /** Per-query ADC lookup table: lut(s)(j) = ||q_s − books(s)(j)||². */
   private[graft] def adcTable(model: Model, q: Array[Float]): Array[Array[Double]] = {
     require(q.length == model.m * model.dsub,
@@ -116,7 +132,7 @@ object Pq {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val adc = encode(emb, "vec_id", "embedding", model)
+    val adc = flatCodedFor(spark, sfDir, m, k)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), pq_adc(col("codes"), adcTable(model, q)).as("adc_dist"))
     if (rerank <= 0) {
@@ -137,24 +153,117 @@ object Pq {
     }
   }
 
+  // ---- residual IVF-PQ (FAISS IndexIVFPQ semantics) -------------------
+  //
+  // Codes encode the RESIDUAL r = x − centroid(list(x)), not the raw
+  // vector: residuals concentrate around 0 once the coarse quantizer
+  // has soaked up the between-list variance, so the same m×k codebook
+  // budget spends its centroids on a tighter distribution — the
+  // standard construction that makes IVF-PQ recall usable at low
+  // nprobe (Jégou et al. 2011, §IV; FAISS `IndexIVFPQ.encode_residual`).
+  // Scoring uses per-list query-residual LUTs ([[graft.functions.PqAdcByList]]):
+  // ||q − (c_L + decode(codes))||² = Σ_s lut_L(s)(codes(s)).
+
+  /** (list_id, id, resid) — residuals against the index's centroids.
+    * A NARROW map: the ≤nlist centroid matrix rides in as an
+    * array<array<float>> literal, `element_at` picks the row's own
+    * centroid, `zip_with` subtracts — all codegen'd builtins, nothing
+    * joins or shuffles. */
+  private[graft] def residualFrame(index: IvfIndex.Index): DataFrame = {
+    val cents = index.centroidArrays.sortBy(_._1).map(_._2)
+    index.postings.select(col("list_id"), col("id"),
+      zip_with(col("embedding"),
+        element_at(typedlit(cents), col("list_id") + 1),
+        (a, b) => a - b).as("resid"))
+  }
+
+  private val residModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Model]
+
+  /** Codebooks trained on residuals (per (sfDir, nlist) — residuals
+    * depend on the coarse quantizer). */
+  def residualModelFor(spark: SparkSession, sfDir: String, nlist: Int,
+                       m: Int = 8, k: Int = 16): Model =
+    residModelCache.getOrElseUpdate((sfDir, nlist, m, k), {
+      val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+      train(residualFrame(index), "resid", m, k)
+    })
+
+  // Encoded postings, memoized per mode: the in-memory IVF-PQ search
+  // must scan CODES, never floats (the whole point of PQ is the 32×
+  // smaller scan; re-encoding per query forfeits it). Schema is
+  // (list_id, id, codes) — the embedding column does not exist in the
+  // cached frame, so no plan can accidentally read it (plan-asserted
+  // in PqSpec).
+  private val codedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Boolean), DataFrame]
+
+  private[graft] def codedPostings(spark: SparkSession, sfDir: String,
+                                   nlist: Int, m: Int, k: Int,
+                                   residual: Boolean): DataFrame =
+    codedCache.getOrElseUpdate((sfDir, nlist, m, k, residual), {
+      val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+      val coded =
+        if (residual) {
+          val model = residualModelFor(spark, sfDir, nlist, m, k)
+          residualFrame(index).select(col("list_id"), col("id"),
+            pq_encode(col("resid"), model.books).as("codes"))
+        } else {
+          val model = forEmbeddings(spark, sfDir, m, k)
+          index.postings.select(col("list_id"), col("id"),
+            pq_encode(col("embedding"), model.books).as("codes"))
+        }
+      val cached = coded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      cached
+    })
+
+  /** Per-list LUTs for a query: populated only for probed lists,
+    * indexed by list_id (empty arrays elsewhere — [[graft.functions.PqAdcByList]]
+    * errors loudly if an unprobed list ever reaches scoring). */
+  private[graft] def residualLuts(model: Model, index: IvfIndex.Index,
+                                  q: Array[Float], probed: Seq[Int]): Array[Array[Array[Double]]] = {
+    val cents = index.centroidArrays.toMap
+    val nlist = index.centroidArrays.map(_._1).max + 1
+    val luts = Array.fill(nlist)(Array.empty[Array[Double]])
+    probed.foreach { lid =>
+      val c = cents(lid)
+      val qr = Array.tabulate(q.length)(i => q(i) - c(i))
+      luts(lid) = adcTable(model, qr)
+    }
+    luts
+  }
+
   /** IVF-PQ: coarse centroids prune to the probed lists (the same
     * partition-pruning shape as [[IvfIndex]]); only the surviving
-    * postings are PQ-scored. With nprobe = nlist this equals
-    * [[searchPq]] exactly (test-pinned). */
+    * CODE postings are ADC-scored — the scan never touches a float
+    * embedding. `residual = true` (default, FAISS IndexIVFPQ) encodes
+    * and scores residuals; `residual = false` keeps the raw-vector
+    * codes whose nprobe = nlist search equals [[searchPq]] exactly
+    * (test-pinned). */
   def ivfSearchPq(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                   kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
-                  m: Int = 8, k: Int = 16): DataFrame = {
-    val model = forEmbeddings(spark, sfDir, m, k)
+                  m: Int = 8, k: Int = 16,
+                  residual: Boolean = true): DataFrame = {
     val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding")).head.getSeq[Float](0).toArray
     val probed = IvfIndex.probeLists(index, q, nprobe)
-    index.postings
+    val coded = codedPostings(spark, sfDir, nlist, m, k, residual)
       .filter(col("list_id").isin(probed: _*))
       .filter(col("id") =!= queryId)
-      .select(col("id").as("vec_id"),
-        pq_adc(pq_encode(col("embedding"), model.books), adcTable(model, q)).as("adc_dist"))
+    val score =
+      if (residual) {
+        val model = residualModelFor(spark, sfDir, nlist, m, k)
+        graft.functions.pq_adc_by_list(col("list_id"), col("codes"),
+          residualLuts(model, index, q, probed))
+      } else {
+        val model = forEmbeddings(spark, sfDir, m, k)
+        pq_adc(col("codes"), adcTable(model, q))
+      }
+    coded
+      .select(col("id").as("vec_id"), score.as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(kNeighbors)
   }
@@ -179,21 +288,30 @@ object Pq {
     * on-disk form [[graft.functions.PqAdc]]'s dual-type contract
     * exists for). This is the full FAISS IVFPQ layout as a parquet
     * directory tree: the coarse quantizer prunes partitions, the rows
-    * inside are 32× smaller than the float postings. */
+    * inside are 32× smaller than the float postings; `residual`
+    * (default) stores residual codes, the IndexIVFPQ on-disk form. */
   def savePostings(spark: SparkSession, sfDir: String, dir: String,
-                   nlist: Int = 4, m: Int = 8, k: Int = 16): Unit = {
-    val model = forEmbeddings(spark, sfDir, m, k)
+                   nlist: Int = 4, m: Int = 8, k: Int = 16,
+                   residual: Boolean = true): Unit = {
     val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
-    index.postings
-      .select(col("list_id"), col("id"),
-        pq_encode(col("embedding"), model.books, asBinary = true).as("codes"))
+    val coded =
+      if (residual) {
+        val model = residualModelFor(spark, sfDir, nlist, m, k)
+        residualFrame(index).select(col("list_id"), col("id"),
+          pq_encode(col("resid"), model.books, asBinary = true).as("codes"))
+      } else {
+        val model = forEmbeddings(spark, sfDir, m, k)
+        index.postings.select(col("list_id"), col("id"),
+          pq_encode(col("embedding"), model.books, asBinary = true).as("codes"))
+      }
+    coded
       .repartition(col("list_id"))
       .write.mode("overwrite")
       .partitionBy("list_id").parquet(dir)
   }
 
   private val persistedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Boolean), String]
 
   /** IVF-PQ search over the PERSISTED code postings: probe lists
     * driver-side, scan only the probed `list_id=` partitions (static
@@ -202,25 +320,49 @@ object Pq {
     * binary codes. Nothing float-typed is read at all. */
   def persistedSearchPq(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                         kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
-                        m: Int = 8, k: Int = 16): DataFrame = {
-    val dir = persistedCache.getOrElseUpdate((sfDir, nlist, m, k), {
-      val d = s"/root/repo/target/pq-postings/${new java.io.File(sfDir).getName}-nlist$nlist-m$m-k$k"
-      savePostings(spark, sfDir, d, nlist, m, k)
+                        m: Int = 8, k: Int = 16,
+                        residual: Boolean = true): DataFrame = {
+    val dir = persistedCache.getOrElseUpdate((sfDir, nlist, m, k, residual), {
+      val suffix = if (residual) "-res" else ""
+      val d = s"/root/repo/target/pq-postings/${new java.io.File(sfDir).getName}-nlist$nlist-m$m-k$k$suffix"
+      savePostings(spark, sfDir, d, nlist, m, k, residual)
       d
     })
-    val model = forEmbeddings(spark, sfDir, m, k)
     val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding")).head.getSeq[Float](0).toArray
     val probed = IvfIndex.probeLists(index, q, nprobe)
-    spark.read.parquet(dir)
+    val scan = spark.read.parquet(dir)
       .filter(col("list_id").isin(probed: _*))
       .filter(col("id") =!= queryId)
-      .select(col("id").as("vec_id"),
-        pq_adc(col("codes"), adcTable(model, q)).as("adc_dist"))
+    val score =
+      if (residual) {
+        val model = residualModelFor(spark, sfDir, nlist, m, k)
+        graft.functions.pq_adc_by_list(col("list_id"), col("codes"),
+          residualLuts(model, index, q, probed))
+      } else {
+        val model = forEmbeddings(spark, sfDir, m, k)
+        pq_adc(col("codes"), adcTable(model, q))
+      }
+    scan
+      .select(col("id").as("vec_id"), score.as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(kNeighbors)
+  }
+
+  /** Recall@k of IVF-PQ (either encoding) against the GLOBAL exact
+    * kNN — the honest end-to-end number: coarse-pruning misses count
+    * against it, exactly as a user measures FAISS. */
+  def ivfPqRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                  kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
+                  residual: Boolean = true): Double = {
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, queryId, kNeighbors)
+      .collect().map(_.getLong(0)).toSet
+    val approx = ivfSearchPq(spark, sfDir, queryId, kNeighbors, nlist, nprobe,
+        residual = residual)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / kNeighbors
   }
 
   /** Recall@k of flat PQ against exact L2 — the quality probe a user

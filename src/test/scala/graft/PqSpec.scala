@@ -87,13 +87,132 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  test("IVF-PQ with nprobe = nlist equals flat PQ exactly") {
+  test("IVF-PQ (raw codes) with nprobe = nlist equals flat PQ exactly") {
     val flat = Pq.searchPq(spark, sfSmall, queryId = 3L, kNeighbors = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val ivf = Pq.ivfSearchPq(spark, sfSmall, queryId = 3L, kNeighbors = 10,
-      nlist = 4, nprobe = 4)
+      nlist = 4, nprobe = 4, residual = false)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(flat == ivf)
+  }
+
+  test("in-memory IVF-PQ scans cached codes — the plan never reads a float embedding") {
+    val df = Pq.ivfSearchPq(spark, sfSmall, queryId = 5L, kNeighbors = 10,
+      nlist = 4, nprobe = 2)
+    assert(df.collect().length == 10)
+    // structural check: every LEAF the query executes is the cached
+    // coded-postings relation, and none of their outputs carries the
+    // float embedding column (the cache-BUILD lineage inside
+    // InMemoryRelation reads it once; the query does not)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val out = leaf.output.map(_.name)
+      assert(!out.contains("embedding"),
+        s"IVF-PQ search must score pre-encoded codes, not floats: $leaf")
+      assert(leaf.nodeName.contains("InMemoryTableScan"),
+        s"expected the memoized coded-postings cache, got: ${leaf.nodeName}")
+    }
+  }
+
+  test("pq_adc_by_list scores each probed list against its own residual LUT, bit-exactly") {
+    val nlist = 4
+    val index = graft.operators.IvfIndex.forEmbeddings(spark, sfSmall, nlist)
+    val model = Pq.residualModelFor(spark, sfSmall, nlist)
+    val emb = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 2L)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val probed = Seq(0, 1, 2, 3)
+    val luts = Pq.residualLuts(model, index, q, probed)
+    val rows = Pq.codedPostings(spark, sfSmall, nlist, 8, 16, residual = true)
+      .withColumn("adc",
+        graft.functions.pq_adc_by_list(col("list_id"), col("codes"), luts))
+      .orderBy(col("id")).limit(30).collect()
+    rows.foreach { r =>
+      val lid = r.getInt(0)
+      val codes = r.getSeq[Byte](2)
+      var expect = 0.0
+      var s = 0
+      while (s < codes.length) { expect += luts(lid)(s)(codes(s) & 0xff); s += 1 }
+      assert(r.getDouble(3) == expect, s"vec ${r.getLong(1)} (list $lid)")
+    }
+    // semantics: the LUT sum IS the distance to the list-centered
+    // reconstruction c_list + decode(codes)
+    val cents = index.centroidArrays.toMap
+    rows.take(10).foreach { r =>
+      val lid = r.getInt(0); val codes = r.getSeq[Byte](2)
+      val c = cents(lid)
+      val recon = Array.tabulate(q.length) { i =>
+        val s = i / model.dsub
+        c(i) + model.books(s)(codes(s) & 0xff)(i - s * model.dsub)
+      }
+      var dist = 0.0
+      var i = 0
+      while (i < q.length) {
+        val d = q(i).toDouble - recon(i); dist += d * d; i += 1
+      }
+      assert(math.abs(r.getDouble(3) - dist) < 1e-6,
+        s"vec ${r.getLong(1)}: ADC ${r.getDouble(3)} vs reconstruction $dist")
+    }
+  }
+
+  test("residual codes beat raw codes where the coarse quantizer captures real structure") {
+    // The sf embeddings are uniform random — PQ's pathological case,
+    // where residual encoding has nothing to gain (measured: 0.24 vs
+    // 0.26 at nprobe=2). Real embedding corpora cluster; build one:
+    // 4 well-separated clusters, small within-cluster noise. The
+    // coarse quantizer absorbs the between-cluster variance, so
+    // residual codebooks spend all 8×16 centroids on the noise scale
+    // while raw codebooks must span the whole space.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextFloat() * 20f - 10f))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, Array.tabulate(dim)(d => c(d) + rnd.nextFloat() * 0.8f - 0.4f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = graft.operators.IvfIndex.build(df, "vec_id", "embedding", nlist = 4)
+    val rawModel = Pq.train(df, "embedding", m = 4, k = 8)
+    val resModel = Pq.train(Pq.residualFrame(index), "resid", m = 4, k = 8)
+    val corpus = vecs.toMap
+    def exactTop(qid: Long, k: Int): Set[Long] = {
+      val q = corpus(qid)
+      corpus.iterator.filter(_._1 != qid).map { case (id, v) =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { val d = q(i).toDouble - v(i); acc += d * d; i += 1 }
+        (id, acc)
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+    }
+    def recall(qid: Long, residual: Boolean): Double = {
+      val q = corpus(qid)
+      val probed = graft.operators.IvfIndex.probeLists(index, q, nprobe = 2)
+      val base = (if (residual) Pq.residualFrame(index).select(col("list_id"),
+          col("id"), graft.functions.pq_encode(col("resid"), resModel.books).as("codes"))
+        else index.postings.select(col("list_id"), col("id"),
+          graft.functions.pq_encode(col("embedding"), rawModel.books).as("codes")))
+        .filter(col("list_id").isin(probed: _*))
+        .filter(col("id") =!= qid)
+      val scored =
+        if (residual) base.select(col("id"),
+          graft.functions.pq_adc_by_list(col("list_id"), col("codes"),
+            Pq.residualLuts(resModel, index, q, probed)).as("d"))
+        else base.select(col("id"),
+          graft.functions.pq_adc(col("codes"), Pq.adcTable(rawModel, q)).as("d"))
+      val got = scored.orderBy(col("d").asc, col("id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      exactTop(qid, 10).intersect(got).size / 10.0
+    }
+    val qids = (0L until 20L)
+    val raw = qids.map(recall(_, residual = false)).sum / qids.size
+    val res = qids.map(recall(_, residual = true)).sum / qids.size
+    info(f"clustered-data recall@10: raw=$raw%.3f residual=$res%.3f")
+    // measured: raw 0.225, residual 0.470 — residual doubles recall
+    // once the coarse quantizer absorbs the between-cluster variance
+    assert(res > raw + 0.1,
+      f"residual ($res%.3f) must measurably beat raw ($raw%.3f) on clustered data")
+    assert(res >= 0.4, f"residual recall on clustered data too low: $res%.3f")
   }
 
   test("PQ recall@10 vs exact L2: ADC floor, and the refine pattern restores it") {
