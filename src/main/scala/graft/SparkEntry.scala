@@ -143,6 +143,9 @@ object SparkEntry {
     "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
     "label_centroids" -> ((s, d) => VectorOps.centroidsByLabel(s, d)),
     "hard_negatives" -> ((s, d) => VectorSearchOps.hardNegatives(s, d)),
+    // corpus-wide LSH-bucketed mining (approximate candidates, exact
+    // scoring) — recall-floor-tested vs the exact mode, no SQL oracle
+    "hard_negatives_lsh" -> ((s, d) => VectorSearchOps.hardNegativesLsh(s, d)),
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---

@@ -149,7 +149,7 @@ object Dedup {
     * partitioning is exactly what the join requires anyway; at bench
     * scale Spark broadcasts the capped side instead and the window
     * shuffle is a small additive cost (measured ≤0.3 s at sf0.1). */
-  private def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
+  private[graft] def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("key"))
     bands.withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= cap)

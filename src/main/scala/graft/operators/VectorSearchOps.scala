@@ -78,6 +78,62 @@ object VectorSearchOps {
       .orderBy(col("anchor_id").asc, col("rank").asc)
   }
 
+  /** Corpus-wide hard-negative mining — the scale path for
+    * [[hardNegatives]] (whose broadcast-anchors shape caps at a
+    * bounded anchor set): EVERY vector is an anchor, candidates come
+    * from sign-random-projection band buckets instead of the full
+    * cross-label product.
+    *
+    * Banding is RECALL-oriented — `nBands` × `bitsPerBand` over the
+    * same 64-bit hyperplane sketch the dedup family uses, but
+    * defaulting to 16×4 instead of dedup's 8×8: hard negatives sit at
+    * MODERATE cosine (the most-similar wrong-label item, not a
+    * near-duplicate), and for cos ≈ 0.45 a 4-bit band collides with
+    * p ≈ 0.18 per band → ≈ 0.96 over 16 bands, where an 8-bit band
+    * would miss (p ≈ 0.03/band). Shorter keys mean fatter buckets;
+    * [[Dedup.MaxBandBucket]] caps the degenerate ones, and at 100 TB
+    * the candidate join stays an equi-join on (band, key) — never a
+    * cross product. Approximate recall, exact scoring: every emitted
+    * pair's cosine is computed on the real vectors, and the per-anchor
+    * top-k window runs on verified similarities only. */
+  def hardNegativesLsh(spark: SparkSession, sfDir: String, k: Int = 5,
+                       nBands: Int = 16, bitsPerBand: Int = 4,
+                       maxBucket: Int = Dedup.MaxBandBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBands * bitsPerBand <= 64, "banding must fit the 64-bit sketch")
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val planes = Dedup.hyperplanes(dim)
+    val mask = (1L << bitsPerBand) - 1
+    val sk = emb.select(col("vec_id").as("id"), col("label"),
+      graft.functions.hyperplane_sketch(col("embedding"), planes).as("sk"))
+    val rawBands = sk.select(col("id"), col("label"),
+        explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> struct(b AS band, CAST(shiftright(sk, $bitsPerBand*b) & $mask AS INT) AS key))")).as("bk"))
+      .select(col("id"), col("label"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = Dedup.capBuckets(rawBands, maxBucket)
+    // directed cross-label candidates: anchor → negative (both
+    // directions matter; a label filter inside the join keeps
+    // same-label pairs out of the shuffle output)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.id").as("anchor_id"), col("b.id").as("neg_id"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    cand
+      .join(vecs.select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb")), "anchor_id")
+      .join(vecs.select(col("vec_id").as("neg_id"), col("embedding").as("n_emb")), "neg_id")
+      .withColumn("sim", cosine_sim(col("a_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"), col("sim"))
+      .orderBy(col("anchor_id").asc, col("rank").asc)
+  }
+
   /** Batch exact kNN via the per-query rank window (W1): each of the
     * first `nQueries` vectors gets its k nearest neighbors. The
     * oracle-able twin of IvfIndex.searchAll (same window shape, no

@@ -46,4 +46,30 @@ class EmbedOpsSpec extends SparkSpec {
         "similarity must descend with rank")
     }
   }
+
+  test("hardNegativesLsh: corpus-wide anchors, cross-label only, recall floor vs exact") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = labels.size
+    val lsh = graft.operators.VectorSearchOps
+      .hardNegativesLsh(spark, sfSmall, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // corpus-wide: (almost) every vector mined as an anchor — a vector
+    // can only miss if no cross-label candidate shared any band
+    assert(lsh.map(_._1).distinct.length >= (0.95 * n).toInt,
+      s"only ${lsh.map(_._1).distinct.length}/$n anchors mined")
+    lsh.foreach { case (a, _, g, _) =>
+      assert(labels(a) != labels(g), s"pair ($a,$g) shares a label")
+    }
+    // recall floor on the anchors the exact mode covers
+    val exact = graft.operators.VectorSearchOps
+      .hardNegatives(spark, sfSmall, nAnchors = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshPairs = lsh.filter(_._1 < 20).map(t => (t._1, t._3)).toSet
+    val recall = exact.intersect(lshPairs).size.toDouble / exact.size
+    info(f"hard-negative LSH recall@5 over 20 anchors = $recall%.3f")
+    assert(recall >= 0.8, // measured 0.95 on sf0.001
+      f"recall=$recall%.3f — 16x4 banding should catch most moderate-cosine negatives")
+  }
 }
