@@ -36,11 +36,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** (total ticks, steal ticks) from the aggregate cpu line. */
+  /** (total ticks, steal ticks) from the aggregate cpu line. Only the
+    * first 8 fields (user..steal) are summed — guest/guest_nice are
+    * already folded into user/nice by the kernel, so including them
+    * would double-count and underestimate steal_pct. */
   private def cpuTicks(): (Long, Long) =
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
       (f.sum, if (f.length > 7) f(7) else 0L)
     } catch { case _: Throwable => (0L, 0L) }
 
@@ -62,6 +65,36 @@ object Bench {
     "pq_residual_codes" -> 25.0, "attribution_stream" -> 16.0,
     "user_sessions_stateful" -> 10.0, "events_hourly_stream" -> 5.0
   ).withDefaultValue(8.0)
+
+  /** The LAST stdout line. The driver records only the trailing ~2000
+    * chars of the run's output; for six rounds the one full JSON line
+    * ended with the noise map, so the captured tail held zero timings
+    * and the official bench artifact was unparseable ("parsed": null).
+    * This line is a complete, self-contained JSON record capped at
+    * `budget` chars so the verdict ALWAYS lands inside the tail:
+    * total first, then queries slowest-first until the budget is
+    * reached, with "omitted" counting the rest (the untruncated map is
+    * the preceding line, and GRAFT_BENCH_OUT archives both). */
+  def compactLine(total: Double, queries: Seq[(String, Double)],
+                  nErrors: Int, flagged: Seq[String], sf: String,
+                  budget: Int = 1600): String = {
+    def r3(v: Double): String = f"$v%.3f"
+    val flaggedJson =
+      flagged.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+      s""","n_queries":${queries.size},"n_errors":$nErrors""" +
+      s""","flagged":$flaggedJson,"sf":"$sf","queries":{"""
+    val entries = queries.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val fixedTail = 20 // },"omitted":NNNN}
+    var used = head.length + fixedTail
+    val kept = entries.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
+    }
+    head + kept.mkString(",") + s"""},"omitted":${entries.size - kept.size}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,7 +196,20 @@ object Bench {
       }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum + warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"reps":$reps,"errors":$errJson,"noise":$noiseJson,"flagged":$flaggedJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"reps":$reps,"errors":$errJson,"noise":$noiseJson,"flagged":$flaggedJson,"sf":"$sfDir"}"""
+    // warm entries count toward the total, so the tail record lists
+    // them alongside the queries (prefixed) — the sum must be auditable
+    // from the tail alone
+    val tailLine = compactLine(total,
+      ok ++ warm.map { case (k, v) => s"warm:$k" -> v },
+      errors.size, flagged, sfDir)
+    println(fullLine)
+    sys.env.get("GRAFT_BENCH_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p, "UTF-8")
+      try { w.println(fullLine); w.println(tailLine) } finally w.close()
+    }
+    // MUST be last on stdout: the driver's tail capture parses this.
+    println(tailLine)
     spark.stop()
   }
 }

@@ -123,6 +123,9 @@ object SparkEntry {
     // zero-Exchange co-located join over bucketed tables (plan-asserted
     // in BucketedQuerySpec)
     "bucketed_customer_orders" -> ((s, d) => RelationalOps.bucketedCustomerOrders(s, d)),
+    // salted join over a 90%-hot derived key (plan-asserted in
+    // ScaleToolsSpec; the oracle states the join unsalted)
+    "salted_events_join" -> ((s, d) => SkewTools.saltedEventsJoin(s, d)),
     "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
     "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
     "min_cost_supplier" -> ((s, d) => RelationalOps.minCostSupplier(s, d)),
@@ -265,7 +268,11 @@ object SparkEntry {
     "token_vocab" -> ((s, d) => TextAnalytics.tokenVocab(s, d)),
     // CMS sketch estimates aren't SQL-expressible; the n_exact column
     // and the over-count bound are test-pinned
-    "vocab_cms" -> ((s, d) => TextAnalytics.vocabCms(s, d)),
+    // projected to (term, n_exact, cms_in_bound): the exact head
+    // hash-checks against DuckDB and the (seeded, reproducible) CMS
+    // bound is oracle-asserted as a literal; the raw estimate stays on
+    // the API/test surface
+    "vocab_cms" -> ((s, d) => TextAnalytics.vocabCms(s, d).drop("n_cms")),
     "corpus_datacard" -> ((s, d) => TextAnalytics.corpusDatacard(s, d)),
     "bm25_search" -> ((s, d) => TextSearch.bm25Search(s, d)),
     // same scores through the persisted bucket-partitioned inverted
@@ -298,8 +305,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
     "neardup_cosine" -> ((s, d) => Dedup.neardupCosine(s, d)),
-    // scale path for the same question (no SQL oracle: seeded
-    // hyperplane sketch; verified in DedupSpec incl. recall vs exact)
+    // scale path for the same question — oracled against the EXACT
+    // self-join (every emitted pair is cosine-verified, and at this
+    // threshold the 8-band sketch finds every qualifying pair);
+    // recall-vs-exact also test-pinned in DedupSpec
     "neardup_cosine_lsh" -> ((s, d) => Dedup.neardupCosineLsh(s, d)),
     "doc_dedup" -> ((s, d) => Dedup.docDedupFor(s, d)),
     // --- pipeline hygiene (north star): reproducible splits +
@@ -434,6 +443,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // the oracle states the skewed join UNSALTED — salting must be
+    // value-invariant, that is the whole contract
+    "salted_events_join" ->
+      """SELECT n.n_name,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN nation n
+        |  ON (CASE WHEN e.user_id % 100 < 90 THEN 0
+        |           ELSE e.user_id % 25 END) = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,
@@ -1000,6 +1021,35 @@ object SparkEntry {
     // int8 quantization audit: after the float max|x|, everything is
     // integer arithmetic (round-half-away both engines), so the whole
     // row hash-matches; scale itself is one float-exact division
+    // quantization is seedless and deterministic — the oracle
+    // re-derives the int8 codes (same construction quantize_stats
+    // hash-passes with) and replays the integer-dot cosine rank; the
+    // double arithmetic is the same correctly-rounded IEEE op sequence
+    // in both engines, so the top-k hash-matches
+    "knn_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x -> round(x::DOUBLE / scale)::INTEGER)
+        |    END AS qv
+        |  FROM q),
+        |qry AS (SELECT qv AS qvec FROM qq WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT a.vec_id,
+        |    list_sum(list_transform(range(1, len(a.qv)+1),
+        |      i -> (a.qv[i]::BIGINT) * (qry.qvec[i]::BIGINT)))::BIGINT AS dot_qq,
+        |    list_sum(list_transform(a.qv, x -> (x::BIGINT) * (x::BIGINT)))::BIGINT AS norm_a,
+        |    list_sum(list_transform(qry.qvec, x -> (x::BIGINT) * (x::BIGINT)))::BIGINT AS norm_b
+        |  FROM qq a CROSS JOIN qry
+        |  WHERE a.vec_id <> 0)
+        |SELECT vec_id,
+        |  CASE WHEN norm_a = 0 OR norm_b = 0 THEN 0.0
+        |       ELSE dot_qq::DOUBLE / (sqrt(norm_a::DOUBLE) * sqrt(norm_b::DOUBLE)) END AS sim
+        |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "quantize_stats" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
@@ -1042,6 +1092,13 @@ object SparkEntry {
          |  count(DISTINCT id)::BIGINT AS n_docs
          |FROM (SELECT id, unnest(toks) AS term FROM corpus)
          |GROUP BY term ORDER BY n_occurrences DESC, term LIMIT 25""".stripMargin,
+    // the exact head hash-checks; the CMS bound (never-under, over by
+    // <= 5·eps·N — seeded, reproducible) is asserted as a literal
+    "vocab_cms" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT term, count(*)::BIGINT AS n_exact, TRUE AS cms_in_bound
+         |FROM (SELECT id, unnest(toks) AS term FROM corpus)
+         |GROUP BY term ORDER BY n_exact DESC, term LIMIT 25""".stripMargin,
     "corpus_datacard" ->
       """WITH docs AS (
         |  SELECT lang, source,
@@ -1137,6 +1194,39 @@ object SparkEntry {
          |  JOIN sh sb ON sb.id = c.b_id)
          |SELECT a_id, b_id, jaccard3 FROM j
          |WHERE jaccard3 >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    // SimHash re-derived from scratch in SQL: per-token FNV-1a (the
+    // 64-bit wrap via HUGEINT mod 2^64 — validated token-for-token
+    // against the Scala kernel), per-bit majority vote, signed-64
+    // fingerprint, then ALL-PAIRS Hamming <= 3. The engine's banded
+    // join is exact for Hamming <= 3 (pigeonhole over 4×16-bit bands),
+    // so the unbanded oracle states the same pair set.
+    "dedup_simhash" ->
+      s"""WITH $sqlCorpusToks,
+         |tokenized AS (SELECT * FROM corpus WHERE len(toks) > 0),
+         |th AS (
+         |  SELECT id, list_transform(toks, t ->
+         |    list_reduce(
+         |      list_prepend(14695981039346656037::HUGEINT,
+         |        list_transform(range(1, length(t)+1), i -> unicode(t[i])::HUGEINT)),
+         |      (h, b) -> ((xor(h, b) * 1099511628211::HUGEINT)
+         |                 % 18446744073709551616::HUGEINT))) AS hs
+         |  FROM tokenized),
+         |sigs AS (
+         |  SELECT id,
+         |    list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64), b ->
+         |      CASE WHEN len(list_filter(hs, h -> ((h >> b) & 1) = 1)) * 2 > len(hs)
+         |           THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)),
+         |      (a, x) -> a + x) AS usig
+         |  FROM th),
+         |s2 AS (
+         |  SELECT id, CAST(CASE WHEN usig >= 9223372036854775808::HUGEINT
+         |       THEN usig - 18446744073709551616::HUGEINT ELSE usig END AS BIGINT) AS sig
+         |  FROM sigs)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+         |FROM s2 a JOIN s2 b ON a.id < b.id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
     // deterministic md5-prefix split: DuckDB computes the identical
     // assignment (hex-string thresholds, no numeric conversion)
@@ -1282,6 +1372,19 @@ object SparkEntry {
          |FROM reach GROUP BY src
          |ORDER BY vec_id""".stripMargin,
     "neardup_cosine" ->
+      s"""SELECT a_id, b_id, c AS cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+         |WHERE c > 0.95
+         |ORDER BY a_id, b_id""".stripMargin,
+    // the LSH path must emit the SAME verified pairs as the exact
+    // self-join: every emitted pair is cosine-verified (exact
+    // precision), and at cos > 0.95 an 8×8-bit band miss needs all 8
+    // bands to differ — the oracle states the exact twin, making LSH
+    // recall part of the correctness contract, not just the test pin
+    "neardup_cosine_lsh" ->
       s"""SELECT a_id, b_id, c AS cos FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    ${sqlDot("a.embedding", "b.embedding")} /

@@ -28,8 +28,9 @@ import org.apache.spark.sql.types._
   * argmin (squared-L2, first-minimum tie-break — same as MLlib
   * `findClosest` and [[NearestList]]) over `books(m)` of the m-th
   * contiguous subvector. `books(m)(j)` is centroid j of subspace m;
-  * all subspaces share one sublength and k ≤ 128 so codes fit a
-  * signed byte. */
+  * all subspaces share one sublength and k ≤ 256 — codes occupy one
+  * byte each and every ADC kernel decodes them UNSIGNED (& 0xff), so
+  * the full byte range is addressable (FAISS nbits=8). */
 case class PqEncode(child: Expression, books: Array[Array[Array[Float]]],
                     asBinary: Boolean = false)
     extends UnaryExpression {
@@ -44,11 +45,11 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _)
-        if books.nonEmpty && books.forall(b => b.nonEmpty && b.length <= 128) =>
+        if books.nonEmpty && books.forall(b => b.nonEmpty && b.length <= 256) =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(FloatType, _) =>
       TypeCheckResult.TypeCheckFailure(
-        "pq_encode: codebooks must be non-empty with at most 128 centroids per subspace")
+        "pq_encode: codebooks must be non-empty with at most 256 centroids per subspace")
     case t =>
       TypeCheckResult.TypeCheckFailure(
         s"pq_encode requires array<float>, got ${t.catalogString}")

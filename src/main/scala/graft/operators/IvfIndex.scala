@@ -253,36 +253,40 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(staging)
     assigned.unpersist(blocking = false)
     val postingsRoot = Paths.get(s"$dir/postings")
+    // eagerly list + CLOSE the directory stream — this sink lives in a
+    // long-running streaming job, and an unclosed Files.list holds a
+    // directory fd until GC, which is not guaranteed before exhaustion
+    def children(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+      finally s.close()
+    }
     // step 3a: clear partial files from a crashed prior attempt
     if (Files.exists(postingsRoot)) {
-      import scala.jdk.CollectionConverters._
-      Files.list(postingsRoot).iterator().asScala
+      children(postingsRoot)
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("list_id="))
         .foreach { listDir =>
-          Files.list(listDir).iterator().asScala
+          children(listDir)
             .filter(_.getFileName.toString.startsWith(s"b$tag-"))
             .foreach(Files.delete(_))
         }
     }
     // step 3b: move staged data files in under the batch prefix
     val stagingRoot = Paths.get(staging)
-    locally {
-      import scala.jdk.CollectionConverters._
-      Files.list(stagingRoot).iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("list_id="))
-        .foreach { listDir =>
-          val dst = postingsRoot.resolve(listDir.getFileName)
-          Files.createDirectories(dst)
-          Files.list(listDir).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .foreach { f =>
-              Files.move(f, dst.resolve(s"b$tag-${f.getFileName}"),
-                StandardCopyOption.REPLACE_EXISTING)
-            }
-        }
-    }
+    children(stagingRoot)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("list_id="))
+      .foreach { listDir =>
+        val dst = postingsRoot.resolve(listDir.getFileName)
+        Files.createDirectories(dst)
+        children(listDir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            Files.move(f, dst.resolve(s"b$tag-${f.getFileName}"),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
     // step 4: commit marker, then drop staging
     Files.createDirectories(marker.getParent)
     Files.write(marker, n.toString.getBytes("UTF-8"))

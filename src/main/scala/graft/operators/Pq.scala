@@ -43,7 +43,10 @@ object Pq {
     * wasted work, and the sample keeps the fit driver-schedulable). */
   def train(df: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
             seed: Long = 42L, maxTrainRows: Long = 100000L): Model = {
-    require(k <= 128, s"pq: k=$k codes must fit a signed byte (k <= 128)")
+    // codes are stored as bytes and decoded UNSIGNED (& 0xff) by every
+    // ADC kernel, so the full byte range is usable — k = 256 is the
+    // FAISS nbits=8 default and the max
+    require(k <= 256, s"pq: k=$k codes must fit one byte (k <= 256)")
     val dim = df.select(size(col(embCol))).head.getInt(0)
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -170,7 +173,16 @@ object Pq {
     * centroid, `zip_with` subtracts — all codegen'd builtins, nothing
     * joins or shuffles. */
   private[graft] def residualFrame(index: IvfIndex.Index): DataFrame = {
-    val cents = index.centroidArrays.sortBy(_._1).map(_._2)
+    val sorted = index.centroidArrays.sortBy(_._1)
+    // the element_at below picks centroids POSITIONALLY (list_id + 1),
+    // which is only correct when list ids are contiguous from 0 — true
+    // for IvfIndex.build (zipWithIndex) but assert it, so a future
+    // index format with gapped ids fails loudly instead of silently
+    // computing residuals against the wrong centroid
+    require(sorted.map(_._1).toSeq == (0 until sorted.length),
+      s"residualFrame: list ids must be contiguous 0..${sorted.length - 1}, " +
+        s"got ${sorted.map(_._1).take(10).mkString(",")}…")
+    val cents = sorted.map(_._2)
     index.postings.select(col("list_id"), col("id"),
       zip_with(col("embedding"),
         element_at(typedlit(cents), col("list_id") + 1),

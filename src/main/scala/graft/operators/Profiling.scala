@@ -56,16 +56,27 @@ object Profiling {
   }
 
   /** The wide-table scale path: identical shape to [[profileLineitem]]
-    * but distinct counts are `approx_count_distinct` (HLL++, rsd 1%).
-    * The exact query's six countDistincts share one Expand — a 6× row
-    * amplification of the table through one shuffle, fine at this
-    * width but quadratic-feeling at a 100-column table; the HLL
-    * sketches are fixed-size mergeable state per column, so the whole
-    * profile stays ONE pass with NO Expand no matter how wide the
-    * table gets. No SQL oracle (sketch internals are engine-specific);
+    * but distinct counts are `approx_count_distinct` (HLL++, Spark's
+    * default rsd 5%). The exact query's six countDistincts share one
+    * Expand — a 6× row amplification of the table through one shuffle,
+    * fine at this width but quadratic-feeling at a 100-column table;
+    * the HLL sketches are fixed-size mergeable state per column, so
+    * the whole profile stays ONE pass with NO Expand no matter how
+    * wide the table gets. rsd matters: per-row update cost grows with
+    * register count (~1/rsd²), and at rsd=0.01 the six maximal-
+    * precision sketches cost 3× the Expand they replace at this width
+    * (9.6 s vs 3.1 s measured at sf0.1) — the scale path lost to the
+    * thing it replaces. rsd=0.02 is the sweet spot this surface pins:
+    * 4× smaller sketches than 0.01 (the approx twin benches at/below
+    * the exact one — measured at sf0.1 in the bench record), while
+    * observed error stays inside the 5%
+    * accuracy test (rsd=0.05 does NOT — 6.4% on l_orderkey at
+    * sf0.001). The exact-path Expand, not the sketch, is what explodes
+    * as columns are added; the crossover favors HLL more the wider the
+    * table. No SQL oracle (sketch internals are engine-specific);
     * accuracy vs the exact profile is test-pinned within 5%. */
   def profileLineitemApprox(spark: SparkSession, sfDir: String,
-                            rsd: Double = 0.01): DataFrame = {
+                            rsd: Double = 0.02): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val wide = li.agg(
       count(lit(1)).as("n_rows"),

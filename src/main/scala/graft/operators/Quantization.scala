@@ -36,8 +36,10 @@ object Quantization {
   /** Top-k by quantized cosine similarity (descending, vec_id
     * tie-break): integer dot products over array<tinyint>, one double
     * division at the end. Approximate vs exact cosine (quantization
-    * error ~1/254 per component) — verified by a recall test, not a
-    * SQL oracle. */
+    * error ~1/254 per component) — recall-tested against the exact
+    * path, AND hash-exact oracled (r7): quantization is seedless, so
+    * DuckDB re-derives the identical codes and replays the same
+    * integer-dot ranking. */
   def knnQuantized(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                    k: Int = 10): DataFrame = {
     val quantized = Tables.embeddings(spark, sfDir)

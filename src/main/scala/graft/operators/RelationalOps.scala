@@ -432,7 +432,10 @@ object RelationalOps {
   }
 
   /** TPC-H Q3-shaped shipping priority: the unshipped-revenue top-N.
-    * customer is a broadcast dim (segment filter first); orders ⋈
+    * customer (segment-filtered first) is left UNHINTED: it grows
+    * linearly with SF, so AQE broadcasts it while it fits and falls
+    * back to a shuffle join at scale — an unconditional broadcast()
+    * would collect a multi-GB slice to the driver at 100×. orders ⋈
     * lineitem is the one real shuffle, on the join key both sides
     * already aggregate on. Revenue sums in decimal, the final top-N is
     * a TakeOrderedAndProject — never a full sort. */
@@ -451,7 +454,7 @@ object RelationalOps {
       .filter(col("l_shipdate") > lit(cutoff))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast(dec) *
         (lit(1) - col("l_discount")).cast(dec)).cast("double").as("revenue"))
@@ -484,7 +487,9 @@ object RelationalOps {
   }
 
   /** TPC-H Q14-shaped promo revenue share for one ship month: a
-    * conditional aggregate over lineitem ⋈ broadcast(part). Both sums
+    * conditional aggregate over lineitem ⋈ part. part is unhinted —
+    * it scales with SF, so the broadcast-vs-shuffle choice is AQE's
+    * (it broadcasts at bench scale, shuffles at 100 TB). Both sums
     * are exact decimals; the percentage is one double multiply +
     * divide on identical operands in both engines, so the single
     * output row hash-matches without rounding. */
@@ -493,8 +498,8 @@ object RelationalOps {
                    mEnd: String = "1997-10-01"): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit(mStart) && col("l_shipdate") < lit(mEnd))
-    val p = broadcast(Tables.part(spark, sfDir)
-      .select(col("p_partkey"), col("p_type")))
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_type"))
     val disc = col("l_extendedprice").cast(dec) *
       (lit(1) - col("l_discount")).cast(dec)
     l.join(p, col("l_partkey") === col("p_partkey"))
@@ -679,8 +684,11 @@ object RelationalOps {
     * left-anti self-join on lineitem, both equi-keyed on l_orderkey
     * with the supplier inequality INSIDE the join condition — two
     * join-key-aligned shuffles of the same relation, no cartesian
-    * anywhere; orders and supplier ride along as broadcasts. The final
-    * top-N is a TakeOrderedAndProject. */
+    * anywhere; orders (status-filtered — still ~half the fact table,
+    * grows with SF) and supplier join UNHINTED so AQE picks broadcast
+    * only while they fit — the previous unconditional broadcast of the
+    * orders slice was the one hard scale-killer on the surface. The
+    * final top-N is a TakeOrderedAndProject. */
   def lateSoleSuppliers(spark: SparkSession, sfDir: String,
                         topN: Int = 25): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -699,8 +707,8 @@ object RelationalOps {
         col("l_suppkey") =!= col("s2"), "left_semi")
       .join(l3, col("l_orderkey") === col("o3") &&
         col("l_suppkey") =!= col("s3"), "left_anti")
-      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
@@ -729,10 +737,17 @@ object RelationalOps {
       val to = s"orders_bkt_$tag"; val tc = s"customer_bkt_$tag"
       Seq(to, tc).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
-        // a crashed run can leave the managed dir without a catalog row
-        val w = new java.io.File(
-          spark.conf.get("spark.sql.warehouse.dir")
-            .stripPrefix("file:") + s"/$t")
+        // a crashed run can leave the managed dir without a catalog row;
+        // resolve via URI so %-escapes / spaces in the warehouse path
+        // can't make the cleanup target the wrong directory
+        val whConf = spark.conf.get("spark.sql.warehouse.dir")
+        val whPath =
+          try {
+            val uri = new java.net.URI(whConf)
+            if (uri.getScheme == null) new java.io.File(whConf)
+            else java.nio.file.Paths.get(uri).toFile
+          } catch { case _: Exception => new java.io.File(whConf.stripPrefix("file:")) }
+        val w = new java.io.File(whPath, t)
         if (w.exists()) {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -263,7 +263,14 @@ object TextAnalytics {
     * head counts come from the same aggregation [[tokenVocab]] runs,
     * and the output row compares them: CMS never under-counts, and
     * over-counts by at most eps·N with the configured confidence
-    * (test-pinned). Seeded, so estimates are reproducible. */
+    * (test-pinned). Seeded, so estimates are reproducible.
+    *
+    * The `cms_in_bound` flag folds both guarantees (never-under, over
+    * by ≤ 5·eps·N — the test's hard cap) into one column a DuckDB
+    * oracle can state as a literal TRUE: the registered query projects
+    * (term, n_exact, cms_in_bound), so the exact head is hash-checked
+    * AND the sketch bound is oracle-asserted; the raw `n_cms` estimate
+    * stays in this frame for the audit/tests. */
   def vocabCms(spark: SparkSession, sfDir: String, topK: Int = 25,
                eps: Double = 0.0005, confidence: Double = 0.99): DataFrame = {
     import spark.implicits._
@@ -275,8 +282,13 @@ object TextAnalytics {
       .orderBy(col("n_exact").desc, col("term").asc)
       .limit(topK)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    head.map { case (t, n) => (t, n, sketch.estimateCount(t)) }.toSeq
-      .toDF("term", "n_exact", "n_cms")
+    // totalCount comes off the sketch — no third corpus pass
+    val bound = math.max(1L, math.ceil(eps * sketch.totalCount).toLong)
+    head.map { case (t, n) =>
+      val est = sketch.estimateCount(t)
+      (t, n, est, est >= n && est - n <= 5 * bound)
+    }.toSeq
+      .toDF("term", "n_exact", "n_cms", "cms_in_bound")
       .orderBy(col("n_exact").desc, col("term").asc)
   }
 

@@ -74,6 +74,64 @@ object DocCuration {
       .withWatermark("arrival_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("md5_norm")
 
+  /** Idempotent batch-keyed parquet append — the curation twin of
+    * [[graft.operators.IvfIndex.appendBatch]]'s marker protocol,
+    * without the per-list renames (curated rows have no partition
+    * identity to merge into, so each micro-batch OWNS one
+    * `batch_tag=` directory and commit atomicity is directory-level):
+    *
+    *  1. a committed marker at `outDir/_committed/<ns>-<batchId>` turns
+    *     replay of a fully-committed batch into a no-op;
+    *  2. the batch writes to its own `data/batch_tag=<ns>-<batchId>`
+    *     directory with mode=overwrite — a replay after a crash
+    *     mid-write deletes the partial files and rewrites, so the
+    *     directory is repaired, never doubled;
+    *  3. the marker is written LAST: a crash anywhere before it
+    *     replays into step 2.
+    *
+    * Returns rows appended (0 for a replayed committed batch). */
+  def appendCuratedBatch(outDir: String, batch: DataFrame, batchId: Long,
+                         namespace: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = s"$namespace-$batchId"
+    val marker = Paths.get(s"$outDir/_committed/$tag")
+    if (Files.exists(marker)) return 0L
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    cached.write.mode("overwrite").parquet(s"$outDir/data/batch_tag=$tag")
+    cached.unpersist(blocking = false)
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, n.toString.getBytes("UTF-8"))
+    n
+  }
+
+  /** Start the exactly-once curation sink: quality-filter + dedup the
+    * document stream and land the survivors in parquet under `outDir`.
+    * foreachBatch is at-least-once (a crash between the write and the
+    * offset commit replays the batch); [[appendCuratedBatch]] makes
+    * the landing idempotent, so the corpus on disk is exactly-once on
+    * top of an at-least-once delivery — the same layering as
+    * [[IndexMaintenance.appendStream]]. `checkpointDir` makes the job
+    * restartable (file-source offsets commit there); the kill-rerun
+    * test pins that a restart lands zero duplicate rows. */
+  def curateToParquet(stream: DataFrame, outDir: String,
+                      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = IndexMaintenance.checkpointNamespace(checkpointDir)
+    val writer = curateDocuments(stream).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendCuratedBatch(outDir, batch, batchId, ns)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** The curated corpus as written by [[curateToParquet]] — the
+    * batch_tag partition column is sink bookkeeping, not data. */
+  def readCurated(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/data").drop("batch_tag")
+
   /** Registered-query surface: the curated corpus's fingerprint set.
     * WHICH doc of a duplicate group survives depends on arrival order
     * (micro-batch interleaving), but the fingerprint SET is

@@ -22,6 +22,26 @@ import graft.operators.IvfIndex
   */
 object IndexMaintenance {
 
+  /** Idempotence namespace for batch-keyed sinks. batchIds are scoped
+    * to a checkpoint (they restart at 0 for a fresh one), so commit
+    * markers are namespaced by the checkpoint identity: the path is
+    * CANONICALIZED before hashing (relative vs absolute, trailing
+    * slash, `..` must all name the same namespace — a respelled
+    * restart would otherwise silently lose replay dedup) and hashed
+    * with SHA-256, wide enough that distinct checkpoints can't collide
+    * the way 32-bit hashCode can. A throwaway-checkpoint run gets a
+    * random namespace — it has no replay to dedupe and must not
+    * collide with a later run's batch 0. */
+  private[streaming] def checkpointNamespace(checkpointDir: Option[String]): String =
+    checkpointDir
+      .map { d =>
+        val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(canon.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+      }
+      .getOrElse(java.util.UUID.randomUUID.toString.take(8))
+
   /** Start a streaming append job: every micro-batch of
     * (`idCol`, `embCol`) rows is assigned and appended to the
     * persisted index at `dir`. AvailableNow processes the backlog and
@@ -41,14 +61,7 @@ object IndexMaintenance {
   def appendStream(newVectors: DataFrame, dir: String,
                    idCol: String, embCol: String,
                    checkpointDir: Option[String] = None): StreamingQuery = {
-    // batchIds are scoped to a checkpoint (they restart at 0 for a
-    // fresh one), so the idempotence markers are namespaced by the
-    // checkpoint identity; a throwaway-checkpoint run gets a random
-    // namespace — it has no replay to dedupe and must not collide with
-    // a later run's batch 0.
-    val ns = checkpointDir
-      .map(d => (d.hashCode & 0x7fffffff).toString)
-      .getOrElse(java.util.UUID.randomUUID.toString.take(8))
+    val ns = checkpointNamespace(checkpointDir)
     val writer = newVectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IvfIndex.appendBatch(batch.sparkSession, dir, batch, idCol, embCol,

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench-record protocol: the driver captures only the
+  * trailing ~2000 chars of Bench's stdout, so the LAST printed line
+  * must be a complete JSON record carrying the verdict. This rotted
+  * silently for six rounds (the full line ended with the noise map and
+  * the captured tail held zero timings); these tests make any future
+  * format change that breaks the tail a CI failure, not a
+  * round-later surprise. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  // realistic name lengths/values: 107 registered queries + 11 warm
+  private val fake: Seq[(String, Double)] =
+    (1 to 107).map(i => f"some_registered_query_name_$i%03d" -> (i * 0.037)) ++
+      (1 to 11).map(i => s"warm:shared_artifact_build_$i" -> (i * 1.3))
+
+  test("compactLine always fits the driver's tail capture") {
+    val line = Bench.compactLine(107.2, fake, 0, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1600, s"len=${line.length}")
+    // a 50k-char full line before it must not push it out of the tail
+    val tail = (("x" * 50000) + "\n" + line).takeRight(2000)
+    assert(tail.contains("\"metric\":\"total\""))
+    assert(tail.contains("\"value\":"))
+    assert(tail.contains("\"queries\":{"))
+    assert(tail.contains("\"sf\":"))
+  }
+
+  test("compactLine is valid JSON with slowest-first queries and an omitted count") {
+    val line = Bench.compactLine(107.2, fake, 2,
+      Seq("slow_one", "slow_two"), "/root/testdata/sf0.1")
+    // structural JSON validity: balanced braces/brackets, no trailing comma
+    assert(line.head == '{' && line.last == '}')
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+    assert(!line.contains(",}") && !line.contains(",]"))
+    assert(line.contains("\"value\":107.200"))
+    assert(line.contains("\"n_errors\":2"))
+    assert(line.contains("\"flagged\":[\"slow_one\",\"slow_two\"]"))
+    // slowest entry must be the first in the map (truncation keeps the
+    // entries that matter)
+    val qStart = line.indexOf("\"queries\":{") + "\"queries\":{".length
+    // keys can contain ':' (warm entries) — parse by quote boundaries
+    val firstKey = line.substring(qStart + 1, line.indexOf('"', qStart + 1))
+    val slowest = fake.maxBy(_._2)._1
+    assert(firstKey == slowest, s"first=$firstKey")
+    // kept + omitted must account for every entry
+    val om = "\"omitted\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    val kept = line.substring(qStart, line.lastIndexOf("},\"omitted\""))
+      .split(",").count(_.nonEmpty)
+    assert(om.isDefined && kept + om.get == fake.size,
+      s"kept=$kept omitted=$om total=${fake.size}")
+  }
+
+  test("compactLine with few queries keeps them all and omits none") {
+    val small = Seq("a" -> 1.0, "b" -> 2.0, "c" -> 0.5)
+    val line = Bench.compactLine(3.5, small, 0, Nil, "sf0.01")
+    assert(line.contains("\"b\":2.000"))
+    assert(line.contains("\"a\":1.000"))
+    assert(line.contains("\"c\":0.500"))
+    assert(line.contains("\"omitted\":0"))
+  }
+}

@@ -232,6 +232,34 @@ class PqSpec extends SparkSpec {
     assert(refined >= adc, "re-ranking must not lose recall")
   }
 
+  test("nbits=8 (k=256) codebooks lift ADC recall at equal code bytes") {
+    // Same 8 bytes per vector either way: k=16 uses only 4 of each
+    // byte's 8 bits, k=256 (the FAISS nbits=8 default) uses all of
+    // them — 16× more centroids per subspace for FREE at this storage
+    // budget, possible because every ADC kernel decodes codes unsigned.
+    import graft.operators.VectorSearchOps
+    def recall(k: Int): Double = (0L to 4L).map { qid =>
+      val exact = VectorSearchOps.knnExactL2(spark, sfSmall, qid, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Pq.searchPq(spark, sfSmall, qid, kNeighbors = 10, m = 8, k = k)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size / 10.0
+    }.sum / 5
+    val r16 = recall(16)
+    val r256 = recall(256)
+    info(f"ADC recall@10 at 8 code bytes: k=16 $r16%.3f vs k=256 $r256%.3f")
+    assert(r256 > r16 + 0.1,
+      f"k=256 ($r256%.3f) must measurably beat k=16 ($r16%.3f) at equal bytes")
+    // the upper half of the byte range must actually be exercised —
+    // otherwise the unsigned decode path is untested
+    val m256 = Pq.forEmbeddings(spark, sfSmall, 8, 256)
+    val emb = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+    val maxCode = Pq.encode(emb, "vec_id", "embedding", m256)
+      .select(col("codes")).collect()
+      .flatMap(_.getSeq[Byte](0)).map(_ & 0xff).max
+    assert(maxCode > 127, s"max unsigned code $maxCode — byte range unused")
+  }
+
   test("persisted binary-code search ≡ in-memory IVF-PQ; scan is partition-pruned") {
     val mem = Pq.ivfSearchPq(spark, sfSmall, queryId = 7L, kNeighbors = 10,
       nlist = 4, nprobe = 2)

@@ -23,6 +23,36 @@ class ScaleToolsSpec extends SparkSpec {
     assert(salted.size == 2000)
   }
 
+  test("salted_events_join: salt replication reaches the plan; values equal the plain join") {
+    val df = SkewTools.saltedEventsJoin(spark, sfSmall)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // plain (unsalted, broadcastable) twin as ground truth
+    val ev = Tables.events(spark, sfSmall)
+      .select(when(col("user_id") % 100 < 90, lit(0L))
+        .otherwise(col("user_id") % 25).as("seg"), col("value"))
+    val dim = Tables.nation(spark, sfSmall)
+      .select(col("n_nationkey").cast("long").as("seg"), col("n_name"))
+    val plain = ev.join(dim, Seq("seg"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("n_name").asc).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == plain, "salting must be value-invariant")
+    // the hot key dominates: segment 0 (nation 0's name) carries ~90%
+    val total = got.map(_._2).sum
+    assert(got.maxBy(_._2)._2 > total * 8 / 10, s"hot key share in $got")
+    // plan shape: the dim is replicated per salt value (explode of the
+    // salt sequence => Generate) into a non-broadcast join on
+    // (seg, _salt) — the broadcast-ineligible skew shape, not a BHJ
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"no salt replication in plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"salted join must not broadcast:\n$plan")
+    assert(plan.contains("_salt"), s"salt key missing from join:\n$plan")
+  }
+
   test("bucketed tables join without an exchange on either side") {
     spark.sql("DROP TABLE IF EXISTS orders_bucketed_a")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed_b")

@@ -101,6 +101,67 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 2, s"goodA dedups across micro-batches, lowQ/blank drop: $got")
   }
 
+  test("exactly-once curation sink: kill-rerun lands zero duplicate rows") {
+    import graft.streaming.DocCuration
+    import spark.implicits._
+    val goodA = "the quick brown fox jumps over the lazy dog again and again"
+    val goodB = "a model of the data is trained on the corpus of documents"
+    val goodC = "every document in the corpus is scored for quality and kept"
+    val landing = tmpDir("cur-sink-landing-")
+    val outDir = tmpDir("cur-sink-out-")
+    val ckpt = tmpDir("cur-sink-ckpt-")
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpDir("cur-sink-stage-")
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      DocCuration.curateToParquet(stream, outDir, Some(ckpt)).awaitTermination()
+    }
+    stage("part0", Seq((0L, goodA), (1L, goodB)))
+    run()
+    assert(DocCuration.readCurated(spark, outDir).count() == 2)
+    // relaunch (the "kill-rerun"): same checkpoint, one new file whose
+    // goodA is a CROSS-RESTART duplicate — the dedup state store must
+    // survive the restart, and part0 must not be re-appended
+    stage("part1", Seq((2L, goodA), (3L, goodC)))
+    run()
+    // third launch with nothing new: a no-op
+    run()
+    val cur = DocCuration.readCurated(spark, outDir)
+    assert(cur.count() == 3, "goodA must dedup across the restart")
+    assert(cur.select("md5_norm").distinct().count() == 3)
+    assert(cur.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 3L))
+  }
+
+  test("appendCuratedBatch: committed replay is a no-op; a pre-marker crash repairs") {
+    import graft.streaming.DocCuration
+    import spark.implicits._
+    val out = tmpDir("cur-batch-out-")
+    val batch = Seq((9L, "one curated row")).toDF("doc_id", "text")
+    assert(DocCuration.appendCuratedBatch(out, batch, 3L, "t") == 1L)
+    assert(spark.read.parquet(s"$out/data").count() == 1)
+    // at-least-once replay AFTER the marker: no-op
+    assert(DocCuration.appendCuratedBatch(out, batch, 3L, "t") == 0L)
+    assert(spark.read.parquet(s"$out/data").count() == 1)
+    // crash BETWEEN the data write and the marker: delete the marker
+    // and replay — overwrite repairs the directory, never doubles it
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/_committed/t-3"))
+    assert(DocCuration.appendCuratedBatch(out, batch, 3L, "t") == 1L)
+    assert(spark.read.parquet(s"$out/data").count() == 1)
+  }
+
   test("bounded curation dedup: state expires with the watermark") {
     import graft.streaming.DocCuration
     import spark.implicits._
