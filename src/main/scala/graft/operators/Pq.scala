@@ -252,11 +252,20 @@ object Pq {
     * embedding. `residual = true` (default, FAISS IndexIVFPQ) encodes
     * and scores residuals; `residual = false` keeps the raw-vector
     * codes whose nprobe = nlist search equals [[searchPq]] exactly
-    * (test-pinned). */
+    * (test-pinned).
+    *
+    * `rerank > 0` engages the refine pattern on top (FAISS
+    * IndexIVFPQR shape): the ADC pass keeps a `rerank`-sized
+    * shortlist, and only the shortlist's float vectors — fetched from
+    * the PROBED postings via a broadcast shortlist join, so the float
+    * read is bounded by rerank, never a list scan — are scored
+    * exactly. Coarse-pruning misses stay missed (that is nprobe's
+    * trade); re-ranking repairs ADC ordering error within the probed
+    * lists. */
   def ivfSearchPq(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                   kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
                   m: Int = 8, k: Int = 16,
-                  residual: Boolean = true): DataFrame = {
+                  residual: Boolean = true, rerank: Int = 0): DataFrame = {
     val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === queryId)
@@ -274,10 +283,24 @@ object Pq {
         val model = forEmbeddings(spark, sfDir, m, k)
         pq_adc(col("codes"), adcTable(model, q))
       }
-    coded
-      .select(col("id").as("vec_id"), score.as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-      .limit(kNeighbors)
+    val adc = coded.select(col("id").as("vec_id"), score.as("adc_dist"))
+    if (rerank <= 0) {
+      adc.orderBy(col("adc_dist").asc, col("vec_id").asc).limit(kNeighbors)
+    } else {
+      val shortlist = adc
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(math.max(rerank, kNeighbors))
+        .select(col("vec_id"))
+      index.postings
+        .filter(col("list_id").isin(probed: _*))
+        .select(col("id").as("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"),
+            typedlit(q)).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(kNeighbors)
+    }
   }
 
   /** Codebook-usage audit: one row per (subspace, code) with the
@@ -368,11 +391,11 @@ object Pq {
     * against it, exactly as a user measures FAISS. */
   def ivfPqRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                   kNeighbors: Int = 10, nlist: Int = 4, nprobe: Int = 2,
-                  residual: Boolean = true): Double = {
+                  residual: Boolean = true, rerank: Int = 0): Double = {
     val exact = VectorSearchOps.knnExactL2(spark, sfDir, queryId, kNeighbors)
       .collect().map(_.getLong(0)).toSet
     val approx = ivfSearchPq(spark, sfDir, queryId, kNeighbors, nlist, nprobe,
-        residual = residual)
+        residual = residual, rerank = rerank)
       .collect().map(_.getLong(0)).toSet
     exact.intersect(approx).size.toDouble / kNeighbors
   }

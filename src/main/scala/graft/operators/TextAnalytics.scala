@@ -292,6 +292,30 @@ object TextAnalytics {
       .orderBy(col("n_exact").desc, col("term").asc)
   }
 
+  /** The PRODUCTION sketch path that [[vocabCms]] audits (the audit
+    * deliberately runs the exact twin next to the sketch; this path
+    * does not): ONE pass builds the CMS, and the caller's watchlist —
+    * terms whose frequencies the pipeline tracks (banned phrases,
+    * contamination markers, template boilerplate) — is estimated off
+    * the sketch with no exact aggregation and no second corpus pass.
+    * Estimates carry CMS semantics: never under the true count, over
+    * by ≤ eps·N with the configured confidence; seeded, reproducible.
+    * At 100 TB the sketch is built from mergeable per-partition state
+    * (fixed eps×confidence size), never a (term → count) shuffle. */
+  def termFrequencySketch(spark: SparkSession, sfDir: String,
+                          watchlist: Seq[String],
+                          eps: Double = 0.0005,
+                          confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    require(watchlist.nonEmpty, "termFrequencySketch: empty watchlist")
+    val toks = Ingest.corpusFromDocuments(spark, sfDir)
+      .select(explode(tokens(col("sentence"))).as("term"))
+    val sketch = toks.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
+    watchlist.distinct.map(t => (t, sketch.estimateCount(t)))
+      .toDF("term", "n_est")
+      .orderBy(col("term").asc)
+  }
+
   /** Per-(lang, source) dataset card: document counts, token mass,
     * corpus share, mean document length — the stratified audit table a
     * dataset release ships. One shuffle on the (lang, source) group

@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("TakeOrderedAndProject"), s"top-N must not full-sort:\n$p2")
   }
 
+  test("late_sole_suppliers: unhinted orders/supplier still broadcast while they fit") {
+    // r7 removed the unconditional broadcast() hints (the orders slice
+    // grows with SF — a hard-coded broadcast is the 100 TB scale-killer
+    // the r6 verdict flagged); the OPTIMIZER must still choose
+    // broadcast at a scale where the sides fit, and the top-N must
+    // stay a TakeOrderedAndProject
+    val df = RelationalOps.lateSoleSuppliers(spark, sfSmall)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"orders/supplier should broadcast at sf0.001 without hints:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must not full-sort:\n$p")
+  }
+
   test("bm25 joins are broadcasts — no shuffle join, no big-side cartesian") {
     val df = graft.operators.TextSearch.bm25Search(spark, sfSmall)
     df.collect()

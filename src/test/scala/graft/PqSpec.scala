@@ -260,6 +260,29 @@ class PqSpec extends SparkSpec {
     assert(maxCode > 127, s"max unsigned code $maxCode — byte range unused")
   }
 
+  test("IVF-PQ refine (IndexIVFPQR shape): exact re-rank within probed lists lifts recall") {
+    // refine repairs ADC ordering error; coarse-pruning misses stay
+    // missed, so compare at nprobe = nlist where the probed set is the
+    // whole corpus — there refine + big-enough shortlist must equal
+    // the exact search, and at partial probe it must never hurt
+    val qids = 0L to 4L
+    def mean(rerank: Int, nprobe: Int): Double =
+      qids.map(Pq.ivfPqRecall(spark, sfSmall, _, 10, nlist = 4,
+        nprobe = nprobe, rerank = rerank)).sum / qids.size
+    val plainPartial = mean(0, 2)
+    val refinedPartial = mean(100, 2)
+    info(f"IVF-PQ recall@10 nprobe=2: adc=$plainPartial%.3f refined=$refinedPartial%.3f")
+    assert(refinedPartial >= plainPartial, "refine must never lose recall")
+    // full probe + corpus-sized shortlist ≡ exact kNN (the re-rank is
+    // exact L2 over everything the ADC pass saw)
+    val full = Pq.ivfSearchPq(spark, sfSmall, queryId = 3L, kNeighbors = 10,
+      nlist = 4, nprobe = 4, rerank = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = graft.operators.VectorSearchOps.knnExactL2(spark, sfSmall, 3L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, s"full-probe refined IVF-PQ must equal exact kNN")
+  }
+
   test("persisted binary-code search ≡ in-memory IVF-PQ; scan is partition-pruned") {
     val mem = Pq.ivfSearchPq(spark, sfSmall, queryId = 7L, kNeighbors = 10,
       nlist = 4, nprobe = 2)

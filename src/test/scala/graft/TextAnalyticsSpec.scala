@@ -113,6 +113,29 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(card.forall(c => c._6 > 0 && c._5 >= c._3), "tokens per doc >= 1")
   }
 
+  test("termFrequencySketch: one-pass watchlist estimates respect CMS bounds") {
+    import org.apache.spark.sql.functions._
+    val eps = 0.0005
+    // watchlist: two terms known to exist plus one absent
+    val exact = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+      .select(explode(TextAnalytics.tokens(col("sentence"))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = exact.toSeq.sortBy(-_._2).take(2).map(_._1)
+    val watch = present :+ "zzz_never_a_token_zzz"
+    val got = TextAnalytics.termFrequencySketch(spark, sfSmall, watch, eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == watch.toSet)
+    val n = exact.values.sum
+    val bound = math.max(1L, math.ceil(eps * n).toLong)
+    present.foreach { t =>
+      assert(got(t) >= exact(t), s"'$t' under-counted: ${got(t)} < ${exact(t)}")
+      assert(got(t) - exact(t) <= 5 * bound, s"'$t' far over: ${got(t)} vs ${exact(t)}")
+    }
+    // the absent term may collide but stays within the eps·N guarantee
+    assert(got("zzz_never_a_token_zzz") <= 5 * bound)
+  }
+
   test("vocabCms: sketch never under-counts and over-counts within eps·N") {
     import org.apache.spark.sql.functions._
     val eps = 0.0005
