@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape inventory over every registered query: counts of the
+  * physical-plan nodes that decide 100 TB behavior (shuffle exchanges,
+  * join strategies, cartesian products, codegen spans), one JSON
+  * record per query plus a summary line. This is the machine-checked
+  * form of SURVEY §2.11's shuffle inventory — the per-family plan
+  * assertions live in ScalaTest (PlanSpec etc.); this main sweeps the
+  * WHOLE registered surface so a regression in any query's plan shape
+  * (a new cartesian, a lost broadcast, an extra exchange) shows up in
+  * the committed artifact's diff.
+  *
+  * Notes on reading the numbers:
+  *  - `bnlj` > 0 is legitimate ONLY for (a) the broadcast single-row
+  *    pattern — a 1-row totals frame or query vector riding alongside
+  *    a scan (knn_exact_*, corpus_datacard, bm25 stats) — and (b) the
+  *    deliberately-O(n²) exact twins that exist as oracles for their
+  *    LSH scale paths (neardup_cosine, similarity_join_exact);
+  *    anything else is a review flag. r7 audit: all 18 bnlj hits are
+  *    class (a) or (b);
+  *  - `cartesian` must be 0 everywhere;
+  *  - AQE is enabled, so counts read the initial physical plan (the
+  *    runtime may still downgrade an exchange to a broadcast at
+  *    execution — the static shape is the conservative inventory).
+  */
+object PlanAudit {
+
+  private val markers: Seq[(String, String)] = Seq(
+    "exchange" -> "Exchange hashpartitioning",
+    "broadcast_exchange" -> "BroadcastExchange",
+    "smj" -> "SortMergeJoin",
+    "shj" -> "ShuffledHashJoin",
+    "bhj" -> "BroadcastHashJoin",
+    "bnlj" -> "BroadcastNestedLoopJoin",
+    "cartesian" -> "CartesianProduct",
+    "take_ordered" -> "TakeOrderedAndProject",
+    "codegen" -> "WholeStageCodegen")
+
+  private def countOccurrences(hay: String, needle: String): Int = {
+    var n = 0
+    var i = hay.indexOf(needle)
+    while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outPath = if (args.length > 1) args(1) else "PLAN_AUDIT.json"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val records = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val counts =
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          markers.map { case (key, needle) =>
+            key -> countOccurrences(plan, needle)
+          } :+ ("err" -> 0)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"PLAN ERR $name: ${e.getMessage}")
+            markers.map { case (k, _) => k -> 0 } :+ ("err" -> 1)
+        }
+      name -> counts.toMap
+    }
+    val json = records.map { case (name, c) =>
+      val fields = (markers.map(_._1) :+ "err")
+        .map(k => s""""$k":${c(k)}""").mkString(",")
+      s"""  "$name": {$fields}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val w = new java.io.PrintWriter(outPath, "UTF-8")
+    try w.println(json) finally w.close()
+    val cart = records.filter(_._2("cartesian") > 0).map(_._1)
+    val bnlj = records.filter(_._2("bnlj") > 0).map(_._1)
+    val errs = records.filter(_._2("err") > 0).map(_._1)
+    println(s"""{"metric":"plan_audit","queries":${records.size},"cartesian":${cart.size},"bnlj":[${bnlj.map("\"" + _ + "\"").mkString(",")}],"errors":[${errs.map("\"" + _ + "\"").mkString(",")}],"out":"$outPath"}""")
+    spark.stop()
+  }
+}

@@ -57,6 +57,11 @@ package object functions {
   def nearest_list(emb: Column, cents: Array[Array[Float]]): Column =
     GraftSqlBridge.column(NearestList(col2e(emb), cents))
 
+  /** Dense matrix × float-vector (the OPQ-lite rotation kernel; see
+    * [[MatVec]]). */
+  def mat_vec(emb: Column, mat: Array[Array[Float]]): Column =
+    GraftSqlBridge.column(MatVec(col2e(emb), mat))
+
   /** Sign-random-projection sketch of a float-array embedding (cosine
     * LSH; see [[HyperplaneSketch]]). */
   def hyperplane_sketch(emb: Column, planes: Array[Array[Float]]): Column =

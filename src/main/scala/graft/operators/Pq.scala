@@ -303,6 +303,62 @@ object Pq {
     }
   }
 
+  // ---- OPQ-lite: seeded random orthogonal rotation ---------------------
+
+  /** Seeded random orthogonal matrix (Gaussian init + modified
+    * Gram-Schmidt, double precision, rows orthonormal). Orthogonality
+    * preserves L2 — ||Rx − Rq|| = ||x − q|| — so rotating corpus AND
+    * query changes no exact distance, only how PQ's blocked subspace
+    * split sees the data: a random rotation spreads per-dimension
+    * variance evenly across subspaces, which is most of learned OPQ's
+    * win when variance is concentrated in a few dimensions (Ge et al.,
+    * CVPR 2013 §4 report random rotation as the strong baseline their
+    * learned R improves on). Driver-tiny (dim² floats) and applied as
+    * the codegen'd narrow [[graft.functions.MatVec]] map. */
+  def rotationMatrix(dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+    var r = 0
+    while (r < dim) {
+      var p = 0
+      while (p < r) {
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += m(r)(i) * m(p)(i); i += 1 }
+        i = 0
+        while (i < dim) { m(r)(i) -= dot * m(p)(i); i += 1 }
+        p += 1
+      }
+      var n = 0.0
+      var i = 0
+      while (i < dim) { n += m(r)(i) * m(r)(i); i += 1 }
+      require(n > 1e-12, s"rotationMatrix: degenerate row $r")
+      val inv = 1.0 / math.sqrt(n)
+      i = 0
+      while (i < dim) { m(r)(i) *= inv; i += 1 }
+      r += 1
+    }
+    m.map(_.map(_.toFloat))
+  }
+
+  /** Rotate a float-array embedding column in place (narrow codegen'd
+    * map) — the corpus half of the OPQ-lite transform; apply
+    * [[rotateVector]] to queries. */
+  def rotate(df: DataFrame, embCol: String,
+             rot: Array[Array[Float]]): DataFrame =
+    df.withColumn(embCol, graft.functions.mat_vec(col(embCol), rot))
+
+  /** Driver-side twin of the [[graft.functions.MatVec]] kernel (same
+    * double-accumulate, float-out order, so query rotation is
+    * bit-identical to corpus rotation). */
+  def rotateVector(rot: Array[Array[Float]], v: Array[Float]): Array[Float] =
+    rot.map { row =>
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) { acc += row(i).toDouble * v(i); i += 1 }
+      acc.toFloat
+    }
+
   /** Codebook-usage audit: one row per (subspace, code) with the
     * number of corpus vectors encoding to it — dead codes and
     * one-code-dominates subspaces are how PQ quality problems

@@ -260,6 +260,66 @@ class PqSpec extends SparkSpec {
     assert(maxCode > 127, s"max unsigned code $maxCode — byte range unused")
   }
 
+  test("OPQ-lite: seeded orthogonal rotation is distance-preserving and lifts ADC recall on anisotropic data") {
+    import spark.implicits._
+    val dim = 16
+    val rot = Pq.rotationMatrix(dim, seed = 7)
+    // orthonormality: R·Rᵀ = I within float tolerance
+    for (r <- 0 until dim; p <- 0 until dim) {
+      val dot = (0 until dim).map(i => rot(r)(i).toDouble * rot(p)(i)).sum
+      assert(math.abs(dot - (if (r == p) 1.0 else 0.0)) < 1e-5, s"R row ${r} x ${p} = $dot")
+    }
+    // anisotropic corpus: dims 0-1 carry variance ~100, the rest
+    // ~0.003 — blocked PQ puts ALL the signal in subspace 0 (its k
+    // centroids quantize a 2-D spread of ±10 coarsely) while the other
+    // 7 subspaces' codes quantize noise; the rotation spreads signal
+    // energy across every subspace, so the same m×k budget cuts
+    // quantization error where it matters
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 400L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        if (d < 2) rnd.nextFloat() * 20f - 10f
+        else (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val rotated = Pq.rotate(df, "embedding", rot)
+    // distance preservation: exact L2 between rotated pairs equals the
+    // unrotated distance within float tolerance
+    val two = rotated.filter(col("vec_id") < 2).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val origTwo = vecs.take(2).map(_._2)
+    assert(math.abs(l2(two(0), two(1)) - l2(origTwo(0), origTwo(1))) < 1e-3)
+    // recall comparison at the same m×k code budget
+    val corpus = vecs.toMap
+    def exactTop(qid: Long): Set[Long] =
+      corpus.iterator.filter(_._1 != qid)
+        .map { case (id, v) => (id, l2(corpus(qid), v)) }
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    def recall(frame: org.apache.spark.sql.DataFrame,
+               qxf: Array[Float] => Array[Float]): Double = {
+      val model = Pq.train(frame, "embedding", m = 8, k = 8)
+      val coded = Pq.encode(frame, "vec_id", "embedding", model)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+      (0L until 20L).map { qid =>
+        val lut = Pq.adcTable(model, qxf(corpus(qid)))
+        val top = coded.iterator.filter(_._1 != qid)
+          .map { case (id, cs) =>
+            var acc = 0.0; var s = 0
+            while (s < cs.length) { acc += lut(s)(cs(s) & 0xff); s += 1 }
+            (id, acc)
+          }.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        exactTop(qid).intersect(top).size / 10.0
+      }.sum / 20
+    }
+    val blocked = recall(df, identity)
+    val opq = recall(rotated, q => Pq.rotateVector(rot, q))
+    info(f"ADC recall@10 m=8 k=8: blocked=$blocked%.3f rotated=$opq%.3f")
+    assert(opq > blocked + 0.1,
+      f"rotation ($opq%.3f) must measurably beat blocked PQ ($blocked%.3f) on anisotropic data")
+  }
+
   test("IVF-PQ refine (IndexIVFPQR shape): exact re-rank within probed lists lifts recall") {
     // refine repairs ADC ordering error; coarse-pruning misses stay
     // missed, so compare at nprobe = nlist where the probed set is the
