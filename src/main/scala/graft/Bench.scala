@@ -75,17 +75,29 @@ object Bench {
     * total first, then queries slowest-first until the budget is
     * reached, with "omitted" counting the rest (the untruncated map is
     * the preceding line, and GRAFT_BENCH_OUT archives both). */
+  /** JSON string escape, shared by both emitted lines. */
+  private[graft] def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                case '\r' => "\\r"; case '\t' => "\\t"
+                case c if c < ' ' => "\\u%04x".format(c.toInt); case c => c.toString }
+
+  /** Locale-fixed 3-decimal format: the f-interpolator uses the JVM
+    * default locale, and a comma-decimal locale (de_DE, fr_FR) would
+    * render {"value":107,200} — invalid JSON, which is the exact
+    * failure this record exists to prevent. */
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def compactLine(total: Double, queries: Seq[(String, Double)],
                   nErrors: Int, flagged: Seq[String], sf: String,
                   budget: Int = 1600): String = {
-    def r3(v: Double): String = f"$v%.3f"
     val flaggedJson =
-      flagged.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
+      flagged.take(15).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
       s""","n_queries":${queries.size},"n_errors":$nErrors""" +
-      s""","flagged":$flaggedJson,"sf":"$sf","queries":{"""
+      s""","flagged":$flaggedJson,"sf":"${esc(sf)}","queries":{"""
     val entries = queries.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
     val fixedTail = 20 // },"omitted":NNNN}
     var used = head.length + fixedTail
     val kept = entries.takeWhile { e =>
@@ -123,10 +135,6 @@ object Bench {
       graft.operators.VectorSearchOps.knnExactL2(spark, warmSf).count()
       graft.operators.RelationalOps.windowTopN(spark, warmSf).count()
     } catch { case _: Throwable => () }
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case '\r' => "\\r"; case '\t' => "\\t"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // per-entry noise accumulation: tick deltas over every rep of the
     // entry, plus the worst 1-min loadavg observed around it
@@ -186,7 +194,8 @@ object Bench {
       .mkString("{", ",", "}")
     val noiseJson = steals.map { case (k, (tot, st, ld)) =>
       val pct = if (tot > 0) 100.0 * st / tot else 0.0
-      f""""${k}":{"steal_pct":$pct%.2f,"load1":$ld%.2f}"""
+      def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      s""""${esc(k)}":{"steal_pct":${r2(pct)},"load1":${r2(ld)}}"""
     }.mkString("{", ",", "}")
     // flag vs BASELINE quiet ranges (sf0.1 numbers only)
     val flagged =

@@ -29,6 +29,11 @@ object PlanAudit {
 
   private val markers: Seq[(String, String)] = Seq(
     "exchange" -> "Exchange hashpartitioning",
+    // the global-ORDER-BY and single-partition shuffles count too — a
+    // TakeOrderedAndProject regressing to a full range-partitioned
+    // sort must move a number in this artifact
+    "exchange_range" -> "Exchange rangepartitioning",
+    "exchange_single" -> "Exchange SinglePartition",
     "broadcast_exchange" -> "BroadcastExchange",
     "smj" -> "SortMergeJoin",
     "shj" -> "ShuffledHashJoin",

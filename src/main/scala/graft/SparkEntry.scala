@@ -1383,7 +1383,15 @@ object SparkEntry {
     // self-join: every emitted pair is cosine-verified (exact
     // precision), and at cos > 0.95 an 8×8-bit band miss needs all 8
     // bands to differ — the oracle states the exact twin, making LSH
-    // recall part of the correctness contract, not just the test pin
+    // recall part of the correctness contract, not just the test pin.
+    // HONESTY NOTE: band recall is probabilistic — a pair sitting
+    // exactly at cos = 0.95 (per-bit agreement ≈ 0.9) misses all 8
+    // bands with P ≈ 1.2%, vanishing as cos rises. On the driver's
+    // fixed testdata the qualifying set is stable (currently empty at
+    // both gate SFs, matching the exact twin); if a future testdata
+    // regeneration plants an unlucky boundary pair, DROP this oracle
+    // (restoring the DedupSpec recall pin as the check) rather than
+    // widening the bands — 4-bit keys would blow the bucket cap.
     "neardup_cosine_lsh" ->
       s"""SELECT a_id, b_id, c AS cos FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -26,10 +26,13 @@ case class MatVec(child: Expression, mat: Array[Array[Float]])
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if mat.nonEmpty && mat(0).nonEmpty =>
+    case ArrayType(FloatType, _)
+        if mat.nonEmpty && mat(0).nonEmpty &&
+          mat.forall(_.length == mat(0).length) =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(FloatType, _) =>
-      TypeCheckResult.TypeCheckFailure("mat_vec: empty matrix")
+      TypeCheckResult.TypeCheckFailure(
+        "mat_vec: matrix must be non-empty and rectangular")
     case t =>
       TypeCheckResult.TypeCheckFailure(
         s"mat_vec requires array<float>, got ${t.catalogString}")

@@ -369,6 +369,12 @@ object Pq {
     val model = forEmbeddings(spark, sfDir, m, k)
     encode(Tables.embeddings(spark, sfDir), "vec_id", "embedding", model)
       .select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      // codes are stored as SIGNED bytes but addressed unsigned (the
+      // ADC kernels' & 0xff contract) — decode here too, or a k > 128
+      // model's codes 128..255 would group/sort as negatives and the
+      // dead-code audit would mislabel half the index space
+      .select(col("subspace"),
+        col("code").cast("int").bitwiseAND(lit(255)).as("code"))
       .groupBy(col("subspace"), col("code"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("subspace").asc, col("code").asc)

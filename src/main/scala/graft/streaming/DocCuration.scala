@@ -97,12 +97,13 @@ object DocCuration {
     val marker = Paths.get(s"$outDir/_committed/$tag")
     if (Files.exists(marker)) return 0L
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = cached.count()
-    cached.write.mode("overwrite").parquet(s"$outDir/data/batch_tag=$tag")
-    cached.unpersist(blocking = false)
-    Files.createDirectories(marker.getParent)
-    Files.write(marker, n.toString.getBytes("UTF-8"))
-    n
+    try {
+      val n = cached.count()
+      cached.write.mode("overwrite").parquet(s"$outDir/data/batch_tag=$tag")
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, n.toString.getBytes("UTF-8"))
+      n
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Start the exactly-once curation sink: quality-filter + dedup the

@@ -31,11 +31,30 @@ object IndexMaintenance {
     * with SHA-256, wide enough that distinct checkpoints can't collide
     * the way 32-bit hashCode can. A throwaway-checkpoint run gets a
     * random namespace — it has no replay to dedupe and must not
-    * collide with a later run's batch 0. */
+    * collide with a later run's batch 0.
+    *
+    * URI spellings canonicalize too: Spark accepts `file:/tmp/ckpt`
+    * and `/tmp/ckpt` as the same checkpoint, so both must hash to one
+    * namespace (a raw Paths.get of the URI form would prepend the cwd
+    * and silently fork the marker space). Non-file schemes (hdfs://,
+    * s3a://) canonicalize at the URI level. Markers written by builds
+    * older than this scheme (32-bit hashCode namespaces) are orphaned
+    * by design — no persisted index spans that upgrade in this repo. */
   private[streaming] def checkpointNamespace(checkpointDir: Option[String]): String =
     checkpointDir
       .map { d =>
-        val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+        val canon =
+          try {
+            val uri = new java.net.URI(d)
+            if (uri.getScheme == null || uri.getScheme == "file") {
+              val raw = if (uri.getScheme == null) d
+                        else java.nio.file.Paths.get(uri).toString
+              java.nio.file.Paths.get(raw).toAbsolutePath.normalize.toString
+            } else uri.normalize.toString.stripSuffix("/")
+          } catch {
+            case _: Exception =>
+              java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+          }
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(canon.getBytes("UTF-8"))
           .take(8).map(b => f"$b%02x").mkString

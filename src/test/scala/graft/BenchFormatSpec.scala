@@ -53,6 +53,29 @@ class BenchFormatSpec extends AnyFunSuite {
       s"kept=$kept omitted=$om total=${fake.size}")
   }
 
+  test("compactLine renders dot decimals under a comma-decimal JVM locale") {
+    // the f-interpolator formats with the DEFAULT locale — under de_DE
+    // it would render {"value":107,200}, invalid JSON, resurrecting
+    // the unparseable-tail failure on any comma-decimal bench host
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.compactLine(107.2, Seq("a" -> 1.5), 0, Nil, "sf")
+      assert(line.contains("\"value\":107.200"), line)
+      assert(line.contains("\"a\":1.500"), line)
+      assert(!line.contains("107,200"), line)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("compactLine escapes quotes and backslashes in names and sf path") {
+    val line = Bench.compactLine(1.0, Seq("we\"ird" -> 1.0), 0,
+      Seq("fla\\gged"), """/data/my"dir""")
+    assert(line.contains("\"we\\\"ird\":1.000"), line)
+    assert(line.contains("\"fla\\\\gged\""), line)
+    assert(line.contains("\"sf\":\"/data/my\\\"dir\""), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
   test("compactLine with few queries keeps them all and omits none") {
     val small = Seq("a" -> 1.0, "b" -> 2.0, "c" -> 0.5)
     val line = Bench.compactLine(3.5, small, 0, Nil, "sf0.01")

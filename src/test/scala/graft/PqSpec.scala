@@ -380,7 +380,8 @@ class PqSpec extends SparkSpec {
     assert(bySub.keySet == (0 until model.m).toSet)
     bySub.foreach { case (s, rows) =>
       assert(rows.map(_.getLong(2)).sum == n, s"subspace $s histogram mass")
-      rows.foreach(r => assert(r.getByte(1) >= 0 && r.getByte(1) < model.k))
+      // codes surface UNSIGNED (int) so k > 128 models audit correctly
+      rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) < model.k))
     }
   }
 }
