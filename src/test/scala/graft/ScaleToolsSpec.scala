@@ -90,6 +90,44 @@ class ScaleToolsSpec extends SparkSpec {
       s"scan not bucket-aware:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join partition (the automatic complement of saltedJoin)") {
+    // SURVEY §4.2's division of labor: AQE's skew-join handling covers
+    // sort-merge cases AUTOMATICALLY; explicit salting exists for
+    // broadcast-ineligible shapes and deterministic testing. Pin the
+    // automatic half: with the skew thresholds scaled down to the test
+    // data (the defaults are 256 MB-class), a 90%-hot key must make
+    // AQE mark the join skewed and split the hot partition.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rnd = new scala.util.Random(13)
+      val large = Seq.tabulate(20000) { i =>
+        (if (rnd.nextDouble() < 0.9) 0L else rnd.nextInt(10).toLong,
+          s"payload-$i-${"x" * 64}")
+      }.toDF("k", "payload")
+      val small = (0L until 10L).flatMap(k =>
+        (0 until 5).map(j => (k, s"dim$k-$j"))).toDF("k", "attr")
+      val joined = large.join(small, Seq("k"))
+      // collect THIS dataframe: count()/foreach() finalize a different
+      // query execution and this plan would stay isFinalPlan=false
+      assert(joined.collect().length == 20000 * 5)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("zValue interleaves bits: even positions from x, odd from y") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
