@@ -159,6 +159,79 @@ object TextSearch {
       spark.read.parquet(s"$dir/stats"))
   }
 
+  /** Append new documents to a persisted term index — the lexical twin
+    * of [[graft.operators.IvfIndex.append]]. New docs' postings land
+    * under their existing crc32 bucket partitions (a parquet append:
+    * searches partition-prune exactly as before); dfreq and stats are
+    * REWRITTEN by merging the deltas — they are the small tables of the
+    * layout (one row per distinct term / one row total), and unlike the
+    * IVF index there is no frozen-centroid approximation: BM25 global
+    * statistics are EXACT after every append, so search over the
+    * appended index equals a fresh build over the union corpus
+    * (test-pinned through the round-6 score).
+    *
+    * Contract: appended doc ids must be disjoint from the indexed ones
+    * (same as IVF append — a re-appended id would double its postings).
+    * The three writes are not atomic; a crashed append is repaired by
+    * re-building (for a streaming sink, wrap this in the
+    * [[IvfIndex.appendBatch]] marker protocol the way
+    * IndexMaintenance.appendStream does). Returns docs appended. */
+  def appendToTermIndex(spark: SparkSession, dir: String,
+                        newDocs: DataFrame): Long = {
+    val index = loadTermIndex(spark, dir)
+    val nBuckets = index.stats.select(col("n_buckets")).head().getLong(0)
+    val docs = tokenizedDocs(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val delta = docs.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+      val n = delta.getLong(0)
+      if (n == 0L) return 0L
+      val newPostings = docs
+        .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .withColumn("bucket",
+          pmod(crc32(col("term")), lit(nBuckets)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        newPostings.repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+        // merged small tables go to tmp dirs first (they read from the
+        // live ones), then swap in
+        val mergedDf = index.dfreq.unionByName(
+            newPostings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        mergedDf.write.mode("overwrite").parquet(s"$dir/dfreq.tmp")
+        val oldStats = index.stats.head()
+        val oldN = oldStats.getAs[Long]("n_docs")
+        val oldAvg = oldStats.getAs[Double]("avgdl")
+        val newAvg = (oldN * oldAvg + delta.getLong(1)) / (oldN + n)
+        import spark.implicits._
+        Seq((oldN + n, newAvg, nBuckets))
+          .toDF("n_docs", "avgdl", "n_buckets")
+          .write.mode("overwrite").parquet(s"$dir/stats.tmp")
+        Seq("dfreq", "stats").foreach { t =>
+          val live = java.nio.file.Paths.get(s"$dir/$t")
+          val tmp = java.nio.file.Paths.get(s"$dir/$t.tmp")
+          deleteRecursively(live)
+          java.nio.file.Files.move(tmp, live)
+        }
+        n
+      } finally newPostings.unpersist(blocking = false)
+    } finally docs.unpersist(blocking = false)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+      } finally s.close()
+    }
+  }
+
   /** Driver-side CRC32 identical to Spark's `crc32` expression
     * (java.util.zip.CRC32 over UTF-8 bytes) — lets the query compute
     * its bucket list without touching the cluster. */

@@ -80,6 +80,35 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("appendToTermIndex: search after append equals a fresh build over the union") {
+    import graft.sources.Ingest
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val first = corpus.filter(col("id") < 250)
+    val rest = corpus.filter(col("id") >= 250)
+    val dir = tmpDir("term-append-")
+    TextSearch.saveTermIndex(TextSearch.buildTermIndex(first), dir)
+    val n = TextSearch.appendToTermIndex(spark, dir, rest)
+    assert(n == rest.count())
+    val appended = TextSearch.loadTermIndex(spark, dir)
+    val fresh = TextSearch.buildTermIndex(corpus)
+    // global statistics are EXACT after append (no frozen-centroid
+    // analogue): df table identical, stats agree
+    val dfA = appended.dfreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfF = fresh.dfreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfA == dfF, s"df drift: ${dfA.toSet.diff(dfF.toSet).take(3)}")
+    val sA = appended.stats.head(); val sF = fresh.stats.head()
+    assert(sA.getAs[Long]("n_docs") == sF.getAs[Long]("n_docs"))
+    assert(math.abs(sA.getAs[Double]("avgdl") - sF.getAs[Double]("avgdl")) < 1e-9)
+    // end to end: identical ranking through the round-6 score
+    val got = TextSearch.bm25Index(spark, appended, TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextSearch.bm25Index(spark, fresh, TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // appending nothing is a no-op
+    assert(TextSearch.appendToTermIndex(spark, dir, rest.limit(0)) == 0L)
+  }
+
   test("persisted term index: missing directory fails like the reference") {
     intercept[java.io.FileNotFoundException] {
       TextSearch.loadTermIndex(spark, "/root/repo/target/nonexistent-term-index")
