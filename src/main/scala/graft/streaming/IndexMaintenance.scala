@@ -40,7 +40,7 @@ object IndexMaintenance {
     * s3a://) canonicalize at the URI level. Markers written by builds
     * older than this scheme (32-bit hashCode namespaces) are orphaned
     * by design — no persisted index spans that upgrade in this repo. */
-  private[streaming] def checkpointNamespace(checkpointDir: Option[String]): String =
+  private[graft] def checkpointNamespace(checkpointDir: Option[String]): String =
     checkpointDir
       .map { d =>
         val canon =

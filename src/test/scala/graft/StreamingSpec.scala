@@ -145,6 +145,19 @@ class StreamingSpec extends SparkSpec {
       Seq(0L, 1L, 3L))
   }
 
+  test("checkpointNamespace: every spelling of one checkpoint shares one marker space") {
+    import graft.streaming.IndexMaintenance.checkpointNamespace
+    val base = checkpointNamespace(Some("/tmp/graft-ckpt"))
+    // respellings a restart script can plausibly produce — each would
+    // have silently forked the idempotence namespace before r7
+    assert(checkpointNamespace(Some("file:/tmp/graft-ckpt")) == base, "URI spelling")
+    assert(checkpointNamespace(Some("/tmp/graft-ckpt/")) == base, "trailing slash")
+    assert(checkpointNamespace(Some("/tmp/../tmp/graft-ckpt")) == base, "dot-dot")
+    // distinct checkpoints must not collide; throwaway runs are unique
+    assert(checkpointNamespace(Some("/tmp/graft-ckpt-2")) != base)
+    assert(checkpointNamespace(None) != checkpointNamespace(None))
+  }
+
   test("appendCuratedBatch: committed replay is a no-op; a pre-marker crash repairs") {
     import graft.streaming.DocCuration
     import spark.implicits._
