@@ -240,9 +240,9 @@ object IvfIndex {
   def appendBatch(spark: SparkSession, dir: String, rows: DataFrame,
                   idCol: String, embCol: String, batchId: Long,
                   namespace: String = ""): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tag = if (namespace.isEmpty) s"$batchId" else s"$namespace-$batchId"
-    val marker = Paths.get(s"$dir/_committed/$tag")
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
     if (Files.exists(marker)) return 0L
     val staging = s"$dir/_staging/batch-$tag"
     val index = load(spark, dir)
@@ -253,43 +253,9 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(staging)
     assigned.unpersist(blocking = false)
     val postingsRoot = Paths.get(s"$dir/postings")
-    // eagerly list + CLOSE the directory stream — this sink lives in a
-    // long-running streaming job, and an unclosed Files.list holds a
-    // directory fd until GC, which is not guaranteed before exhaustion
-    def children(p: java.nio.file.Path): List[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
-      finally s.close()
-    }
-    // step 3a: clear partial files from a crashed prior attempt
-    if (Files.exists(postingsRoot)) {
-      children(postingsRoot)
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("list_id="))
-        .foreach { listDir =>
-          children(listDir)
-            .filter(_.getFileName.toString.startsWith(s"b$tag-"))
-            .foreach(Files.delete(_))
-        }
-    }
-    // step 3b: move staged data files in under the batch prefix
-    val stagingRoot = Paths.get(staging)
-    children(stagingRoot)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("list_id="))
-      .foreach { listDir =>
-        val dst = postingsRoot.resolve(listDir.getFileName)
-        Files.createDirectories(dst)
-        children(listDir)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach { f =>
-            Files.move(f, dst.resolve(s"b$tag-${f.getFileName}"),
-              StandardCopyOption.REPLACE_EXISTING)
-          }
-      }
-    // step 4: commit marker, then drop staging
-    Files.createDirectories(marker.getParent)
-    Files.write(marker, n.toString.getBytes("UTF-8"))
+    BatchFs.clearBatch(postingsRoot, "list_id=", tag)
+    BatchFs.commitStaged(Paths.get(staging), postingsRoot, "list_id=", tag)
+    BatchFs.writeMarker(marker, n.toString)
     deleteRecursively(staging)
     n
   }

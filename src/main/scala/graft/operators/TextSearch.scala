@@ -214,7 +214,7 @@ object TextSearch {
         Seq("dfreq", "stats").foreach { t =>
           val live = java.nio.file.Paths.get(s"$dir/$t")
           val tmp = java.nio.file.Paths.get(s"$dir/$t.tmp")
-          deleteRecursively(live)
+          BatchFs.deleteRecursively(live)
           java.nio.file.Files.move(tmp, live)
         }
         n
@@ -222,13 +222,82 @@ object TextSearch {
     } finally docs.unpersist(blocking = false)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try {
-        s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.delete(f); () })
-      } finally s.close()
+  /** Idempotent per-batch postings append — the term-index sink for
+    * at-least-once replay, mirroring [[IvfIndex.appendBatch]]'s
+    * stage → prefixed-move → marker protocol through [[BatchFs]].
+    *
+    * DELIBERATELY postings-only: df/avgdl stay at their last refreshed
+    * values, so BM25 scores served between refreshes use slightly
+    * STALE global statistics — the same drift-and-retrain posture as
+    * IVF appends against frozen centroids (an incremental df merge
+    * cannot be made idempotent under replay without a second commit
+    * protocol; deriving stats from the committed postings CAN, which
+    * is what [[refreshTermIndexStats]] does). Returns docs appended
+    * (0 for a replayed committed batch). */
+  def appendTermBatch(spark: SparkSession, dir: String, docs: DataFrame,
+                      batchId: Long, namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val nBuckets = loadTermIndex(spark, dir).stats
+      .select(col("n_buckets")).head().getLong(0)
+    val toks = tokenizedDocs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = toks.count()
+      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+      val staging = s"$dir/_staging/batch-$tag"
+      toks
+        .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .withColumn("bucket",
+          pmod(crc32(col("term")), lit(nBuckets)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      val live = Paths.get(s"$dir/postings")
+      BatchFs.clearBatch(live, "bucket=", tag)
+      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+      BatchFs.writeMarker(marker, n.toString)
+      BatchFs.deleteRecursively(Paths.get(staging))
+      n
+    } finally toks.unpersist(blocking = false)
+  }
+
+  /** Recompute df and corpus stats FROM the live postings — the
+    * term-index analogue of [[IvfIndex.retrain]], and the repair step
+    * after any crash: derived state is idempotent by construction, so
+    * running this at any moment (mid-append-storm, after a kill)
+    * converges the small tables to exactly what a fresh build over the
+    * current postings would produce. After a refresh, BM25 over the
+    * index equals a fresh build over the appended corpus
+    * (test-pinned). Cost is one aggregation over postings — scheduled
+    * like retraining, not per-batch.
+    *
+    * Semantics note: stats derived from postings count TOKEN-BEARING
+    * docs only. A doc with zero tokens has no postings, can never
+    * match a query, and influences BM25 only by marginally inflating
+    * the build path's n_docs/avgdl — the current corpus source
+    * produces none (verified against the testdata), so build and
+    * refresh agree exactly here. */
+  def refreshTermIndexStats(spark: SparkSession, dir: String): Unit = {
+    val index = loadTermIndex(spark, dir)
+    val nBuckets = index.stats.select(col("n_buckets")).head().getLong(0)
+    index.postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/dfreq.tmp")
+    // one row per (id, term) ⇒ per-doc dl appears once per distinct
+    // term; stats need each doc counted once
+    val perDoc = index.postings.select(col("id"), col("dl")).distinct()
+    perDoc.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        max(lit(nBuckets)).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/stats.tmp")
+    Seq("dfreq", "stats").foreach { t =>
+      val live = java.nio.file.Paths.get(s"$dir/$t")
+      val tmp = java.nio.file.Paths.get(s"$dir/$t.tmp")
+      BatchFs.deleteRecursively(live)
+      java.nio.file.Files.move(tmp, live)
+      ()
     }
   }
 

@@ -91,4 +91,28 @@ object IndexMaintenance {
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }
+
+  /** Streaming maintenance for the LEXICAL index — the term-index twin
+    * of [[appendStream]]: each micro-batch of documents (`id`,
+    * `sentence`) lands in the persisted BM25 index's bucket partitions
+    * through the idempotent [[graft.operators.TextSearch.appendTermBatch]]
+    * (same [[graft.operators.BatchFs]] marker protocol, so an
+    * at-least-once replay never lands a posting twice). df/avgdl are
+    * deliberately NOT updated per batch — they drift like IVF
+    * centroids and are refreshed on schedule with
+    * [[graft.operators.TextSearch.refreshTermIndexStats]], after which
+    * search equals a fresh build over everything appended. */
+  def appendTermStream(newDocs: DataFrame, dir: String,
+                       checkpointDir: Option[String] = None): StreamingQuery = {
+    val ns = checkpointNamespace(checkpointDir)
+    val writer = newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextSearch.appendTermBatch(
+          batch.sparkSession, dir, batch, batchId, namespace = ns)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

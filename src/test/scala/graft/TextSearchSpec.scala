@@ -109,6 +109,86 @@ class TextSearchSpec extends SparkSpec {
     assert(TextSearch.appendToTermIndex(spark, dir, rest.limit(0)) == 0L)
   }
 
+  test("appendTermBatch: replay no-op, pre-marker crash repairs, refresh restores fresh-build parity") {
+    import graft.sources.Ingest
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val first = corpus.filter(col("id") < 250)
+    val rest = corpus.filter(col("id") >= 250)
+    val dir = tmpDir("term-batch-")
+    TextSearch.saveTermIndex(TextSearch.buildTermIndex(first), dir)
+    val staleDocs = TextSearch.loadTermIndex(spark, dir).stats
+      .head().getAs[Long]("n_docs")
+    assert(TextSearch.appendTermBatch(spark, dir, rest, 7L, "t") == rest.count())
+    // stats deliberately stale until refresh (the drift-and-retrain posture)
+    assert(TextSearch.loadTermIndex(spark, dir).stats
+      .head().getAs[Long]("n_docs") == staleDocs)
+    // at-least-once replay AFTER the marker: no-op
+    assert(TextSearch.appendTermBatch(spark, dir, rest, 7L, "t") == 0L)
+    def dupPairs(): Long = TextSearch.loadTermIndex(spark, dir).postings
+      .groupBy(col("id"), col("term")).count().filter(col("count") > 1).count()
+    assert(dupPairs() == 0L, "replay must not duplicate postings")
+    // crash BETWEEN the file moves and the marker: delete the marker
+    // and replay — prefixed files are replaced, never doubled
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed/t-7"))
+    assert(TextSearch.appendTermBatch(spark, dir, rest, 7L, "t") == rest.count())
+    assert(dupPairs() == 0L, "post-crash replay must repair, not duplicate")
+    // refresh = the retrain analogue: derived stats converge to a
+    // fresh build over the union, and so does the ranking
+    TextSearch.refreshTermIndexStats(spark, dir)
+    val refreshed = TextSearch.loadTermIndex(spark, dir)
+    val fresh = TextSearch.buildTermIndex(corpus)
+    assert(refreshed.stats.head().getAs[Long]("n_docs") ==
+      fresh.stats.head().getAs[Long]("n_docs"))
+    val got = TextSearch.bm25Index(spark, refreshed, TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextSearch.bm25Index(spark, fresh, TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("appendTermStream restart from checkpoint: resumes at the first unprocessed file") {
+    import graft.sources.Ingest
+    import graft.streaming.IndexMaintenance
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("term-stream-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 250)), dir)
+    val landing = tmpDir("term-stream-landing-")
+    val ckpt = tmpDir("term-stream-ckpt-")
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = tmpDir("term-stream-stage-")
+      corpus.filter(col("id") >= lo && col("id") < hi)
+        .select("id", "sentence").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema("id LONG, sentence STRING")
+        .parquet(landing)
+      IndexMaintenance.appendTermStream(stream, dir, Some(ckpt))
+        .awaitTermination()
+    }
+    stage(250, 375, "part0"); run()
+    stage(375, 500, "part1"); run()
+    run() // nothing new: no-op
+    val postings = TextSearch.loadTermIndex(spark, dir).postings
+    assert(postings.select("id").distinct().count() == 500)
+    assert(postings.groupBy(col("id"), col("term")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "restart must not re-append committed files")
+    TextSearch.refreshTermIndexStats(spark, dir)
+    val got = TextSearch.bm25Index(spark, TextSearch.loadTermIndex(spark, dir),
+        TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextSearch.bm25Index(spark, TextSearch.buildTermIndex(corpus),
+        TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("persisted term index: missing directory fails like the reference") {
     intercept[java.io.FileNotFoundException] {
       TextSearch.loadTermIndex(spark, "/root/repo/target/nonexistent-term-index")
