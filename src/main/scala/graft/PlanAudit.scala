@@ -21,9 +21,10 @@ import org.apache.spark.sql.SparkSession
   *    anything else is a review flag. r7 audit: all 18 bnlj hits are
   *    class (a) or (b);
   *  - `cartesian` must be 0 everywhere;
-  *  - AQE is enabled, so counts read the initial physical plan (the
-  *    runtime may still downgrade an exchange to a broadcast at
-  *    execution — the static shape is the conservative inventory).
+  *  - every query is EXECUTED (collect) before its plan is read, so
+  *    the counts describe the FINAL adaptive plan — codegen stages
+  *    materialized, AQE broadcast downgrades applied — not the
+  *    pre-execution initial plan.
   */
 object PlanAudit {
 
@@ -40,8 +41,16 @@ object PlanAudit {
     "bhj" -> "BroadcastHashJoin",
     "bnlj" -> "BroadcastNestedLoopJoin",
     "cartesian" -> "CartesianProduct",
-    "take_ordered" -> "TakeOrderedAndProject",
-    "codegen" -> "WholeStageCodegen")
+    "take_ordered" -> "TakeOrderedAndProject")
+
+  // executedPlan.toString renders whole-stage-codegen stages as "*(n)"
+  // operator prefixes, never the class name — counting the literal
+  // "WholeStageCodegen" would pin this column to zero and a kernel
+  // falling out of codegen could never move the artifact. Count
+  // DISTINCT stage ids: the number of codegen spans.
+  private val codegenStage = """\*\((\d+)\)""".r
+  private def codegenSpans(plan: String): Int =
+    codegenStage.findAllMatchIn(plan).map(_.group(1)).toSet.size
 
   private def countOccurrences(hay: String, needle: String): Int = {
     var n = 0
@@ -63,19 +72,27 @@ object PlanAudit {
     val records = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val counts =
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val df = fn(spark, sfDir)
+          // EXECUTE the query (collect on this exact DataFrame): under
+          // AQE the pre-execution string is the initial plan — no
+          // codegen stars, and exchanges not yet downgraded to the
+          // broadcasts the runtime actually picks. The audit records
+          // the FINAL plan, the one a cluster would run.
+          df.collect()
+          val plan = df.queryExecution.executedPlan.toString
           markers.map { case (key, needle) =>
             key -> countOccurrences(plan, needle)
-          } :+ ("err" -> 0)
+          } ++ Seq("codegen" -> codegenSpans(plan), "err" -> 0)
         } catch {
           case e: Throwable =>
             System.err.println(s"PLAN ERR $name: ${e.getMessage}")
-            markers.map { case (k, _) => k -> 0 } :+ ("err" -> 1)
+            markers.map { case (k, _) => k -> 0 } ++
+              Seq("codegen" -> 0, "err" -> 1)
         }
       name -> counts.toMap
     }
     val json = records.map { case (name, c) =>
-      val fields = (markers.map(_._1) :+ "err")
+      val fields = (markers.map(_._1) ++ Seq("codegen", "err"))
         .map(k => s""""$k":${c(k)}""").mkString(",")
       s"""  "$name": {$fields}"""
     }.mkString("{\n", ",\n", "\n}")

@@ -318,14 +318,8 @@ object IvfIndex {
       out
     })
 
-  private def deleteRecursively(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRecursively(dir: String): Unit =
+    BatchFs.deleteRecursively(java.nio.file.Paths.get(dir))
 
   // --- per-JVM index cache so repeated query-entry invocations ---
   // --- (Verify, Bench) don't re-train per call                 ---

@@ -116,6 +116,19 @@ object TextSearch {
   final case class TermIndex(postings: DataFrame, dfreq: DataFrame,
                              stats: DataFrame)
 
+  /** The ONE bucketed-postings pipeline every build/append path runs:
+    * the bucket expression must stay bit-identical across them, or
+    * appended postings would land in partitions searches never prune
+    * to — sharing the code makes divergence impossible. `bucket` is
+    * int, matching parquet partition-directory type inference on load. */
+  private def bucketedPostings(toks: DataFrame, nBuckets: Long): DataFrame =
+    toks
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket",
+        pmod(crc32(col("term")), lit(nBuckets)).cast("int"))
+
   def buildTermIndex(corpus: DataFrame, nBuckets: Int = 64): TermIndex = {
     require(nBuckets > 0)
     // reference parity with the IVF build: indexing an empty corpus is
@@ -123,13 +136,7 @@ object TextSearch {
     // unloadable schema-less directory)
     require(!corpus.isEmpty, "cannot build a term index over an empty corpus")
     val docs = tokenizedDocs(corpus)
-    val postings = docs
-      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      // int, matching parquet partition-directory type inference on load
-      .withColumn("bucket",
-        pmod(crc32(col("term")), lit(nBuckets.toLong)).cast("int"))
+    val postings = bucketedPostings(docs, nBuckets.toLong)
     // one row per (id, term) ⇒ df(term) = row count per term
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
@@ -149,14 +156,56 @@ object TextSearch {
   }
 
   /** Load a saved term index; missing path fails like the reference's
-    * index load (FileNotFoundError parity, app.py:127-128). */
+    * index load (FileNotFoundError parity, app.py:127-128). Repairs a
+    * half-finished small-table swap first (see [[swapInSmallTable]]),
+    * so a kill at ANY point of an append/refresh leaves a loadable
+    * index. */
   def loadTermIndex(spark: SparkSession, dir: String): TermIndex = {
     if (!new java.io.File(dir).exists())
       throw new java.io.FileNotFoundException(s"Term index not found: $dir")
+    Seq("dfreq", "stats").foreach(repairSmallTable(dir, _))
     TermIndex(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/dfreq"),
       spark.read.parquet(s"$dir/stats"))
+  }
+
+  /** Crash-recoverable replacement of a small table directory. The
+    * delete-then-move it replaces had an unrecoverable window (live
+    * gone, tmp not yet moved — and every repair path needs the stats
+    * table to even load). Order here: park the live dir aside, move
+    * the fully-written tmp in, drop the parked copy. Every crash
+    * window leaves live intact OR tmp/old present for
+    * [[repairSmallTable]]. */
+  private def swapInSmallTable(dir: String, t: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(s"$dir/$t")
+    val tmp = Paths.get(s"$dir/$t.tmp")
+    val old = Paths.get(s"$dir/$t.old")
+    BatchFs.deleteRecursively(old)
+    if (Files.exists(live)) Files.move(live, old)
+    Files.move(tmp, live)
+    BatchFs.deleteRecursively(old)
+  }
+
+  /** If a swap was killed mid-flight, restore: a complete tmp (it is
+    * only ever moved AFTER its write finished) wins over the parked
+    * old copy; leftovers are dropped once live is healthy. */
+  private def repairSmallTable(dir: String, t: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(s"$dir/$t")
+    val tmp = Paths.get(s"$dir/$t.tmp")
+    val old = Paths.get(s"$dir/$t.old")
+    if (!Files.exists(live)) {
+      if (Files.exists(tmp)) Files.move(tmp, live)
+      else if (Files.exists(old)) Files.move(old, live)
+    }
+    if (Files.exists(live)) {
+      BatchFs.deleteRecursively(old)
+      // a stale tmp (crash DURING its write, live still healthy) is
+      // dropped — the next append/refresh rewrites it from scratch
+      BatchFs.deleteRecursively(tmp)
+    }
   }
 
   /** Append new documents to a persisted term index — the lexical twin
@@ -187,12 +236,7 @@ object TextSearch {
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
       val n = delta.getLong(0)
       if (n == 0L) return 0L
-      val newPostings = docs
-        .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("id"), col("dl"), col("term"))
-        .agg(count(lit(1)).cast("long").as("tf"))
-        .withColumn("bucket",
-          pmod(crc32(col("term")), lit(nBuckets)).cast("int"))
+      val newPostings = bucketedPostings(docs, nBuckets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         newPostings.repartition(col("bucket"))
@@ -211,12 +255,7 @@ object TextSearch {
         Seq((oldN + n, newAvg, nBuckets))
           .toDF("n_docs", "avgdl", "n_buckets")
           .write.mode("overwrite").parquet(s"$dir/stats.tmp")
-        Seq("dfreq", "stats").foreach { t =>
-          val live = java.nio.file.Paths.get(s"$dir/$t")
-          val tmp = java.nio.file.Paths.get(s"$dir/$t.tmp")
-          BatchFs.deleteRecursively(live)
-          java.nio.file.Files.move(tmp, live)
-        }
+        Seq("dfreq", "stats").foreach(swapInSmallTable(dir, _))
         n
       } finally newPostings.unpersist(blocking = false)
     } finally docs.unpersist(blocking = false)
@@ -232,28 +271,29 @@ object TextSearch {
     * IVF appends against frozen centroids (an incremental df merge
     * cannot be made idempotent under replay without a second commit
     * protocol; deriving stats from the committed postings CAN, which
-    * is what [[refreshTermIndexStats]] does). Returns docs appended
-    * (0 for a replayed committed batch). */
+    * is what [[refreshTermIndexStats]] does). `nBuckets` < 0 reads the
+    * bucket count from the persisted stats; a long-running streaming
+    * caller resolves it ONCE and passes it down, keeping the per-batch
+    * hot path free of a stats read whose answer never changes.
+    * Returns docs appended (0 for a replayed committed batch). */
   def appendTermBatch(spark: SparkSession, dir: String, docs: DataFrame,
-                      batchId: Long, namespace: String = ""): Long = {
+                      batchId: Long, namespace: String = "",
+                      nBuckets: Long = -1L): Long = {
     import java.nio.file.{Files, Paths}
     val tag = BatchFs.batchTag(batchId, namespace)
     val marker = BatchFs.markerFor(dir, batchId, namespace)
     if (Files.exists(marker)) return 0L
-    val nBuckets = loadTermIndex(spark, dir).stats
-      .select(col("n_buckets")).head().getLong(0)
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else loadTermIndex(spark, dir).stats
+        .select(col("n_buckets")).head().getLong(0)
     val toks = tokenizedDocs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = toks.count()
       if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
       val staging = s"$dir/_staging/batch-$tag"
-      toks
-        .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("id"), col("dl"), col("term"))
-        .agg(count(lit(1)).cast("long").as("tf"))
-        .withColumn("bucket",
-          pmod(crc32(col("term")), lit(nBuckets)).cast("int"))
+      bucketedPostings(toks, buckets)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(staging)
       val live = Paths.get(s"$dir/postings")
@@ -292,13 +332,7 @@ object TextSearch {
     perDoc.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         max(lit(nBuckets)).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/stats.tmp")
-    Seq("dfreq", "stats").foreach { t =>
-      val live = java.nio.file.Paths.get(s"$dir/$t")
-      val tmp = java.nio.file.Paths.get(s"$dir/$t.tmp")
-      BatchFs.deleteRecursively(live)
-      java.nio.file.Files.move(tmp, live)
-      ()
-    }
+    Seq("dfreq", "stats").foreach(swapInSmallTable(dir, _))
   }
 
   /** Driver-side CRC32 identical to Spark's `crc32` expression

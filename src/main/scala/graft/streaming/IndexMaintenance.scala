@@ -105,10 +105,16 @@ object IndexMaintenance {
   def appendTermStream(newDocs: DataFrame, dir: String,
                        checkpointDir: Option[String] = None): StreamingQuery = {
     val ns = checkpointNamespace(checkpointDir)
+    // bucket count is immutable for the life of the index — resolve it
+    // once here, not once per micro-batch
+    val nBuckets = graft.operators.TextSearch
+      .loadTermIndex(newDocs.sparkSession, dir)
+      .stats.select("n_buckets").head().getLong(0)
     val writer = newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.TextSearch.appendTermBatch(
-          batch.sparkSession, dir, batch, batchId, namespace = ns)
+          batch.sparkSession, dir, batch, batchId, namespace = ns,
+          nBuckets = nBuckets)
         ()
       }
       .trigger(Trigger.AvailableNow())
