@@ -196,14 +196,13 @@ object Dedup {
     * Returns (a_id, b_id, jaccard3) with jaccard3 >= `minJaccard`. */
   def dedupNgram(spark: SparkSession, sfDir: String,
                  minJaccard: Double = 0.5): DataFrame =
-    dedupNgramImpl(cachedSigs(spark, sfDir),
-      Ingest.corpusFromDocuments(spark, sfDir), minJaccard, MaxBandBucket)
+    dedupNgramImpl(cachedSigs(spark, sfDir), minJaccard, MaxBandBucket)
 
   def dedupNgramCorpus(corpus: DataFrame, minJaccard: Double = 0.5,
                        maxBucket: Int = MaxBandBucket): DataFrame =
-    dedupNgramImpl(minhashSignaturesCorpus(corpus), corpus, minJaccard, maxBucket)
+    dedupNgramImpl(minhashSignaturesCorpus(corpus), minJaccard, maxBucket)
 
-  private def dedupNgramImpl(sigs: DataFrame, corpus: DataFrame,
+  private def dedupNgramImpl(sigs: DataFrame,
                              minJaccard: Double, maxBucket: Int): DataFrame = {
     val bands = capBuckets(lshBands(sigs), maxBucket)
     val cand = bands.as("a")
@@ -212,8 +211,22 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    val shingleSets = shingleRows(tokenized(corpus))
-      .groupBy(col("id")).agg(collect_set(col("s")).as("sset"))
+    // Per-doc shingle SETS derived NARROWLY from the signature frame's
+    // token arrays: a per-row transform(sequence, slice) instead of
+    // the previous posexplode → per-doc lead() window → collect_set —
+    // that detour shuffled the whole exploded token table TWICE per
+    // run (this was the slowest registered query before the change).
+    // The HOF is interpreted (CodegenFallback), but it concatenates
+    // ~|toks| short strings per row with no hashing — narrow beats
+    // codegen'd-but-shuffled here, unlike the signature path where
+    // per-shingle md5 dominates (see minhashSignaturesCorpus). Sets
+    // are identical to the collect_set form: <3-token docs fall back
+    // to the whole normalized text, same as shingleRows.
+    val shingleSets = sigs.select(col("id"),
+      when(size(col("toks")) >= 3,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+        .otherwise(array(concat_ws(" ", col("toks")))).as("sset"))
     cand
       .join(shingleSets.select(col("id").as("a_id"), col("sset").as("sa")), "a_id")
       .join(shingleSets.select(col("id").as("b_id"), col("sset").as("sb")), "b_id")
