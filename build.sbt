@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver invokes `sbt "runMain graft.Bench"` and parses the
+// LAST line of the captured stdout tail as JSON. With the default
+// LoggedOutput strategy sbt re-logs every forked-process line under an
+// "[info] " prefix and then appends "[success] Total time: ..." after the
+// task — both of which made BENCH_r05..r07 record "parsed": null even though
+// Bench prints its compact JSON record last program-side. StdoutOutput
+// passes the forked JVM's stdout through verbatim (no prefix), and
+// showSuccess := false drops the trailing success line, so the bare compact
+// JSON really is the final stdout line the driver sees.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another setting,
+// so the lintUnused check needs an explicit exclusion.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,11 +90,16 @@ object Bench {
 
   def compactLine(total: Double, queries: Seq[(String, Double)],
                   nErrors: Int, flagged: Seq[String], sf: String,
-                  budget: Int = 1600): String = {
+                  budget: Int = 1600, nWarm: Int = 0): String = {
     val flaggedJson =
       flagged.take(15).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    // n_queries counts REGISTERED queries only — warm shared-artifact
+    // builds are reported separately as n_warm so a driver-side gate
+    // comparing n_queries to the registry size reads true (the queries
+    // map still lists warm entries, "warm:"-prefixed, because they count
+    // toward the total and the sum must stay auditable from the tail).
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
-      s""","n_queries":${queries.size},"n_errors":$nErrors""" +
+      s""","n_queries":${queries.size - nWarm},"n_warm":$nWarm,"n_errors":$nErrors""" +
       s""","flagged":$flaggedJson,"sf":"${esc(sf)}","queries":{"""
     val entries = queries.sortBy(-_._2)
       .map { case (k, v) => "\"" + esc(k) + "\":" + r3(v) }
@@ -211,7 +216,7 @@ object Bench {
     // from the tail alone
     val tailLine = compactLine(total,
       ok ++ warm.map { case (k, v) => s"warm:$k" -> v },
-      errors.size, flagged, sfDir)
+      errors.size, flagged, sfDir, nWarm = warm.size)
     println(fullLine)
     sys.env.get("GRAFT_BENCH_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p, "UTF-8")

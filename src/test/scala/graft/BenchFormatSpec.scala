@@ -27,6 +27,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(tail.contains("\"sf\":"))
   }
 
+  test("n_queries counts registered queries only; warm entries go to n_warm") {
+    val line = Bench.compactLine(107.2, fake, 0, Nil, "sf", nWarm = 11)
+    assert(line.contains("\"n_queries\":107"), line)
+    assert(line.contains("\"n_warm\":11"), line)
+  }
+
   test("compactLine is valid JSON with slowest-first queries and an omitted count") {
     val line = Bench.compactLine(107.2, fake, 2,
       Seq("slow_one", "slow_two"), "/root/testdata/sf0.1")
@@ -56,7 +62,11 @@ class BenchFormatSpec extends AnyFunSuite {
   test("compactLine renders dot decimals under a comma-decimal JVM locale") {
     // the f-interpolator formats with the DEFAULT locale — under de_DE
     // it would render {"value":107,200}, invalid JSON, resurrecting
-    // the unparseable-tail failure on any comma-decimal bench host
+    // the unparseable-tail failure on any comma-decimal bench host.
+    // NOTE: mutates the JVM-global default Locale — safe only because
+    // forked test suites run sequentially (Test/fork := true,
+    // testForkedParallel left false); revisit if parallel forked tests
+    // are ever enabled.
     val prev = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
