@@ -137,9 +137,14 @@ object SparkEntry {
     "value_ranks" -> ((s, d) => RelationalOps.valueRanks(s, d)),
     "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
     "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
-    // sketch twin: mergeable GK sketches, accuracy test-pinned vs the
-    // exact query (no SQL oracle — sketch internals differ by engine)
-    "value_percentiles_approx" -> ((s, d) => RelationalOps.valuePercentilesApprox(s, d)),
+    // sketch twin: mergeable GK sketches. The estimates are engine-
+    // specific, but GK's rank guarantee is deterministic, so the
+    // registered projection keeps the exact columns plus the
+    // self-audited per-quantile bound flags the oracle states TRUE
+    // (vocab_cms pattern); the raw estimates stay in the operator frame
+    "value_percentiles_approx" -> ((s, d) =>
+      RelationalOps.valuePercentilesApprox(s, d)
+        .select("event_type", "n", "gk_ok_p50", "gk_ok_p90", "gk_ok_p99")),
     // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
     "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
@@ -164,7 +169,12 @@ object SparkEntry {
     "knn_pq" -> ((s, d) => Pq.searchPq(s, d, rerank = 100)),
     "ivf_search_pq" -> ((s, d) => Pq.ivfSearchPq(s, d)),
     "pq_persisted_search" -> ((s, d) => Pq.persistedSearchPq(s, d)),
-    "corpus_ingest" -> ((s, d) => graft.sources.Ingest.corpusFromDocuments(s, d)),
+    // the corpus source is unordered by design; id order is this
+    // query's output contract, so the sort lives here at the edge
+    "corpus_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Ingest.corpusFromDocuments(s, d).orderBy(col("id").asc)
+    }),
     "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
     "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),
     // --- IVF index (SURVEY §2.4 A1/A2, §2.3 J2/J3, §2.6 T4) ---
@@ -231,7 +241,11 @@ object SparkEntry {
     "ingest_csv" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val dir = s"/root/repo/target/fixtures/csv-${new java.io.File(d).getName}"
+      // fixture rows must land in id order (the re-ingest assigns
+      // positional ids the oracle restates); the corpus source itself
+      // is unordered
       graft.sources.Ingest.corpusFromDocuments(s, d)
+        .orderBy(col("id").asc)
         .select(col("sentence").as(graft.sources.Ingest.SentencesCol))
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
       graft.sources.Ingest.fromCsv(s, dir)
@@ -283,14 +297,43 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
     "doc_chunks" -> ((s, d) => CorpusPrep.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
+    // exact per-stratum counts in a reproducible md5 order; the
+    // thresholded 100 TB variant is test-pinned equal (SamplingSpec)
+    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    // keyed CDC upsert into bucket-partitioned parquet: update/insert/
+    // tombstone delta applied by rewriting ONLY the touched buckets;
+    // the final table is read back and hash-checked against the
+    // merge restated in SQL
+    "corpus_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = s"/root/repo/target/fixtures/upsert-${new java.io.File(d).getName}"
+      val corpus = graft.sources.Ingest.corpusFromDocuments(s, d)
+      Upsert.writeBase(corpus, dir, "id", 16)
+      val updates = corpus
+        .filter(col("id") % 7 === 0 && col("id") % 13 =!= 0)
+        .withColumn("sentence", concat(col("sentence"), lit(" [rev2]")))
+        .withColumn("_deleted", lit(false))
+      val inserts = corpus.filter(col("id") % 11 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(lit("appended doc "), col("id").cast("string")).as("sentence"))
+        .withColumn("_deleted", lit(false))
+      val tombstones = corpus.filter(col("id") % 13 === 0)
+        .withColumn("_deleted", lit(true))
+      Upsert.upsert(s, dir, updates.unionByName(inserts).unionByName(tombstones),
+        "id", 16)
+      Upsert.read(s, dir).orderBy(col("id").asc)
+    }),
     "pack_sequences" -> ((s, d) => CorpusPrep.packSequences(s, d)),
     // composed end-to-end curation decision table (quality × dedup ×
     // split × mixture, one boolean per stage)
     "curation_decisions" -> ((s, d) => CorpusPrep.curationDecisions(s, d)),
     "profile_lineitem" -> ((s, d) => Profiling.profileLineitem(s, d)),
-    // HLL twin: the wide-table path (no Expand); accuracy test-pinned
-    // within 5% of the exact profile, no SQL oracle (sketch internals)
-    "profile_lineitem_approx" -> ((s, d) => Profiling.profileLineitemApprox(s, d)),
+    // HLL twin's bound audit: exact profile columns next to the sketch,
+    // hll_in_bound oracle-stated TRUE (HLL is deterministic per value
+    // set). Profiling.profileLineitemApprox remains the PRODUCTION
+    // no-Expand path, plan- and accuracy-pinned in ProfilingSpec
+    "profile_lineitem_approx" -> ((s, d) =>
+      Profiling.profileLineitemAudit(s, d).drop("n_hll")),
     "zorder_layout" -> ((s, d) => ZOrder.zorderLayout(s, d)),
     // --- dedup (north star; BASELINE.json) ---
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -333,15 +376,18 @@ object SparkEntry {
           graft.streaming.EventsStreaming.readEvents(s, d)), "events_hourly")
         .orderBy(col("hour").asc, col("event_type").asc)
     }),
-    // custom-state sessionization (flatMapGroupsWithState +
-    // EventTimeTimeout): append emits watermark-closed sessions only,
-    // so rows ≠ the batch twin by design (no SQL oracle; the
-    // session_window-parity and cross-batch state tests pin it)
     // stream-stream join: click->purchase attribution pairs with
     // per-side watermarks; single-batch replay emits every pair, so a
     // full SQL oracle applies
     "attribution_stream" -> ((s, d) =>
       graft.streaming.ClickAttribution.attributionReplay(s, d)),
+    // custom-state sessionization (flatMapGroupsWithState +
+    // EventTimeTimeout): append emits watermark-closed sessions only —
+    // a strict, DETERMINISTIC subset of the batch twin (bit-identical
+    // rows, StatefulSessionsSpec), so the oracle is the user_sessions
+    // SQL restricted to sessions whose close (last event + 30 min gap)
+    // the final watermark passed: wm = floor_ms(max ts) − 1 h, the
+    // exact value Spark's EventTimeWatermark computes on replay
     "user_sessions_stateful" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.streaming.EventsStreaming.runToCompletion(
@@ -461,6 +507,14 @@ object SparkEntry {
         |  quantile_cont(value, 0.9) AS p90,
         |  quantile_cont(value, 0.99) AS p99,
         |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // GK's rank guarantee is deterministic (not probabilistic), so the
+    // audited bound flags are literal TRUE; event_type and n are exact
+    "value_percentiles_approx" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  TRUE AS gk_ok_p50, TRUE AS gk_ok_p90, TRUE AS gk_ok_p99
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -728,6 +782,39 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s
         |GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    // the stateful twin emits exactly the sessions the final watermark
+    // closed: Spark tracks event-time max in ms (µs floor), subtracts
+    // the 1 h delay, and a session emits iff last_event + 30 min gap
+    // <= that watermark — all deterministic on replay, so the batch SQL
+    // plus the watermark predicate states the streamed output exactly
+    "user_sessions_stateful" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS last_ts,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sess),
+        |w AS (SELECT ((epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000)
+        |              - 3600000) * 1000 AS wm_us FROM events)
+        |SELECT user_id,
+        |  strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  n_events, sum_value
+        |FROM g, w
+        |WHERE epoch_us(CAST(last_ts AS TIMESTAMP)) + 1800000000 <= wm_us
         |ORDER BY user_id, session_start""".stripMargin,
     "knn_exact_l2" ->
       s"""SELECT vec_id, d AS dist FROM (
@@ -1237,6 +1324,36 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents WHERE length(trim(text)) > 0
         |ORDER BY id""".stripMargin,
+    // exact stratified sample: the md5 rank order is engine-identical,
+    // so DuckDB replays the per-stratum selection row-for-row
+    "stratified_sample" ->
+      """SELECT id, lang, rank_in_stratum FROM (
+        |  SELECT doc_id AS id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat' || doc_id::VARCHAR), doc_id)
+        |      AS rank_in_stratum
+        |  FROM documents) t
+        |WHERE rank_in_stratum <= 50
+        |ORDER BY lang, rank_in_stratum""".stripMargin,
+    // keyed upsert: the merge semantics restated declaratively —
+    // surviving base rows (key not replaced), updates win per key,
+    // inserts append, tombstoned keys vanish
+    "corpus_upsert" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, trim(text) AS sentence FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |kept AS (
+        |  SELECT id,
+        |    CASE WHEN id % 7 = 0 AND id % 13 <> 0
+        |         THEN sentence || ' [rev2]' ELSE sentence END AS sentence
+        |  FROM corpus WHERE id % 13 <> 0),
+        |ins AS (
+        |  SELECT id + 1000000 AS id,
+        |    'appended doc ' || id::VARCHAR AS sentence
+        |  FROM corpus WHERE id % 11 = 0)
+        |SELECT id, sentence FROM kept
+        |UNION ALL SELECT id, sentence FROM ins
+        |ORDER BY id""".stripMargin,
     // streaming curation replay ≡ batch: distinct fingerprints of
     // quality-passing docs (same quality predicate as text_quality)
     "doc_curation_stream" ->
@@ -1294,6 +1411,34 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT col_name, n_null::BIGINT AS n_null, n_distinct::BIGINT AS n_distinct,
         |  min_num, max_num FROM (
+        |  SELECT 'l_orderkey' AS col_name, n_rows - c1 AS n_null, d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
+        |  UNION ALL SELECT 'l_quantity', n_rows - c2, d2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'l_extendedprice', n_rows - c3, d3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'l_discount', n_rows - c4, d4, mn4, mx4 FROM a
+        |  UNION ALL SELECT 'l_shipdate', n_rows - c5, d5, mn5, mx5 FROM a
+        |  UNION ALL SELECT 'l_returnflag', n_rows - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
+        |ORDER BY col_name""".stripMargin,
+    // the HLL audit keeps the exact profile columns (same SQL) and the
+    // sketch bound collapses to a literal: HLL++ is a deterministic
+    // function of the value set, so in-bound at this data is in-bound
+    // every run
+    "profile_lineitem_approx" ->
+      """WITH a AS (SELECT
+        |  count(*) AS n_rows,
+        |  count(l_orderkey) c1, count(DISTINCT l_orderkey) d1,
+        |    min(l_orderkey)::DOUBLE mn1, max(l_orderkey)::DOUBLE mx1,
+        |  count(l_quantity) c2, count(DISTINCT l_quantity) d2,
+        |    min(l_quantity)::DOUBLE mn2, max(l_quantity)::DOUBLE mx2,
+        |  count(l_extendedprice) c3, count(DISTINCT l_extendedprice) d3,
+        |    min(l_extendedprice)::DOUBLE mn3, max(l_extendedprice)::DOUBLE mx3,
+        |  count(l_discount) c4, count(DISTINCT l_discount) d4,
+        |    min(l_discount)::DOUBLE mn4, max(l_discount)::DOUBLE mx4,
+        |  count(l_shipdate) c5, count(DISTINCT l_shipdate) d5,
+        |    epoch_us(min(l_shipdate))::DOUBLE mn5, epoch_us(max(l_shipdate))::DOUBLE mx5,
+        |  count(l_returnflag) c6, count(DISTINCT l_returnflag) d6
+        |  FROM lineitem)
+        |SELECT col_name, n_null::BIGINT AS n_null, n_distinct::BIGINT AS n_distinct,
+        |  min_num, max_num, TRUE AS hll_in_bound FROM (
         |  SELECT 'l_orderkey' AS col_name, n_rows - c1 AS n_null, d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
         |  UNION ALL SELECT 'l_quantity', n_rows - c2, d2, mn2, mx2 FROM a
         |  UNION ALL SELECT 'l_extendedprice', n_rows - c3, d3, mn3, mx3 FROM a

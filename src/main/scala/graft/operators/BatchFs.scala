@@ -60,9 +60,19 @@ private[graft] object BatchFs {
     ()
   }
 
+  /** Markers live under a VERSIONED directory: the tag scheme has
+    * changed once already (32-bit hashCode → SHA-256 namespaces), and
+    * a persisted sink spanning such a change replays its last
+    * committed batch under the new scheme — silent duplication. The
+    * version dir makes the break explicit: any future scheme change
+    * bumps this constant, and an index/sink that spans the upgrade
+    * must be rebuilt (or its stats refreshed from committed data)
+    * once, instead of trusting markers the new scheme can't see. */
+  private[graft] val MarkerSchemeVersion = "v2"
+
   def markerFor(dir: String, batchId: Long, namespace: String): Path = {
     val tag = batchTag(batchId, namespace)
-    Paths.get(s"$dir/_committed/$tag")
+    Paths.get(s"$dir/_committed/$MarkerSchemeVersion/$tag")
   }
 
   def batchTag(batchId: Long, namespace: String): String =

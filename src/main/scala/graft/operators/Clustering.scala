@@ -266,7 +266,12 @@ object Clustering {
 
   /** Exact-graph clustering over the embeddings table: every pair with
     * dist < eps is an edge. O(n²) pair generation — the oracle-able
-    * exact mode; the scale path is [[clusterIvf]]. */
+    * exact mode.
+    *
+    * ORACLE ANCHOR, not a production path: the all-pairs edge stage
+    * will not finish at 100 TB. Route production clustering to
+    * [[clusterIvf]] (registered `cluster_ivf`: IVF-bucketed edge
+    * candidates, identical CC/singleton/−1 semantics downstream). */
   def clusterExact(spark: SparkSession, sfDir: String, eps: Double = 1.4): DataFrame = {
     val assignment = assignCache.getOrElseUpdate(("exact", sfDir, eps), {
       val emb = Tables.embeddings(spark, sfDir)

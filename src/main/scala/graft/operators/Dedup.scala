@@ -326,7 +326,13 @@ object Dedup {
 
   /** Exact embedding near-dup over the `embeddings` table: ε-edges →
     * connected components → (vec_id, canonical_id = min member, kept).
-    * The DuckDB oracle replays it as a recursive CTE. */
+    * The DuckDB oracle replays it as a recursive CTE.
+    *
+    * ORACLE ANCHOR, not a production path: the ε-edge stage is an
+    * all-pairs join — O(n²) work that will not finish at 100 TB. It
+    * exists to vouch for the bucketed twin; route production dedup to
+    * [[docDedup]] (registered `doc_dedup`: IVF-bucketed candidate
+    * generation, same CC + canonical semantics, no cross product). */
   def dedupEmbedExact(spark: SparkSession, sfDir: String,
                       eps: Double = 0.9): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -343,7 +349,12 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs over `embeddings` (the
-    * embedding-side twin of [[dedupMinhash]]): exact mode, oracle-able. */
+    * embedding-side twin of [[dedupMinhash]]): exact mode, oracle-able.
+    *
+    * ORACLE ANCHOR, not a production path: all-pairs O(n²). Route
+    * production near-dup to [[neardupCosineLsh]] (registered
+    * `neardup_cosine_lsh`: hyperplane-sketch band join + exact cosine
+    * verify — same output contract, bucketed candidate generation). */
   def neardupCosine(spark: SparkSession, sfDir: String,
                     minCos: Double = 0.95): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -221,7 +221,7 @@ object IvfIndex {
     * the write and the offset commit; plain [[append]] would then
     * duplicate rows). Stage → prefixed move → marker commit:
     *
-    *  1. a committed marker (`_committed/<batchId>`) short-circuits a
+    *  1. a committed marker (`_committed/v2/<batchId>`) short-circuits a
     *     replay of a fully-committed batch to a no-op;
     *  2. the batch is written to a per-batch staging directory with
     *     `mode=overwrite` (re-staging after a crash is itself

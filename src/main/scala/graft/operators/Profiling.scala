@@ -113,4 +113,49 @@ object Profiling {
         |) AS (col_name, n_null, n_distinct, min_num, max_num)""".stripMargin))
       .orderBy(col("col_name").asc)
   }
+
+  /** Bound audit for the HLL profile, the registered correctness
+    * surface for the sketch path ([[profileLineitemApprox]] stays the
+    * PRODUCTION path — this variant deliberately reintroduces the
+    * exact countDistinct Expand to stand next to the sketch, the same
+    * way vocab_cms runs its exact head next to the CMS). Output is
+    * [[profileLineitem]]'s exact shape plus `n_hll` and an
+    * `hll_in_bound` flag (|est − exact| ≤ max(1, 5%·exact) — the
+    * ProfilingSpec cap; HLL is a deterministic function of the value
+    * set, so the flag is stable for fixed data). The registered
+    * projection drops `n_hll`: every kept column is exact and
+    * DuckDB-stated, and the oracle asserts the flag literal TRUE. */
+  def profileLineitemAudit(spark: SparkSession, sfDir: String,
+                           rsd: Double = 0.02): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def both(c: String, i: Int) = Seq(
+      count(col(c)).as(s"c$i"),
+      countDistinct(col(c)).as(s"d$i"),
+      approx_count_distinct(col(c), rsd).as(s"a$i"))
+    val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount").zipWithIndex.flatMap { case (c, i) =>
+      both(c, i + 1) ++ Seq(
+        min(col(c)).cast("double").as(s"mn${i + 1}"),
+        max(col(c)).cast("double").as(s"mx${i + 1}"))
+    }
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ numeric ++
+      (both("l_shipdate", 5) ++ Seq(
+        unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("double").as("mn5"),
+        unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("double").as("mx5"))) ++
+      both("l_returnflag", 6)
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    wide.select(expr(
+      """stack(6,
+        |  'l_orderkey',      n_rows - c1, d1, a1, mn1, mx1,
+        |  'l_quantity',      n_rows - c2, d2, a2, mn2, mx2,
+        |  'l_extendedprice', n_rows - c3, d3, a3, mn3, mx3,
+        |  'l_discount',      n_rows - c4, d4, a4, mn4, mx4,
+        |  'l_shipdate',      n_rows - c5, d5, a5, mn5, mx5,
+        |  'l_returnflag',    n_rows - c6, d6, a6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (col_name, n_null, n_distinct, n_hll, min_num, max_num)""".stripMargin))
+      .withColumn("hll_in_bound",
+        abs(col("n_hll") - col("n_distinct")) <=
+          greatest(lit(1L), (col("n_distinct") * 0.05).cast("long")))
+      .orderBy(col("col_name").asc)
+  }
 }

@@ -317,18 +317,49 @@ object RelationalOps {
     * (Greenwald-Khanna, mergeable partial sketches — the per-group
     * state is O(1/accuracy) regardless of row count, which is what
     * survives a 100 TB groupBy where exact percentiles must shuffle
-    * every value). No SQL oracle (sketch internals are
-    * engine-specific); the accuracy bound vs the exact query is
-    * test-pinned instead, like the HLL path. */
+    * every value).
+    *
+    * The estimates themselves are engine-specific (no SQL engine
+    * reproduces them), but GK's guarantee is NOT probabilistic: every
+    * returned element's rank r satisfies floor((q−ε)·n) ≤ r ≤
+    * ceil((q+ε)·n) with ε = 1/accuracy, deterministically, whatever
+    * the merge order. So the query audits its own bound: one extra
+    * broadcast join back over the events counts each estimate's rank
+    * interval [#{v < est}+1, #{v ≤ est}], and a per-quantile
+    * `gk_ok_*` flag checks it intersects the guaranteed window. The
+    * registered projection keeps (event_type, n, flags) — exact
+    * columns a DuckDB oracle states with the flags literal TRUE
+    * (the vocab_cms pattern); the estimates stay in this frame for
+    * the rank test in PlanSpec. */
   def valuePercentilesApprox(spark: SparkSession, sfDir: String,
                              accuracy: Int = 10000): DataFrame = {
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"))
+    val eps = 1.0 / accuracy
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val approx = ev.groupBy(col("event_type"))
       .agg(
         approx_percentile(col("value"), lit(0.5), lit(accuracy)).as("p50"),
         approx_percentile(col("value"), lit(0.9), lit(accuracy)).as("p90"),
         approx_percentile(col("value"), lit(0.99), lit(accuracy)).as("p99"),
         count(lit(1)).as("n"))
+    def le(p: String) = sum(when(col("value") <= col(p), 1L).otherwise(0L))
+    def lt(p: String) = sum(when(col("value") < col(p), 1L).otherwise(0L))
+    val ranked = ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("p50")).as("p50"), first(col("p90")).as("p90"),
+        first(col("p99")).as("p99"), first(col("n")).as("n"),
+        le("p50").as("le50"), lt("p50").as("lt50"),
+        le("p90").as("le90"), lt("p90").as("lt90"),
+        le("p99").as("le99"), lt("p99").as("lt99"))
+    // the element's rank interval [lt+1, le] must intersect
+    // [floor((q−ε)n), ceil((q+ε)n)]
+    def ok(q: Double, leC: String, ltC: String) =
+      (col(leC) >= floor(col("n") * (q - eps))) &&
+        (col(ltC) + lit(1L) <= ceil(col("n") * (q + eps)))
+    ranked.select(col("event_type"),
+        col("p50"), col("p90"), col("p99"), col("n"),
+        ok(0.5, "le50", "lt50").as("gk_ok_p50"),
+        ok(0.9, "le90", "lt90").as("gk_ok_p90"),
+        ok(0.99, "le99", "lt99").as("gk_ok_p99"))
       .orderBy(col("event_type").asc)
   }
 

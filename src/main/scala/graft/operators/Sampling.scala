@@ -68,4 +68,77 @@ object Sampling {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy(col("source").asc)
   }
+
+  /** EXACT per-stratum sampling: the first `perStratum` documents of
+    * each stratum (lang) in a content-independent deterministic order
+    * — md5 of the salted id, the same reproducible-order device as
+    * [[sampleSplit]], so the DuckDB oracle replays the selection
+    * row-for-row. Hash-threshold splits give ~fractions; balanced
+    * eval-set construction needs exact counts per stratum, which is
+    * what the rank window delivers (strata smaller than `perStratum`
+    * keep every row). One shuffle on the stratum key. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       perStratum: Int = 50,
+                       salt: String = "strat"): DataFrame =
+    rankInStratum(documentsForStrata(spark, sfDir), salt)
+      .filter(col("rank_in_stratum") <= perStratum)
+      .select(col("id"), col("lang"), col("rank_in_stratum"))
+      .orderBy(col("lang").asc, col("rank_in_stratum").asc)
+
+  /** The 100 TB variant of [[stratifiedSample]]: ranking a giant
+    * stratum sorts the whole stratum to keep its first `perStratum`
+    * rows. This path pre-filters each stratum to ~`margin ×
+    * perStratum` expected survivors by hash threshold (one tiny
+    * counts aggregate broadcast back — per-row work stays a narrow
+    * filter), then exact-ranks only the survivors: the window sort
+    * touches O(margin · perStratum · nStrata) rows regardless of
+    * corpus size. The threshold keeps the LOWEST hash values, and the
+    * rank order is the same hash ascending, so the first `perStratum`
+    * survivors are exactly the first `perStratum` of the full stratum
+    * PROVIDED the threshold retained ≥ perStratum rows — guaranteed
+    * for small strata (threshold collapses to keep-all) and holds
+    * with overwhelming margin-dependent probability for large ones
+    * (binomial tail; margin 4 at perStratum 50 puts it past 10σ).
+    * Equality with the exact path is test-pinned on the fixed data. */
+  def stratifiedSampleThresholded(spark: SparkSession, sfDir: String,
+                                  perStratum: Int = 50, margin: Int = 4,
+                                  salt: String = "strat"): DataFrame = {
+    val docs = documentsForStrata(spark, sfDir)
+    // per-stratum keep fraction → 8-hex-digit threshold over the rank
+    // hash's first 8 chars (uniform over 2^32, same ASCII-order trick
+    // as sampleSplit); fraction 1 keeps everything
+    val thresholds = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("keep_frac",
+        least(lit(1.0), lit(margin.toLong * perStratum) / col("n_stratum")))
+      // "g" sorts above every hex digit, so keep-all strata pass every
+      // row (lpad of the fraction-1 value would TRUNCATE 0x100000000
+      // to an effective 1/16); hex() is uppercase, md5 lowercase —
+      // normalize once here
+      .withColumn("hex_threshold",
+        when(col("keep_frac") >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(
+            (col("keep_frac") * lit(4294967296.0)).cast("long"))), 8, "0")))
+      .select(col("lang"), col("hex_threshold"))
+    rankInStratum(
+      docs.join(broadcast(thresholds), Seq("lang"))
+        .filter(substring(md5(concat(lit(salt), col("id").cast("string"))), 1, 8)
+          < col("hex_threshold")),
+      salt)
+      .filter(col("rank_in_stratum") <= perStratum)
+      .select(col("id"), col("lang"), col("rank_in_stratum"))
+      .orderBy(col("lang").asc, col("rank_in_stratum").asc)
+  }
+
+  private def documentsForStrata(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("lang"))
+
+  private def rankInStratum(docs: DataFrame, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(concat(lit(salt), col("id").cast("string"))).asc,
+        col("id").asc)
+    docs.withColumn("rank_in_stratum", row_number().over(w))
+  }
 }

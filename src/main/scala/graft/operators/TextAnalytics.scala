@@ -270,24 +270,35 @@ object TextAnalytics {
     * oracle can state as a literal TRUE: the registered query projects
     * (term, n_exact, cms_in_bound), so the exact head is hash-checked
     * AND the sketch bound is oracle-asserted; the raw `n_cms` estimate
-    * stays in this frame for the audit/tests. */
+    * stays in this frame for the audit/tests.
+    *
+    * The exact head stays DISTRIBUTED end-to-end: the driver-built
+    * sketch (stat.countMinSketch returns a driver-side mergeable
+    * sketch either way) is broadcast back out and probed by a typed
+    * map over the topK-row head — a bounded external-structure
+    * boundary, the same class as the multimodal codec map, not a
+    * hot-path UDF. No `.collect()` anywhere in the operator body. */
   def vocabCms(spark: SparkSession, sfDir: String, topK: Int = 25,
                eps: Double = 0.0005, confidence: Double = 0.99): DataFrame = {
     import spark.implicits._
     val toks = Ingest.corpusFromDocuments(spark, sfDir)
       .select(explode(tokens(col("sentence"))).as("term"))
     val sketch = toks.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
-    val head = toks.groupBy(col("term"))
+    // totalCount comes off the sketch — no third corpus pass
+    val bound = math.max(1L, math.ceil(eps * sketch.totalCount).toLong)
+    val bc = spark.sparkContext.broadcast(sketch)
+    toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("term").asc)
       .limit(topK)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // totalCount comes off the sketch — no third corpus pass
-    val bound = math.max(1L, math.ceil(eps * sketch.totalCount).toLong)
-    head.map { case (t, n) =>
-      val est = sketch.estimateCount(t)
-      (t, n, est, est >= n && est - n <= 5 * bound)
-    }.toSeq
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sk = bc.value
+        it.map { case (t, n) =>
+          val est = sk.estimateCount(t)
+          (t, n, est, est >= n && est - n <= 5 * bound)
+        }
+      }
       .toDF("term", "n_exact", "n_cms", "cms_in_bound")
       .orderBy(col("n_exact").desc, col("term").asc)
   }

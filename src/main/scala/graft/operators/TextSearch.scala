@@ -209,7 +209,13 @@ object TextSearch {
   }
 
   /** Append new documents to a persisted term index — the lexical twin
-    * of [[graft.operators.IvfIndex.append]]. New docs' postings land
+    * of [[graft.operators.IvfIndex.append]]. "Once" because this entry
+    * point is NOT crash-idempotent: postings land via mode("append")
+    * before the dfreq/stats swap, so a crash followed by a naive
+    * re-run double-appends — call it exactly once per delta, from a
+    * non-replaying caller. Replaying callers (streaming sinks,
+    * at-least-once schedulers) must use [[appendTermBatch]], whose
+    * marker protocol makes replays no-ops. New docs' postings land
     * under their existing crc32 bucket partitions (a parquet append:
     * searches partition-prune exactly as before); dfreq and stats are
     * REWRITTEN by merging the deltas — they are the small tables of the
@@ -225,7 +231,7 @@ object TextSearch {
     * re-building (for a streaming sink, wrap this in the
     * [[IvfIndex.appendBatch]] marker protocol the way
     * IndexMaintenance.appendStream does). Returns docs appended. */
-  def appendToTermIndex(spark: SparkSession, dir: String,
+  def appendToTermIndexOnce(spark: SparkSession, dir: String,
                         newDocs: DataFrame): Long = {
     val index = loadTermIndex(spark, dir)
     val nBuckets = index.stats.select(col("n_buckets")).head().getLong(0)

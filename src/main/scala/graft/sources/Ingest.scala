@@ -51,12 +51,17 @@ object Ingest {
   }
 
   /** Driver `documents` table as a corpus: source-provided contiguous
-    * id, trim + non-empty filter applied for parity with line ingest. */
+    * id, trim + non-empty filter applied for parity with line ingest.
+    * Deliberately UNORDERED: this is the shared source under ~20
+    * operators, and a global sort here costs a range exchange in any
+    * derived query that doesn't destroy order (Catalyst strips it
+    * under aggregates, but order-preserving derivations would pay it).
+    * Queries whose OUTPUT contract is id order sort at their own
+    * output edge. */
   def corpusFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), trim(col("text")).as("sentence"))
       .filter(length(col("sentence")) > 0)
-      .orderBy(col("id").asc)
   }
 
   /** Newline-joined corpus display (reference F3: the text-area

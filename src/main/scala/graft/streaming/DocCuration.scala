@@ -80,8 +80,9 @@ object DocCuration {
     * identity to merge into, so each micro-batch OWNS one
     * `batch_tag=` directory and commit atomicity is directory-level):
     *
-    *  1. a committed marker at `outDir/_committed/<ns>-<batchId>` turns
-    *     replay of a fully-committed batch into a no-op;
+    *  1. a committed marker (BatchFs.markerFor — the shared versioned
+    *     `_committed/` layout) turns replay of a fully-committed batch
+    *     into a no-op;
     *  2. the batch writes to its own `data/batch_tag=<ns>-<batchId>`
     *     directory with mode=overwrite — a replay after a crash
     *     mid-write deletes the partial files and rewrites, so the
@@ -92,16 +93,16 @@ object DocCuration {
     * Returns rows appended (0 for a replayed committed batch). */
   def appendCuratedBatch(outDir: String, batch: DataFrame, batchId: Long,
                          namespace: String): Long = {
-    import java.nio.file.{Files, Paths}
-    val tag = s"$namespace-$batchId"
-    val marker = Paths.get(s"$outDir/_committed/$tag")
+    import java.nio.file.Files
+    import graft.operators.BatchFs
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(outDir, batchId, namespace)
     if (Files.exists(marker)) return 0L
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cached.count()
       cached.write.mode("overwrite").parquet(s"$outDir/data/batch_tag=$tag")
-      Files.createDirectories(marker.getParent)
-      Files.write(marker, n.toString.getBytes("UTF-8"))
+      BatchFs.writeMarker(marker, n.toString)
       n
     } finally cached.unpersist(blocking = false)
   }

@@ -178,7 +178,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     // crash BETWEEN the file moves and the marker write: delete the
     // marker (the moved files stay) and replay — the prefixed files
     // from the partial commit are replaced, not duplicated
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed/t-7"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed/v2/t-7"))
     val n3 = IvfIndex.appendBatch(spark, dir, rest, "vec_id", "embedding",
       batchId = 7L, namespace = "t")
     assert(n3 == 250)

@@ -67,4 +67,33 @@ class SamplingSpec extends SparkSpec {
     assert(frac("src0") > frac("src2"),
       s"src0=${frac("src0")} must exceed src2=${frac("src2")}")
   }
+
+  test("stratifiedSample: exact per-stratum counts, deterministic, ranks contiguous") {
+    val perStratum = 50
+    val got = Sampling.stratifiedSample(spark, sfSmall, perStratum).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val strataSizes = graft.Tables.documents(spark, sfSmall)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = got.groupBy(_._2)
+    assert(byLang.keySet == strataSizes.keySet, "every stratum represented")
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(perStratum.toLong, strataSizes(lang)),
+        s"$lang: ${rows.length} of stratum ${strataSizes(lang)}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"$lang ranks must be contiguous from 1")
+    }
+    val again = Sampling.stratifiedSample(spark, sfSmall, perStratum).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == again.toSeq, "selection must be reproducible")
+  }
+
+  test("stratifiedSampleThresholded equals the exact sampler (margin covers)") {
+    val exact = Sampling.stratifiedSample(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val fast = Sampling.stratifiedSampleThresholded(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(fast == exact,
+      "threshold pre-filter must keep the same first-perStratum rows")
+  }
 }

@@ -170,7 +170,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data").count() == 1)
     // crash BETWEEN the data write and the marker: delete the marker
     // and replay — overwrite repairs the directory, never doubles it
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/_committed/t-3"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/_committed/v2/t-3"))
     assert(DocCuration.appendCuratedBatch(out, batch, 3L, "t") == 1L)
     assert(spark.read.parquet(s"$out/data").count() == 1)
   }

@@ -80,14 +80,14 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
-  test("appendToTermIndex: search after append equals a fresh build over the union") {
+  test("appendToTermIndexOnce: search after append equals a fresh build over the union") {
     import graft.sources.Ingest
     val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
     val first = corpus.filter(col("id") < 250)
     val rest = corpus.filter(col("id") >= 250)
     val dir = tmpDir("term-append-")
     TextSearch.saveTermIndex(TextSearch.buildTermIndex(first), dir)
-    val n = TextSearch.appendToTermIndex(spark, dir, rest)
+    val n = TextSearch.appendToTermIndexOnce(spark, dir, rest)
     assert(n == rest.count())
     val appended = TextSearch.loadTermIndex(spark, dir)
     val fresh = TextSearch.buildTermIndex(corpus)
@@ -106,7 +106,7 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == want)
     // appending nothing is a no-op
-    assert(TextSearch.appendToTermIndex(spark, dir, rest.limit(0)) == 0L)
+    assert(TextSearch.appendToTermIndexOnce(spark, dir, rest.limit(0)) == 0L)
   }
 
   test("appendTermBatch: replay no-op, pre-marker crash repairs, refresh restores fresh-build parity") {
@@ -129,7 +129,7 @@ class TextSearchSpec extends SparkSpec {
     assert(dupPairs() == 0L, "replay must not duplicate postings")
     // crash BETWEEN the file moves and the marker: delete the marker
     // and replay — prefixed files are replaced, never doubled
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed/t-7"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed/v2/t-7"))
     assert(TextSearch.appendTermBatch(spark, dir, rest, 7L, "t") == rest.count())
     assert(dupPairs() == 0L, "post-crash replay must repair, not duplicate")
     // refresh = the retrain analogue: derived stats converge to a
