@@ -60,10 +60,17 @@ object Bench {
     "minhash_sig_cache" -> 13.0, "ivf_index_nlist4" -> 12.0,
     "ivf_index_persisted" -> 2.5, "cluster_exact_assign" -> 5.0,
     "cluster_ivf_assign" -> 5.0, "doc_dedup_pipeline" -> 13.0,
-    "ivf_append_lifecycle" -> 7.0, "term_index_persisted" -> 5.5,
+    "ivf_append_lifecycle" -> 7.0, "term_index_persisted" -> 7.0,
     "pq_codebooks_m8k16" -> 20.0, "pq_flat_codes" -> 8.0,
     "pq_residual_codes" -> 25.0, "attribution_stream" -> 16.0,
-    "user_sessions_stateful" -> 10.0, "events_hourly_stream" -> 5.0
+    "user_sessions_stateful" -> 10.0, "events_hourly_stream" -> 5.0,
+    // r8: recorded quiet ranges for the heavy registered queries, so
+    // the flagged detector is tighter than the 8 s default on them
+    // (BASELINE.md round-8 table; values are quiet-window uppers)
+    "hard_negatives_lsh" -> 4.0, "contamination" -> 3.0,
+    "profile_lineitem" -> 4.0, "profile_lineitem_approx" -> 6.0,
+    "knn_batch_ivf" -> 3.0, "min_cost_supplier" -> 3.0,
+    "corpus_upsert" -> 3.0, "similarity_join_stats" -> 3.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000

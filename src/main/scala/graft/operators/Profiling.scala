@@ -128,22 +128,32 @@ object Profiling {
   def profileLineitemAudit(spark: SparkSession, sfDir: String,
                            rsd: Double = 0.02): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    def both(c: String, i: Int) = Seq(
-      count(col(c)).as(s"c$i"),
-      countDistinct(col(c)).as(s"d$i"),
-      approx_count_distinct(col(c), rsd).as(s"a$i"))
-    val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
-      "l_discount").zipWithIndex.flatMap { case (c, i) =>
-      both(c, i + 1) ++ Seq(
-        min(col(c)).cast("double").as(s"mn${i + 1}"),
-        max(col(c)).cast("double").as(s"mx${i + 1}"))
-    }
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++ numeric ++
-      (both("l_shipdate", 5) ++ Seq(
-        unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("double").as("mn5"),
-        unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("double").as("mx5"))) ++
-      both("l_returnflag", 6)
-    val wide = li.agg(aggs.head, aggs.tail: _*)
+    // The exact-distinct agg (Expand) and the HLL agg run SEPARATELY
+    // and meet in a 1-row × 1-row cross join: mixing countDistinct
+    // with approx_count_distinct in one Aggregate plans
+    // catastrophically (measured 103 s vs ~4.5 s for the two passes
+    // at sf0.1 — the r8 bench's own `flagged` detector caught it).
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount")
+    val exactAggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(count(col(c)).as(s"c${i + 1}"),
+            countDistinct(col(c)).as(s"d${i + 1}"),
+            min(col(c)).cast("double").as(s"mn${i + 1}"),
+            max(col(c)).cast("double").as(s"mx${i + 1}"))
+        } ++ Seq(
+          count(col("l_shipdate")).as("c5"),
+          countDistinct(col("l_shipdate")).as("d5"),
+          unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("double").as("mn5"),
+          unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("double").as("mx5"),
+          count(col("l_returnflag")).as("c6"),
+          countDistinct(col("l_returnflag")).as("d6"))
+    val hllAggs = (cols ++ Seq("l_shipdate", "l_returnflag")).zipWithIndex
+      .map { case (c, i) => approx_count_distinct(col(c), rsd).as(s"a${i + 1}") }
+    val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+    val hll = li.agg(hllAggs.head, hllAggs.tail: _*)
+    val wide = exact.crossJoin(broadcast(hll))
     wide.select(expr(
       """stack(6,
         |  'l_orderkey',      n_rows - c1, d1, a1, mn1, mx1,

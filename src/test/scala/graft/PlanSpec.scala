@@ -199,4 +199,35 @@ class PlanSpec extends SparkSpec {
       s"df/stats must ride in as broadcasts:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
+
+  test("corpus source is unordered: derived queries range-exchange once, at the output edge") {
+    // r8 moved the global sort OUT of Ingest.corpusFromDocuments (it
+    // cost a range exchange in every derivation Catalyst couldn't
+    // strip it from — dedup_minhash's audit count was 26 range-
+    // exchange prints before, 2 after). This pins the shape: the only
+    // range partitioning in a per-row corpus query is its own
+    // terminal orderBy.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def rangeExchanges(p: SparkPlan): Int = {
+      val self = p match {
+        case s: ShuffleExchangeLike
+          if s.outputPartitioning.isInstanceOf[RangePartitioning] => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self + kids.map(rangeExchanges).sum
+    }
+    for (q <- Seq("text_stats", "lang_id", "pii_redact", "token_counts")) {
+      val df = SparkEntry.queries(q)(spark, sfSmall)
+      df.collect()
+      val n = rangeExchanges(df.queryExecution.executedPlan)
+      assert(n <= 1, s"$q: $n range exchanges — a non-terminal sort crept back in")
+    }
+  }
 }
