@@ -121,4 +121,35 @@ object IndexMaintenance {
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }
+
+  /** Streaming CDC apply — the continuous half of
+    * [[graft.operators.Upsert]]: each micro-batch of delta rows
+    * (key + payload, optional boolean `_deleted` tombstones) merges
+    * into the bucket-partitioned live table, rewriting only the
+    * buckets the batch touches.
+    *
+    * Exactly-once TABLE STATE on top of foreachBatch's at-least-once
+    * delivery, without a marker protocol — unlike the postings sinks
+    * (pure appends, where a replay would DOUBLE rows and the BatchFs
+    * marker must short-circuit it), the upsert merge is per-key
+    * last-writer-wins: replaying an identical batch recomputes every
+    * touched bucket to the state it already has, and a crash mid-swap
+    * (some buckets new, some old) is repaired by the replay completing
+    * the same swap. Cross-batch ordering is the stream's micro-batch
+    * order: batch N+1's write of a key supersedes batch N's, the CDC
+    * contract. Within one batch at most one row per key (same contract
+    * as [[graft.operators.Upsert.upsert]]). */
+  def upsertStream(deltas: DataFrame, dir: String, keyCol: String = "id",
+                   nBuckets: Int = 16,
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = deltas.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Upsert.upsert(batch.sparkSession, dir, batch,
+          keyCol, nBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

@@ -71,6 +71,44 @@ class UpsertSpec extends SparkSpec {
     assert(tableAsMap(dir) == once)
   }
 
+  test("upsertStream: micro-batched CDC apply across restarts from one checkpoint") {
+    val root = tmpDir("upsert-stream-")
+    val dir = root + "/table"
+    val landing = root + "/landing"
+    val ckpt = root + "/ckpt"
+    new java.io.File(landing).mkdirs()
+    Upsert.writeBase(base(60), dir, "id", 4)
+    val schema = Seq((0L, "", false)).toDF("id", "sentence", "_deleted").schema
+    def stage(rows: Seq[(Long, String, Boolean)], name: String): Unit = {
+      val tmp = tmpDir("upsert-stage-")
+      rows.toDF("id", "sentence", "_deleted").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    def run(): Unit =
+      graft.streaming.IndexMaintenance.upsertStream(
+        spark.readStream.schema(schema).parquet(landing), dir, "id", 4,
+        checkpointDir = Some(ckpt)).awaitTermination()
+    stage(Seq((1L, "one v2", false), (60L, "sixty", false)), "w0"); run()
+    val afterW0 = tableAsMap(dir)
+    assert(afterW0.size == 61 && afterW0(1L) == "one v2" && afterW0(60L) == "sixty")
+    // second launch, same checkpoint: only the new file is processed;
+    // its update supersedes w0's value for the shared key and the
+    // tombstone removes a base key
+    stage(Seq((60L, "sixty v2", false), (2L, "", true)), "w1"); run()
+    val afterW1 = tableAsMap(dir)
+    assert(afterW1.size == 60, "one insert + one delete from 60 base rows")
+    assert(afterW1(60L) == "sixty v2", "batch order is CDC order")
+    assert(!afterW1.contains(2L))
+    assert(afterW1(1L) == "one v2", "w0's untouched keys survive w1")
+    // third launch with nothing new: a no-op
+    run()
+    assert(tableAsMap(dir) == afterW1)
+  }
+
   test("a delta that empties a bucket deletes its directory") {
     val dir = tmpDir("upsert-empty-") + "/t"
     // 4 rows in 2 buckets; tombstone every key of one bucket
