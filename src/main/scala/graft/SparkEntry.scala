@@ -319,8 +319,9 @@ object SparkEntry {
         .withColumn("_deleted", lit(false))
       val tombstones = corpus.filter(col("id") % 13 === 0)
         .withColumn("_deleted", lit(true))
-      Upsert.upsert(s, dir, updates.unionByName(inserts).unionByName(tombstones),
-        "id", 16)
+      // meta-driven entry point: key column and bucket count come from
+      // the table's persisted layout metadata
+      Upsert.upsert(s, dir, updates.unionByName(inserts).unionByName(tombstones))
       Upsert.read(s, dir).orderBy(col("id").asc)
     }),
     "pack_sequences" -> ((s, d) => CorpusPrep.packSequences(s, d)),

@@ -49,6 +49,20 @@ object Upsert {
     df.withColumn("bucket",
       pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
 
+  /** Layout metadata (key column, bucket count), persisted next to the
+    * data at writeBase time. The underscore prefix hides it from
+    * Spark's data-file listing, so `read` never sees it; merges read
+    * it back and REFUSE mismatched parameters — a delta hashed with a
+    * different bucket count would land keys in buckets searches and
+    * future merges never look in (silent duplication). */
+  private val MetaDir = "_upsert_meta"
+
+  /** (keyCol, nBuckets) the table at `dir` was written with. */
+  def tableMeta(spark: SparkSession, dir: String): (String, Int) = {
+    val r = spark.read.parquet(s"$dir/$MetaDir").head()
+    (r.getAs[String]("key_col"), r.getAs[Int]("n_buckets"))
+  }
+
   /** Materialize the initial base table, bucket-partitioned,
     * one file per bucket. */
   def writeBase(df: DataFrame, dir: String, keyCol: String = "id",
@@ -57,6 +71,18 @@ object Upsert {
     withBucket(df, keyCol, nBuckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$MetaDir")
+  }
+
+  /** Apply a delta using the table's own persisted layout metadata —
+    * the entry point that cannot be called with the wrong key or
+    * bucket count. */
+  def upsert(spark: SparkSession, dir: String, delta: DataFrame): Int = {
+    val (keyCol, nBuckets) = tableMeta(spark, dir)
+    upsert(spark, dir, delta, keyCol, nBuckets)
   }
 
   /** Apply a delta: rows whose key exists are replaced, new keys are
@@ -64,7 +90,16 @@ object Upsert {
     * their key. Only the delta's buckets are read or rewritten.
     * Returns the number of buckets rewritten. */
   def upsert(spark: SparkSession, dir: String, delta: DataFrame,
-             keyCol: String = "id", nBuckets: Int = 16): Int = {
+             keyCol: String, nBuckets: Int): Int = {
+    // refuse parameters that disagree with the table's own layout —
+    // hashing a delta with a different bucket count silently lands
+    // keys in buckets no future merge or pruned read looks in
+    val (metaKey, metaBuckets) =
+      try tableMeta(spark, dir)
+      catch { case _: Exception => (keyCol, nBuckets) } // pre-meta table
+    require(keyCol == metaKey && nBuckets == metaBuckets,
+      s"table at $dir was written with key=$metaKey, nBuckets=$metaBuckets; " +
+        s"got key=$keyCol, nBuckets=$nBuckets")
     val hasTombstones = delta.columns.contains("_deleted")
     val deltaB = withBucket(delta, keyCol, nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

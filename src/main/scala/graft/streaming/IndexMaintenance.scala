@@ -138,10 +138,14 @@ object IndexMaintenance {
     * the same swap. Cross-batch ordering is the stream's micro-batch
     * order: batch N+1's write of a key supersedes batch N's, the CDC
     * contract. Within one batch at most one row per key (same contract
-    * as [[graft.operators.Upsert.upsert]]). */
-  def upsertStream(deltas: DataFrame, dir: String, keyCol: String = "id",
-                   nBuckets: Int = 16,
+    * as [[graft.operators.Upsert.upsert]]). Key column and bucket
+    * count come from the table's own persisted layout metadata,
+    * resolved ONCE here (immutable for the table's life), not once per
+    * micro-batch. */
+  def upsertStream(deltas: DataFrame, dir: String,
                    checkpointDir: Option[String] = None): StreamingQuery = {
+    val (keyCol, nBuckets) =
+      graft.operators.Upsert.tableMeta(deltas.sparkSession, dir)
     val writer = deltas.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Upsert.upsert(batch.sparkSession, dir, batch,

@@ -58,6 +58,26 @@ class UpsertSpec extends SparkSpec {
     assert(m.size == 200 && m(42L) == "doc 42 v2" && m(41L) == "doc 41")
   }
 
+  test("layout metadata: meta-driven upsert works; mismatched parameters are refused") {
+    val dir = tmpDir("upsert-meta-") + "/t"
+    Upsert.writeBase(base(40), dir, "id", 8)
+    assert(Upsert.tableMeta(spark, dir) == (("id", 8)))
+    // the 3-arg entry point derives the layout itself
+    Upsert.upsert(spark, dir, Seq((1L, "one v2")).toDF("id", "sentence"))
+    assert(tableAsMap(dir)(1L) == "one v2")
+    // a wrong bucket count would land keys in buckets no merge or
+    // pruned read looks in — refused, not silently corrupted
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(spark, dir, Seq((2L, "two v2")).toDF("id", "sentence"),
+        "id", 4)
+    }
+    assert(e.getMessage.contains("nBuckets=8"))
+    intercept[IllegalArgumentException] {
+      Upsert.upsert(spark, dir, Seq((2L, "x")).toDF("doc", "sentence"),
+        "doc", 8)
+    }
+  }
+
   test("re-applying the same upsert is idempotent; empty delta is a no-op") {
     val dir = tmpDir("upsert-idem-") + "/t"
     Upsert.writeBase(base(50), dir, "id", 4)
@@ -90,7 +110,7 @@ class UpsertSpec extends SparkSpec {
     }
     def run(): Unit =
       graft.streaming.IndexMaintenance.upsertStream(
-        spark.readStream.schema(schema).parquet(landing), dir, "id", 4,
+        spark.readStream.schema(schema).parquet(landing), dir,
         checkpointDir = Some(ckpt)).awaitTermination()
     stage(Seq((1L, "one v2", false), (60L, "sixty", false)), "w0"); run()
     val afterW0 = tableAsMap(dir)
