@@ -151,9 +151,12 @@ object SparkEntry {
     "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
     "label_centroids" -> ((s, d) => VectorOps.centroidsByLabel(s, d)),
     "hard_negatives" -> ((s, d) => VectorSearchOps.hardNegatives(s, d)),
-    // corpus-wide LSH-bucketed mining (approximate candidates, exact
-    // scoring) — recall-floor-tested vs the exact mode, no SQL oracle
-    "hard_negatives_lsh" -> ((s, d) => VectorSearchOps.hardNegativesLsh(s, d)),
+    // corpus-wide LSH-bucketed mining: registered surface is the
+    // self-audit (cross-label/cosine/rank invariants + the measured
+    // recall floor vs the exact mode, stated literal TRUE by the
+    // oracle — the vocab_cms pattern); raw pairs via
+    // VectorSearchOps.hardNegativesLsh
+    "hard_negatives_lsh" -> ((s, d) => IndexAudits.hardNegativesLshAudit(s, d)),
     "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
     "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
     // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
@@ -161,14 +164,17 @@ object SparkEntry {
     // twin (recall-tested, not SQL-expressible)
     "quantize_stats" -> ((s, d) => Quantization.quantizeStats(s, d)),
     "knn_quantized" -> ((s, d) => Quantization.knnQuantized(s, d)),
-    "ivf_search_quantized" -> ((s, d) => Quantization.ivfSearchQuantized(s, d)),
-    // product quantization (IVF-PQ shape): codebook audit + ADC search
-    // (codebooks are learned, so recall/equality are test-pinned, not
-    // SQL-expressible)
-    "pq_stats" -> ((s, d) => Pq.pqStats(s, d)),
-    "knn_pq" -> ((s, d) => Pq.searchPq(s, d, rerank = 100)),
-    "ivf_search_pq" -> ((s, d) => Pq.ivfSearchPq(s, d)),
-    "pq_persisted_search" -> ((s, d) => Pq.persistedSearchPq(s, d)),
+    "ivf_search_quantized" -> ((s, d) => IndexAudits.ivfQuantAudit(s, d)),
+    // product quantization (IVF-PQ shape): codebooks are learned, so
+    // the raw outputs are engine-specific — each registered surface is
+    // the deterministic self-audit (mass/range invariants, exact-
+    // recompute refine distances, persisted ≡ memory equality, measured
+    // recall floors stated literal TRUE); raw search paths stay on
+    // Pq.searchPq / ivfSearchPq / persistedSearchPq / pqStats
+    "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
+    "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
+    "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
+    "pq_persisted_search" -> ((s, d) => IndexAudits.pqPersistedAudit(s, d)),
     // the corpus source is unordered by design; id order is this
     // query's output contract, so the sort lives here at the edge
     "corpus_ingest" -> ((s, d) => {
@@ -176,14 +182,16 @@ object SparkEntry {
       graft.sources.Ingest.corpusFromDocuments(s, d).orderBy(col("id").asc)
     }),
     "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
-    "doc_knn" -> ((s, d) => EmbedOps.docKnn(s, d)),
+    // end-to-end embed→search pipeline: the embedding space is
+    // engine-specific, so the registered surface is the self-audit
+    // (tight top-k re-verified against every candidate, exact distance
+    // recompute); raw hits via EmbedOps.docKnn
+    "doc_knn" -> ((s, d) => IndexAudits.docKnnAudit(s, d)),
     // --- IVF index (SURVEY §2.4 A1/A2, §2.3 J2/J3, §2.6 T4) ---
-    "ivf_build_stats" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      IvfIndex.forEmbeddings(s, d, nlist = 4).postings
-        .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
-        .orderBy(col("list_id").asc)
-    }),
+    // list membership is k-means-dependent; the registered surface is
+    // the partition audit (lists cover the corpus bijectively — all
+    // deterministic); per-list counts via IvfIndex.listStats
+    "ivf_build_stats" -> ((s, d) => IndexAudits.ivfBuildAudit(s, d)),
     // nprobe = nlist probes every list; IVFFlat stores raw vectors, so
     // this must equal the exact scan (reference semantics,
     // app.py:47-48,55) — its oracle is the exact-kNN SQL.
@@ -195,30 +203,29 @@ object SparkEntry {
           k = 10, nprobe = 4, excludeId = Some(0L))
         .withColumnRenamed("id", "vec_id")
     }),
-    "ivf_search_pruned" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.forEmbeddings(s, d, nlist = 4), q,
-          k = 10, nprobe = 2, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    "knn_batch_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      IvfIndex.searchAll(IvfIndex.forEmbeddings(s, d, nlist = 4),
-          Tables.embeddings(s, d), "vec_id", "embedding", k = 5, nprobe = 2)
-        .orderBy(col("src_id").asc, col("rank").asc)
-    }),
+    // nprobe < nlist prunes lists: which hits survive is k-means-
+    // dependent, so the registered surface is the self-audit (exact
+    // distance recompute, tight top-k over the probed candidate set,
+    // measured recall floor); raw hits via IvfIndex.search
+    "ivf_search_pruned" -> ((s, d) =>
+      IndexAudits.prunedSearchAudit(s, d, persisted = false)),
+    "knn_batch_ivf" -> ((s, d) => IndexAudits.batchIvfAudit(s, d)),
     // --- streaming index maintenance (SURVEY §7.5): build on half,
-    // append the rest against frozen centroids, per-list stats ---
-    // (no SQL oracle: list membership is k-means-dependent; verified
-    // directly by IndexMaintenanceSpec against driver-side argmin)
-    "ivf_append_stats" -> ((s, d) => IvfIndex.appendHalfStats(s, d)),
+    // append the rest against frozen centroids ---
+    // (list membership is k-means-dependent; the registered surface is
+    // the lifecycle audit — appended lists still partition the full
+    // corpus, shares sum to 1; per-list stats via IvfIndex.listStats,
+    // argmin assignment pinned by IndexMaintenanceSpec)
+    "ivf_append_stats" -> ((s, d) => IndexAudits.ivfAppendAudit(s, d)),
     // --- clustering (SURVEY §2.4 A3, §2.2 P3/P4, app.py:77-114) ---
     "cluster_exact" -> ((s, d) => Clustering.clusterExact(s, d, eps = 1.2)),
     "cluster_sizes" -> ((s, d) =>
       Clustering.clusterSizes(Clustering.clusterExact(s, d, eps = 1.2))),
-    "cluster_ivf" -> ((s, d) => Clustering.clusterIvf(s, d)),
+    // IVF-graph clustering: cluster numbering is k-means-dependent,
+    // so the registered surface is the per-vector audit (refinement of
+    // the exact ε-graph is deterministic; canonical agreement clears
+    // the measured floor); raw assignment via Clustering.clusterIvf
+    "cluster_ivf" -> ((s, d) => IndexAudits.clusterIvfAudit(s, d)),
     // --- persisted-index lifecycle (S3/S4, app.py:116-147): search
     // runs against the partitionBy(list_id) parquet layout on disk ---
     "ivf_persisted_search" -> ((s, d) => {
@@ -229,14 +236,10 @@ object SparkEntry {
           k = 10, nprobe = 4, excludeId = Some(0L))
         .withColumnRenamed("id", "vec_id")
     }),
-    "ivf_persisted_pruned" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
-          k = 10, nprobe = 2, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
+    // persisted + pruned: the audit additionally pins that the disk-
+    // backed index returns bit-identical results to the in-memory one
+    "ivf_persisted_pruned" -> ((s, d) =>
+      IndexAudits.prunedSearchAudit(s, d, persisted = true)),
     // --- ingest surface (S1/S2/S5, app.py:199-223, 313-319) ---
     "ingest_csv" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -354,7 +357,11 @@ object SparkEntry {
     // threshold the 8-band sketch finds every qualifying pair);
     // recall-vs-exact also test-pinned in DedupSpec
     "neardup_cosine_lsh" -> ((s, d) => Dedup.neardupCosineLsh(s, d)),
-    "doc_dedup" -> ((s, d) => Dedup.docDedupFor(s, d)),
+    // embed→IVF→CC dedup: group layout is k-means-dependent, so the
+    // registered surface is the per-document audit (min-member
+    // canonicals, one-kept-per-group, identical texts merged — all
+    // deterministic); raw assignment via Dedup.docDedupFor
+    "doc_dedup" -> ((s, d) => IndexAudits.docDedupAudit(s, d)),
     // --- pipeline hygiene (north star): reproducible splits +
     // benchmark decontamination ---
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
@@ -947,6 +954,59 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // ---- seed-/codebook-dependent index internals: the registered
+    // surfaces are self-audits (IndexAudits) whose columns are either
+    // deterministic counts the oracle restates from the base tables or
+    // invariant flags the oracle states literal TRUE. Distance/cosine
+    // recomputation equality, top-k tightness, probed-list membership,
+    // partition bijectivity, and persisted ≡ memory are deterministic
+    // by construction; recall floors are measured at both gate scales
+    // with ≥ 1.4× margin (see IndexAudits scaladoc).
+    "ivf_build_stats" ->
+      """SELECT 4 AS n_lists, count(*) AS n_vectors,
+        |  TRUE AS all_lists_nonempty, TRUE AS ids_bijective
+        |FROM embeddings""".stripMargin,
+    "ivf_append_stats" ->
+      """SELECT 4 AS n_lists, count(*) AS total_rows,
+        |  TRUE AS all_lists_nonempty, TRUE AS shares_sum_ok, TRUE AS covers_all
+        |FROM embeddings""".stripMargin,
+    "ivf_search_pruned" ->
+      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
+        |  TRUE AS topk_tight_ok, TRUE AS recall_ok""".stripMargin,
+    "ivf_persisted_pruned" ->
+      """SELECT 10 AS n_hits, TRUE AS dists_match_ok, TRUE AS topk_tight_ok,
+        |  TRUE AS recall_ok, TRUE AS matches_memory_ok""".stripMargin,
+    "knn_batch_ivf" ->
+      """SELECT vec_id AS src_id, 5 AS n_hits, TRUE AS dists_match_ok,
+        |  TRUE AS ranks_ok, TRUE AS recall_ok
+        |FROM embeddings ORDER BY src_id""".stripMargin,
+    "cluster_ivf" ->
+      """SELECT vec_id, TRUE AS refinement_ok, TRUE AS agreement_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "hard_negatives_lsh" ->
+      """SELECT TRUE AS pairs_nonempty, TRUE AS cross_label_ok,
+        |  TRUE AS sims_match_ok, TRUE AS ranks_ok, TRUE AS recall_ok""".stripMargin,
+    "knn_pq" ->
+      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
+        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
+    "ivf_search_pq" ->
+      """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
+        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
+    "pq_persisted_search" ->
+      """SELECT 10 AS n_hits, TRUE AS matches_memory_ok""".stripMargin,
+    "pq_stats" ->
+      """SELECT 8 AS n_subspaces, TRUE AS mass_ok, TRUE AS codes_in_range_ok""".stripMargin,
+    "ivf_search_quantized" ->
+      """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
+        |  TRUE AS sims_bounded_ok, TRUE AS recall_vs_flat_ok""".stripMargin,
+    "doc_dedup" ->
+      """SELECT doc_id, TRUE AS canon_min_ok, TRUE AS one_kept_ok,
+        |  TRUE AS dup_merged_ok
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "doc_knn" ->
+      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
+        |  TRUE AS not_self_ok, TRUE AS topk_tight_ok""".stripMargin,
     // CSV sink → CSV source round trip must reproduce the corpus with
     // positional ids (file order = id order).
     "ingest_csv" ->
