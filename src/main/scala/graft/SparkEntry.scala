@@ -362,6 +362,15 @@ object SparkEntry {
     // canonicals, one-kept-per-group, identical texts merged — all
     // deterministic); raw assignment via Dedup.docDedupFor
     "doc_dedup" -> ((s, d) => IndexAudits.docDedupAudit(s, d)),
+    // span-level exact substring dedup (Lee et al. 2022 EXACTSUBSTR,
+    // re-expressed without the suffix array): maximal duplicated
+    // token spans + the per-doc duplication fraction curation signal
+    "dup_spans" -> ((s, d) => SpanDedup.dupSpansFor(s, d)),
+    "span_dup_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SpanDedup.dupStats(graft.sources.Ingest.corpusFromDocuments(s, d))
+        .orderBy(col("id").asc)
+    }),
     // --- pipeline hygiene (north star): reproducible splits +
     // benchmark decontamination ---
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
@@ -1007,6 +1016,62 @@ object SparkEntry {
     "doc_knn" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
         |  TRUE AS not_self_ok, TRUE AS topk_tight_ok""".stripMargin,
+    // span-level exact substring dedup: the oracle restates the whole
+    // construction — 8-token windows (chr(1)-joined, collision-free
+    // over [a-z0-9]+ tokens), global occurrence >= 2, gaps-and-islands
+    // merge of overlapping windows into maximal spans
+    "dup_spans" ->
+      s"""WITH $sqlCorpusToks,
+         |tok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
+         |win AS (
+         |  SELECT id, p - 1 AS pos,
+         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
+         |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(p)),
+         |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+         |marked AS (SELECT w.id, w.pos FROM win w JOIN dup USING (wtext)),
+         |isl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
+         |      (PARTITION BY id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM marked),
+         |isl2 AS (SELECT id, pos,
+         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
+         |  FROM isl)
+         |SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+         |  count(*) AS n_windows
+         |FROM isl2 GROUP BY id, island
+         |ORDER BY id, span_start""".stripMargin,
+    "span_dup_stats" ->
+      s"""WITH $sqlCorpusToks,
+         |tok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
+         |win AS (
+         |  SELECT id, p - 1 AS pos,
+         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
+         |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(p)),
+         |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+         |marked AS (SELECT w.id, w.pos FROM win w JOIN dup USING (wtext)),
+         |isl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
+         |      (PARTITION BY id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM marked),
+         |isl2 AS (SELECT id, pos,
+         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
+         |  FROM isl),
+         |st AS (
+         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
+         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
+         |        FROM isl2 GROUP BY id, island) GROUP BY id)
+         |SELECT c.id, len(c.toks)::BIGINT AS n_tokens,
+         |  coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  CASE WHEN len(c.toks) = 0 THEN 0.0
+         |       ELSE coalesce(st.dup_tokens, 0) / len(c.toks) END AS dup_fraction
+         |FROM corpus c LEFT JOIN st USING (id)
+         |ORDER BY c.id""".stripMargin,
     // CSV sink → CSV source round trip must reproduce the corpus with
     // positional ids (file order = id order).
     "ingest_csv" ->
