@@ -362,6 +362,16 @@ object SparkEntry {
     // canonicals, one-kept-per-group, identical texts merged — all
     // deterministic); raw assignment via Dedup.docDedupFor
     "doc_dedup" -> ((s, d) => IndexAudits.docDedupAudit(s, d)),
+    // BPE tokenizer training: first-iteration pair statistics (the
+    // table the first merge argmaxes over) — the iterative trainer and
+    // encoder are deterministic but not SQL-expressible loops; BpeSpec
+    // pins them against a driver-side reference implementation
+    "bpe_pair_counts" -> ((s, d) => Bpe.pairCountsFor(s, d)),
+    // bloom-filter semi-join: dim key set too big to broadcast-hash,
+    // small as a bloom — codegen'd probe prunes the fact scan BEFORE
+    // its shuffle, residual semi-join restores exactness (no false
+    // negatives by construction). Oracle states the plain semi-join.
+    "bloom_semi_join" -> ((s, d) => BloomJoin.urgentLineitemRevenue(s, d)),
     // span-level exact substring dedup (Lee et al. 2022 EXACTSUBSTR,
     // re-expressed without the suffix array): maximal duplicated
     // token spans + the per-doc duplication fraction curation signal
@@ -1016,6 +1026,34 @@ object SparkEntry {
     "doc_knn" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
         |  TRUE AS not_self_ok, TRUE AS topk_tight_ok""".stripMargin,
+    // BPE initial segmentation = chars + '</w>' end marker; adjacent
+    // pairs weighted by word frequency, top-25 by (weight, pair)
+    "bpe_pair_counts" ->
+      s"""WITH $sqlCorpusToks,
+         |wf AS (
+         |  SELECT term AS word, count(*) AS freq
+         |  FROM (SELECT unnest(toks) AS term FROM corpus) GROUP BY term),
+         |pr AS (
+         |  SELECT substr(word, i::INT, 1) AS left_sym,
+         |    CASE WHEN i = length(word) THEN '</w>'
+         |         ELSE substr(word, i::INT + 1, 1) END AS right_sym,
+         |    freq
+         |  FROM wf, unnest(range(1, length(word) + 1)) AS u(i))
+         |SELECT left_sym, right_sym, sum(freq)::BIGINT AS weight
+         |FROM pr GROUP BY left_sym, right_sym
+         |ORDER BY weight DESC, left_sym ASC, right_sym ASC
+         |LIMIT 25""".stripMargin,
+    // the bloom path must reproduce the plain semi-join exactly (the
+    // probe only moves WHERE non-matching rows are dropped)
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // span-level exact substring dedup: the oracle restates the whole
     // construction — 8-token windows (chr(1)-joined, collision-free
     // over [a-z0-9]+ tokens), global occurrence >= 2, gaps-and-islands

@@ -67,6 +67,11 @@ package object functions {
   def hyperplane_sketch(emb: Column, planes: Array[Array[Float]]): Column =
     GraftSqlBridge.column(HyperplaneSketch(col2e(emb), planes))
 
+  /** Bloom-filter membership probe over a long key (no false
+    * negatives; see [[BloomMightContain]] / [[BloomBits]]). */
+  def bloom_might_contain(key: Column, words: Array[Long], k: Int): Column =
+    GraftSqlBridge.column(BloomMightContain(col2e(key), words, k))
+
   /** Product-quantization encode: one byte code per subspace, argmin
     * over the per-subspace codebook (see [[PqEncode]]). */
   def pq_encode(emb: Column, books: Array[Array[Array[Float]]],

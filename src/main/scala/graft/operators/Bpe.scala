@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Byte-pair-encoding tokenizer training over the corpus — the
+  * vocabulary-construction step a training-data pipeline runs before
+  * tokenizing (Sennrich et al. 2016, word-level BPE with an
+  * end-of-word marker). Deterministic by construction: no seed, and
+  * every argmax tie-breaks on (weight desc, left asc, right asc).
+  *
+  * Spark-first shape: the word-frequency table stays DISTRIBUTED for
+  * the whole training loop — each merge iteration is one
+  * partial-aggregable pair-count shuffle plus a narrow higher-order
+  * `aggregate` fold that rewrites the symbol arrays in place; only the
+  * single winning pair crosses to the driver per iteration (the exact
+  * analogue of the k-means driver loop, which collects only the
+  * centroid matrix). At 100 TB the word table is the post-aggregation
+  * vocabulary — orders of magnitude smaller than the corpus that
+  * produced it — and every iteration's cost is independent of corpus
+  * size.
+  *
+  * `EndMark` uses `</w>` (the paper's marker); it cannot collide with
+  * corpus symbols because [a-z0-9]+ tokens never contain `<`. */
+object Bpe {
+
+  val EndMark = "</w>"
+
+  /** (word, freq) over the engine's token normalization. */
+  def wordFreqs(corpus: DataFrame): DataFrame =
+    corpus.select(explode(TextAnalytics.tokens(col("sentence"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial segmentation: one symbol per character plus the
+    * end-of-word marker. */
+  private[graft] def initialSyms(word: Column): Column =
+    concat(split(word, ""), array(lit(EndMark)))
+
+  /** Adjacent symbol pairs weighted by word frequency:
+    * (left_sym, right_sym, weight). */
+  private[graft] def pairCounts(words: DataFrame): DataFrame =
+    // a fully-merged word (single symbol) offers no pairs — and
+    // sequence(1, 0) would count DOWN, not produce an empty array
+    words.filter(size(col("syms")) >= 2)
+      .select(col("freq"),
+        explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("weight"))
+
+  /** One leftmost-greedy merge pass of pair (l, r) over a symbol
+    * array, as a pure higher-order fold (codegen'd, narrow): a symbol
+    * equal to `r` joins the accumulator's tail when that tail is `l`;
+    * the merged symbol never re-matches as `l` in the same pass, which
+    * is exactly the paper's left-to-right non-overlapping rule. */
+  private[graft] def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` BPE merges. Returns the ordered merge table.
+    * The loop re-caches the rewritten word table each iteration and
+    * releases the previous generation, so lineage stays one fold
+    * deep. */
+  def train(corpus: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var words = wordFreqs(corpus)
+      .select(col("word"), col("freq"), initialSyms(col("word")).as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("weight").desc, col("left_sym").asc, col("right_sym").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        val next = words
+          .select(col("word"), col("freq"), mergeOnce(col("syms"), l, r).as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist(blocking = false)
+        words = next
+        i += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Segment a word column with an ordered merge table — the encoder:
+    * the same fold the trainer used, applied merge-by-merge in
+    * training order (the BPE encode contract). */
+  def segment(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(initialSyms(word)) { case (c, (l, r)) => mergeOnce(c, l, r) }
+
+  /** Registered-query surface: the FIRST-iteration pair statistics —
+    * the exact table the first merge argmaxes over, top-k by (weight
+    * desc, pair asc). Fully SQL-restatable (the iterative trainer is
+    * not; it is pinned by BpeSpec against a driver-side reference
+    * implementation instead, the k-means pattern). */
+  def pairCountsFor(spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame =
+    pairCounts(
+      wordFreqs(Ingest.corpusFromDocuments(spark, sfDir))
+        .select(col("word"), col("freq"), initialSyms(col("word")).as("syms")))
+      .orderBy(col("weight").desc, col("left_sym").asc, col("right_sym").asc)
+      .limit(topK)
+}
