@@ -362,6 +362,10 @@ object SparkEntry {
     // canonicals, one-kept-per-group, identical texts merged — all
     // deterministic); raw assignment via Dedup.docDedupFor
     "doc_dedup" -> ((s, d) => IndexAudits.docDedupAudit(s, d)),
+    // temperature-flattened language mixture (α = 0.5): post-sample
+    // shares ∝ sqrt(p_lang); n_min-relative rates need no
+    // normalization sum, so the whole construction restates in SQL
+    "temperature_mixture" -> ((s, d) => Sampling.temperatureMixture(s, d)),
     // BPE tokenizer training: first-iteration pair statistics (the
     // table the first merge argmaxes over) — the iterative trainer and
     // encoder are deterministic but not SQL-expressible loops; BpeSpec
@@ -1026,6 +1030,22 @@ object SparkEntry {
     "doc_knn" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
         |  TRUE AS not_self_ok, TRUE AS topk_tight_ok""".stripMargin,
+    // rate = sqrt(n_min/n_lang): division, sqrt, and truncation are
+    // IEEE-identical in both engines; DuckDB floor == Spark's
+    // nonnegative long cast
+    "temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |r AS (SELECT lang, n_lang, n_min,
+        |    CASE WHEN n_lang = n_min THEN 'g'
+        |         ELSE lpad(lower(to_hex(CAST(floor(
+        |           sqrt(n_min::DOUBLE / n_lang) * 4294967296.0) AS BIGINT))), 8, '0')
+        |    END AS hex_threshold
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang,
+        |  substr(md5('temp' || d.doc_id::VARCHAR), 1, 8) < r.hex_threshold AS kept
+        |FROM documents d JOIN r USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
     // BPE initial segmentation = chars + '</w>' end marker; adjacent
     // pairs weighted by word frequency, top-25 by (weight, pair)
     "bpe_pair_counts" ->

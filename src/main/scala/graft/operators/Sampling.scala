@@ -130,6 +130,43 @@ object Sampling {
       .orderBy(col("lang").asc, col("rank_in_stratum").asc)
   }
 
+  /** Temperature-flattened language mixture — the multilingual
+    * rebalancing step (mT5 / XLM-R style α-smoothing, here α = 0.5):
+    * downsample each language with rate_l = sqrt(n_min / n_l), so
+    * post-sample language shares are proportional to sqrt(p_l) —
+    * head languages compressed toward the tail without upsampling.
+    * The n_min-relative form needs NO normalization sum over
+    * languages, so every arithmetic step (one double division, one
+    * IEEE-correctly-rounded sqrt, one floor) is bit-identical in any
+    * engine — that is what lets the DuckDB oracle restate the whole
+    * construction including the keep decision.
+    *
+    * Selection is the [[sampleSplit]] device: per-row hash threshold
+    * (content-independent, join-free narrow filter on the doc side;
+    * the per-language threshold table is a broadcast of ≤ #languages
+    * rows). The smallest language keeps everything by identity
+    * (threshold "g" sorts above every hex digit). */
+  def temperatureMixture(spark: SparkSession, sfDir: String,
+                         salt: String = "temp"): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
+      .withColumn("hex_threshold",
+        when(col("n_lang") === col("n_min"), lit("g"))
+          .otherwise(lpad(lower(hex(
+            (col("rate") * lit(4294967296.0)).cast("long"))), 8, "0")))
+      .select(col("lang"), col("hex_threshold"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .withColumn("hx",
+        substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8))
+      .select(col("doc_id"), col("lang"),
+        (col("hx") < col("hex_threshold")).as("kept"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private def documentsForStrata(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("lang"))

@@ -96,4 +96,31 @@ class SamplingSpec extends SparkSpec {
     assert(fast == exact,
       "threshold pre-filter must keep the same first-perStratum rows")
   }
+
+  test("temperatureMixture: min language keeps all, head languages flatten toward sqrt") {
+    val rows = Sampling.temperatureMixture(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byLang = rows.groupBy(_._2).view
+      .mapValues(v => (v.size, v.count(_._3))).toMap
+    val nMin = byLang.values.map(_._1).min
+    for ((lang, (n, kept)) <- byLang) {
+      if (n == nMin) assert(kept == n, s"smallest language $lang must keep all")
+      else {
+        // expected keep rate sqrt(n_min/n); binomial tolerance
+        val expect = n * math.sqrt(nMin.toDouble / n)
+        val tol = 4 * math.sqrt(expect)
+        assert(math.abs(kept - expect) <= tol,
+          s"$lang kept $kept, expected ~$expect ± $tol")
+      }
+    }
+    // flattening: post-sample share ratio is the sqrt of the input
+    // ratio, so the largest/smallest kept ratio must compress
+    val (nMax, keptMax) = byLang.values.maxBy(_._1)
+    assert(keptMax.toDouble / nMin < nMax.toDouble / nMin,
+      "head language must be downsampled relative to the tail")
+    // deterministic
+    val again = Sampling.temperatureMixture(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
