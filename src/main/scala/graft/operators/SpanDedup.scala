@@ -36,17 +36,21 @@ import graft.sources.Ingest
   * hashing). Two shuffles total, both partial-aggregable. */
 object SpanDedup {
 
-  /** Duplicated-window starts per document: (id, pos) for every
-    * position whose W-token window occurs ≥ 2 times corpus-wide. */
-  private[graft] def dupWindowStarts(corpus: DataFrame, w: Int): DataFrame = {
-    val toks = corpus.select(col("id"), TextAnalytics.tokens(col("sentence")).as("toks"))
+  /** (id, pos, wtext) for every W-token window — tokens joined with
+    *  (cannot occur in [a-z0-9]+ tokens, so the joined form is
+    * collision-free). Narrow map, no shuffle. */
+  private[graft] def windowFrame(corpus: DataFrame, w: Int): DataFrame =
+    corpus.select(col("id"), TextAnalytics.tokens(col("sentence")).as("toks"))
       .filter(size(col("toks")) >= w)
-    // windows: (id, pos, wtext) — join tokens with  (cannot occur
-    // in [a-z0-9]+ tokens, so the joined form is collision-free)
-    val windows = toks.select(col("id"),
+      .select(col("id"),
         posexplode(expr(s"transform(sequence(0, size(toks) - $w), " +
           s"p -> array_join(slice(toks, p + 1, $w), ''))"))
           .as(Seq("pos", "wtext")))
+
+  /** Duplicated-window starts per document: (id, pos) for every
+    * position whose W-token window occurs ≥ 2 times corpus-wide. */
+  private[graft] def dupWindowStarts(corpus: DataFrame, w: Int): DataFrame = {
+    val windows = windowFrame(corpus, w)
     val dupTexts = windows.groupBy(col("wtext"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
@@ -60,10 +64,13 @@ object SpanDedup {
     * in token positions, end exclusive. Overlapping AND abutting
     * windows merge (a window starting exactly where the previous
     * span's coverage ends extends it). */
-  def dupSpans(corpus: DataFrame, w: Int = 8): DataFrame = {
-    val starts = dupWindowStarts(corpus, w)
-    // gaps-and-islands on [pos, pos + w): a new island starts when this
-    // window begins past the furthest end seen so far in the document
+  def dupSpans(corpus: DataFrame, w: Int = 8): DataFrame =
+    spansFromStarts(dupWindowStarts(corpus, w), w)
+
+  /** Gaps-and-islands merge of duplicated-window starts into maximal
+    * spans: a new island starts when this window begins past the
+    * furthest [pos, pos + w) coverage seen so far in the document. */
+  private def spansFromStarts(starts: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos").asc)
     val prevMax = max(col("pos") + w).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val islands = starts
@@ -96,5 +103,77 @@ object SpanDedup {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_fraction"))
+  }
+
+  // ---- persisted window-count index (maintenance twin) ----------------
+  //
+  // The substring-dedup analogue of the IVF postings / BM25 term index:
+  // the per-window occurrence counts ARE the index, persisted as an
+  // ADDITIVE log — (bucket, wtext, occ) rows under crc32(wtext)%nBuckets
+  // partition directories, where appends only add delta rows and readers
+  // sum per window. Additivity is what makes maintenance trivial: an
+  // append never rewrites existing files (contrast the upsert sink,
+  // which must merge per key), and a query aggregates log rows exactly
+  // like a fresh build would count raw windows.
+
+  private def bucketOf(c: Column, nBuckets: Int): Column =
+    pmod(crc32(c), lit(nBuckets)).cast("int")
+
+  /** Build the persisted index from a corpus: window counts bucketed by
+    * crc32(wtext) % nBuckets (one file per bucket — the BM25 layout). */
+  def saveWindowIndex(corpus: DataFrame, dir: String, w: Int = 8,
+                      nBuckets: Int = 64): Unit = {
+    val counts = windowFrame(corpus, w)
+      .groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
+      .select(bucketOf(col("wtext"), nBuckets).as("bucket"), col("wtext"), col("occ"))
+    counts.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((w, nBuckets)).toDF("w", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def loadMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head
+    (r.getInt(r.fieldIndex("w")), r.getInt(r.fieldIndex("n_buckets")))
+  }
+
+  /** Append new documents' window counts as delta rows (additive log —
+    * no existing file is touched; readers sum). NOT crash-idempotent on
+    * its own: a replayed append double-counts, which can only FLAG MORE
+    * spans, but exact parity with a fresh build then needs a rebuild —
+    * wrap calls in the BatchFs marker protocol (the appendTermBatch
+    * pattern) when driven from an at-least-once source. */
+  def appendWindowIndex(spark: SparkSession, dir: String,
+                        newDocs: DataFrame): Long = {
+    val (w, nBuckets) = loadMeta(spark, dir)
+    val counts = windowFrame(newDocs, w)
+      .groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
+      .select(bucketOf(col("wtext"), nBuckets).as("bucket"), col("wtext"), col("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = counts.count()
+    counts.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/counts")
+    counts.unpersist(blocking = false)
+    n
+  }
+
+  /** Duplicated spans for `docs` against the PERSISTED index, which
+    * must cover them (the corpus-membership contract every index here
+    * shares — BM25 stats, IVF postings): a window is duplicated iff
+    * its summed log count ≥ 2. With `docs` = the indexed corpus this
+    * equals [[dupSpans]] exactly (test-pinned, incl. after appends). */
+  def dupSpansWithIndex(spark: SparkSession, dir: String,
+                        docs: DataFrame): DataFrame = {
+    val (w, _) = loadMeta(spark, dir)
+    val wins = windowFrame(docs, w)
+    val dupTexts = spark.read.parquet(s"$dir/counts")
+      .groupBy(col("wtext")).agg(sum(col("occ")).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("wtext"))
+    spansFromStarts(
+      wins.join(dupTexts, Seq("wtext"), "left_semi")
+        .select(col("id"), col("pos")), w)
   }
 }

@@ -83,6 +83,42 @@ class SpanDedupSpec extends SparkSpec {
     assert(st(2L) == ((10L, 0L, 0.0)))
   }
 
+  test("persisted window index reproduces the batch computation") {
+    val shared = "the quick brown fox jumps over lazy dogs"
+    val df = corpus(
+      0L -> s"${filler('a', 10)} $shared ${filler('b', 10)}",
+      1L -> s"${filler('c', 4)} $shared ${filler('d', 12)}",
+      2L -> filler('e', 20))
+    val dir = tmpDir("span-idx")
+    SpanDedup.saveWindowIndex(df, dir)
+    val viaIndex = SpanDedup.dupSpansWithIndex(spark, dir, df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val batch = SpanDedup.dupSpans(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(viaIndex == batch && batch.nonEmpty)
+  }
+
+  test("appending to the index equals a fresh build over the union") {
+    val shared = (0 until 9).map(i => s"s$i").mkString(" ")
+    val first = corpus(0L -> s"${filler('a', 6)} $shared")
+    val second = corpus(
+      1L -> s"$shared ${filler('b', 6)}",
+      2L -> filler('u', 15))
+    val union = first.union(second)
+    val dir = tmpDir("span-idx-append")
+    SpanDedup.saveWindowIndex(first, dir)
+    // the shared run is unique in `first` alone: no spans yet
+    assert(SpanDedup.dupSpansWithIndex(spark, dir, first).count() == 0)
+    val appended = SpanDedup.appendWindowIndex(spark, dir, second)
+    assert(appended > 0)
+    val viaIndex = SpanDedup.dupSpansWithIndex(spark, dir, union).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val rebuild = SpanDedup.dupSpans(union).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(viaIndex == rebuild && rebuild.nonEmpty,
+      "additive log counts must match a fresh build over the union")
+  }
+
   test("driver-corpus surface is ordered and internally consistent") {
     val df = SpanDedup.dupSpansFor(spark, sfSmall)
     val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
