@@ -67,10 +67,12 @@ object Bench {
     // r8: recorded quiet ranges for the heavy registered queries, so
     // the flagged detector is tighter than the 8 s default on them
     // (BASELINE.md round-8 table; values are quiet-window uppers)
-    "hard_negatives_lsh" -> 4.0, "contamination" -> 3.0,
+    "hard_negatives_lsh" -> 4.5, "contamination" -> 3.0,
     "profile_lineitem" -> 4.0, "profile_lineitem_approx" -> 6.0,
-    "knn_batch_ivf" -> 3.0, "min_cost_supplier" -> 3.0,
-    "corpus_upsert" -> 3.0, "similarity_join_stats" -> 3.0
+    "knn_batch_ivf" -> 3.5, "min_cost_supplier" -> 3.0,
+    "corpus_upsert" -> 3.0, "similarity_join_stats" -> 3.0,
+    // late-r8 audit surfaces + new operators (BASELINE late-r8 table)
+    "ivf_search_pruned" -> 2.5, "dup_spans" -> 2.5, "bloom_semi_join" -> 2.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
