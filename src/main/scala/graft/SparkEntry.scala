@@ -55,6 +55,63 @@ object SparkEntry {
       |      h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ' ' || s)))) AS sig
       |  FROM sh)""".stripMargin
 
+  /** Shared oracle CTE chain for the stupid-backoff LM: exact
+    * uni/bi/trigram count tables over the tokenized corpus — mirrors
+    * NgramLm.train (space-joined keys, collision-free over [a-z0-9]+
+    * tokens). */
+  private val sqlLmCounts: String =
+    sqlCorpusToks + """,
+      |docs AS (SELECT id, toks FROM corpus WHERE len(toks) > 0),
+      |uni AS (
+      |  SELECT w, count(*)::BIGINT AS c1
+      |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+      |tot AS (SELECT sum(c1)::BIGINT AS n_total FROM uni),
+      |bi AS (
+      |  SELECT k, count(*)::BIGINT AS c2
+      |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i+1])) AS k
+      |        FROM docs WHERE len(toks) >= 2) GROUP BY k),
+      |tri AS (
+      |  SELECT k, count(*)::BIGINT AS c3
+      |  FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS k
+      |        FROM docs WHERE len(toks) >= 3) GROUP BY k)""".stripMargin
+
+  /** sqlLmCounts + per-token stupid-backoff scoring (`sc`: one rounded
+    * DECIMAL log10 score per token position) — mirrors NgramLm.score's
+    * longest-available-context branch selection and α factors. */
+  private val sqlLmScored: String =
+    sqlLmCounts + """,
+      |pos AS (
+      |  SELECT id, i, toks[i] AS w,
+      |    CASE WHEN i >= 2 THEN toks[i-1] END AS u,
+      |    CASE WHEN i >= 3 THEN toks[i-2] END AS v
+      |  FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS i FROM docs)),
+      |keyed AS (
+      |  SELECT id, w, u, v,
+      |    CASE WHEN v IS NOT NULL THEN v || ' ' || u || ' ' || w END AS k3,
+      |    CASE WHEN v IS NOT NULL THEN v || ' ' || u END AS kc2,
+      |    CASE WHEN u IS NOT NULL THEN u || ' ' || w END AS k2
+      |  FROM pos),
+      |sc AS (
+      |  SELECT kd.id,
+      |    CAST(round(log10(CASE
+      |      WHEN kd.v IS NOT NULL AND t3.c3 IS NOT NULL
+      |        THEN t3.c3::DOUBLE / bc.c2::DOUBLE
+      |      WHEN kd.u IS NOT NULL AND b2.c2 IS NOT NULL
+      |        THEN (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
+      |             * b2.c2::DOUBLE / uc.c1::DOUBLE
+      |      ELSE (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
+      |                 WHEN kd.u IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
+      |           * uw.c1::DOUBLE / tot.n_total::DOUBLE END), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM keyed kd
+      |  LEFT JOIN tri t3 ON kd.k3 = t3.k
+      |  LEFT JOIN bi bc ON kd.kc2 = bc.k
+      |  LEFT JOIN bi b2 ON kd.k2 = b2.k
+      |  LEFT JOIN uni uc ON kd.u = uc.w
+      |  LEFT JOIN uni uw ON kd.w = uw.w
+      |  CROSS JOIN tot)""".stripMargin
+
   /** BM25 oracle, shared by the ad-hoc and persisted-index queries
     * (identical ranking by construction). Every floating-point step
     * mirrors the Spark expression tree op-for-op — decimal literals
@@ -362,6 +419,11 @@ object SparkEntry {
     // canonicals, one-kept-per-group, identical texts merged — all
     // deterministic); raw assignment via Dedup.docDedupFor
     "doc_dedup" -> ((s, d) => IndexAudits.docDedupAudit(s, d)),
+    // persisted MinHash-LSH index probe: the incremental-dedup shape —
+    // a new wave (odd ids) checked against the standing corpus (even
+    // ids, indexed once) via a (band, key) equi-join on stored band
+    // rows; the oracle restates the direct cross-half LSH join
+    "minhash_probe" -> ((s, d) => MinhashIndex.minhashProbeFor(s, d)),
     // temperature-flattened language mixture (α = 0.5): post-sample
     // shares ∝ sqrt(p_lang); n_min-relative rates need no
     // normalization sum, so the whole construction restates in SQL
@@ -385,6 +447,19 @@ object SparkEntry {
       SpanDedup.dupStats(graft.sources.Ingest.corpusFromDocuments(s, d))
         .orderBy(col("id").asc)
     }),
+    // stupid-backoff trigram LM (Brants et al. 2007): the model-based
+    // quality signal next to the heuristic filters (CCNet scores with
+    // a KenLM and buckets by perplexity) — training is three counting
+    // shuffles, scoring equi-joins positions against the count tables;
+    // per-token log10 rounds to 6 decimals BEFORE the decimal per-doc
+    // sum, so libm ulps and shuffle order never reach the result
+    "lm_trigram_head" -> ((s, d) => NgramLm.trigramHead(s, d)),
+    "lm_score" -> ((s, d) => NgramLm.scoreCorpus(s, d)),
+    "lm_ppl_buckets" -> ((s, d) => NgramLm.pplBuckets(s, d)),
+    // multinomial NB quality classifier (the deterministic counts-based
+    // twin of fastText-style model-based filtering): trains on the
+    // qualityKeep weak labels, self-scores, audits the distillation fit
+    "nb_quality" -> ((s, d) => NbClassifier.nbQuality(s, d)),
     // --- pipeline hygiene (north star): reproducible splits +
     // benchmark decontamination ---
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
@@ -1130,6 +1205,74 @@ object SparkEntry {
          |       ELSE coalesce(st.dup_tokens, 0) / len(c.toks) END AS dup_fraction
          |FROM corpus c LEFT JOIN st USING (id)
          |ORDER BY c.id""".stripMargin,
+    // stupid-backoff trigram LM: the oracle restates the whole model —
+    // exact n-gram counts, longest-available-context scoring with the
+    // 0.4-discount backoff chain, per-token round(log10, 6) BEFORE the
+    // DECIMAL per-doc sum (order-free; the only libm call is log10 and
+    // its <=1-ulp platform spread dies in the rounding)
+    "lm_trigram_head" ->
+      s"""WITH $sqlLmCounts
+         |SELECT k, c3 FROM tri ORDER BY c3 DESC, k ASC LIMIT 25""".stripMargin,
+    "lm_score" ->
+      s"""WITH $sqlLmScored
+         |SELECT id, count(*)::BIGINT AS n_scored,
+         |  CAST(sum(lp) AS DOUBLE) AS log10_score,
+         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(*)), 6) AS ppl
+         |FROM sc GROUP BY id ORDER BY id""".stripMargin,
+    "lm_ppl_buckets" ->
+      s"""WITH $sqlLmScored,
+         |agg AS (
+         |  SELECT id, count(*)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
+         |  FROM sc GROUP BY id),
+         |p AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
+         |b AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS bucket FROM p)
+         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |  min(ppl) AS min_ppl, max(ppl) AS max_ppl,
+         |  CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS sum_ppl
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // multinomial NB on qualityKeep weak labels: the oracle restates
+    // the full model — exact class counts, Laplace weights rounded to
+    // DECIMAL(18,6) before any sum, tf·weight decimal accumulation
+    "nb_quality" ->
+      s"""WITH $sqlCorpusToks,
+         |lab AS (
+         |  SELECT id, toks,
+         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |     AND len(toks) >= 5 AND len(toks) <= 100000
+         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |         / greatest(len(toks), 1) > 0.0) AS label
+         |  FROM corpus),
+         |ex AS (SELECT id, label, unnest(toks) AS w FROM lab),
+         |voc AS (
+         |  SELECT w,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
+         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
+         |  FROM ex GROUP BY w),
+         |tot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
+         |               count(*)::BIGINT AS v FROM voc),
+         |wt AS (
+         |  SELECT w,
+         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
+         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
+         |         AS DECIMAL(18,6)) AS wgt
+         |  FROM voc CROSS JOIN tot),
+         |pri AS (
+         |  SELECT CAST(round(log10(
+         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
+         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
+         |    AS DECIMAL(18,6)) AS prior
+         |  FROM lab),
+         |tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM ex GROUP BY id, w),
+         |docsum AS (
+         |  SELECT tf.id, sum(tf.tf * wt.wgt) AS s
+         |  FROM tf JOIN wt USING (w) GROUP BY tf.id)
+         |SELECT l.id, len(l.toks)::BIGINT AS n_tokens,
+         |  CAST(coalesce(d.s, 0) + p.prior AS DOUBLE) AS log_odds,
+         |  (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep,
+         |  l.label AS heuristic_keep,
+         |  ((coalesce(d.s, 0) + p.prior) > 0) = l.label AS agree
+         |FROM lab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p
+         |ORDER BY l.id""".stripMargin,
     // CSV sink → CSV source round trip must reproduce the corpus with
     // positional ids (file order = id order).
     "ingest_csv" ->
@@ -1447,6 +1590,29 @@ object SparkEntry {
          |SELECT a_id, b_id, jaccard FROM j
          |WHERE jaccard >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+    // persisted-index probe ≡ the direct LSH join between the two
+    // corpus halves (band keys from the same md5 signatures; the
+    // bucket cap is a no-op at oracle scale — dedup_minhash precedent)
+    "minhash_probe" ->
+      s"""WITH $sqlMinhashSig,
+         |bands AS (
+         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT p.id AS probe_id, i.id AS index_id
+         |  FROM bands p JOIN bands i
+         |    ON p.band = i.band AND p.key = i.key
+         |  WHERE p.id % 2 = 1 AND i.id % 2 = 0),
+         |j AS (
+         |  SELECT c.probe_id, c.index_id,
+         |    len(list_intersect(list_distinct(tp.toks), list_distinct(ti.toks)))::DOUBLE
+         |      / len(list_distinct(tp.toks || ti.toks)) AS jaccard
+         |  FROM cand c
+         |  JOIN tokenized tp ON tp.id = c.probe_id
+         |  JOIN tokenized ti ON ti.id = c.index_id)
+         |SELECT probe_id, index_id, jaccard FROM j
+         |WHERE jaccard >= 0.8
+         |ORDER BY probe_id, index_id""".stripMargin,
     "dedup_ngram" ->
       s"""WITH $sqlMinhashSig,
          |bands AS (

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Ingest
+
+/** Distributed n-gram language model with stupid backoff — the
+  * model-based document quality signal LLM pipelines run next to the
+  * heuristic filters (CCNet, Wenzek et al. 2020 score documents with a
+  * KenLM 5-gram and keep/drop by perplexity bucket). Kneser–Ney needs
+  * global discount statistics per context; Brants et al. 2007 ("Large
+  * Language Models in Machine Translation") showed that at corpus
+  * scale the un-normalized *stupid backoff* score
+  *
+  *   S(w | v u) = c(vuw)/c(vu)           if c(vuw) > 0
+  *              = α · S(w | u)           otherwise          (α = 0.4)
+  *   S(w | u)   = c(uw)/c(u)             if c(uw) > 0
+  *              = α · S(w)               otherwise
+  *   S(w)       = c(w)/N
+  *
+  * matches smoothed models for filtering/ranking purposes while being
+  * exactly the shape a distributed engine wants: training is three
+  * partial-aggregable groupBy counts (uni/bi/trigrams) and scoring is
+  * equi-joins of token positions against the count tables — no
+  * normalization pass, no global state beyond one broadcast total.
+  *
+  * Determinism across engines (the oracle contract): counts are exact
+  * integers; every ratio is a double division of exact integers (IEEE-
+  * identical in Spark and DuckDB); α factors are double literals; the
+  * only libm call is log10, whose ≤1-ulp platform differences are
+  * absorbed by rounding the per-token log-score to 6 decimals BEFORE
+  * the per-document sum, which is DECIMAL — exact and order-free, so
+  * shuffle order never reaches the result.
+  *
+  * 100 TB posture: training = three map-side-combinable shuffles on the
+  * n-gram key (the count tables are the post-aggregation vocabulary —
+  * sub-linear in corpus size); scoring shuffles token positions to the
+  * count tables' keys (the unigram table is broadcast-eligible long
+  * before the others; AQE picks that up at small scale). Self-scoring
+  * below is the registered demo; [[score]] takes any (id, toks) frame,
+  * so train-on-reference / score-on-candidate decontamination-style
+  * splits are the same two calls. */
+object NgramLm {
+
+  /** Stupid-backoff discount (Brants et al. 2007 §4, α = 0.4). */
+  private val Alpha = 0.4
+
+  /** Trained model: exact n-gram count tables plus the corpus token
+    * total kept as a 1-row frame (stays lazy/distributed; broadcast at
+    * score time). Keys are space-joined tokens — collision-free since
+    * tokens are [a-z0-9]+. */
+  final case class Model(uni: DataFrame, bi: DataFrame, tri: DataFrame, total: DataFrame)
+
+  /** (id, toks) with empty token arrays dropped — the trainable/
+    * scorable corpus view. */
+  private[graft] def tokenized(corpus: DataFrame): DataFrame =
+    corpus.select(col("id"), TextAnalytics.tokens(col("sentence")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** N-gram key strings of order `n` per document — narrow map. */
+  private def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' '))")).as("k"))
+
+  /** Train on an (id, toks) frame: three counting shuffles, all
+    * map-side combinable. */
+  def train(docs: DataFrame): Model = {
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = grams(docs, 2).groupBy(col("k")).agg(count(lit(1)).as("c2"))
+    val tri = grams(docs, 3).groupBy(col("k")).agg(count(lit(1)).as("c3"))
+    val total = docs.select(sum(size(col("toks"))).cast("long").as("n_total"))
+    Model(uni, bi, tri, total)
+  }
+
+  /** Per-document stupid-backoff score over an (id, toks) frame:
+    * (id, n_scored, log10_score, ppl) where log10_score is the exact
+    * decimal sum of per-token round(log10(S), 6) and
+    * ppl = round(10^(−log10_score/n_scored), 6).
+    *
+    * Every position is scored with the longest available context
+    * (position 0 → unigram, position 1 → bigram chain). Self-trained
+    * scoring never leaves the unigram table, so no OOV floor is needed;
+    * scoring a disjoint corpus would add one (documented, not
+    * defaulted). */
+  def score(model: Model, docs: DataFrame): DataFrame = {
+    // (id, w, u, v) + join keys for every token position — narrow map.
+    // u/v are the 1- and 2-back context tokens (null off the left edge).
+    val pos = docs.select(col("id"), explode(expr(
+      """transform(sequence(1, size(toks)), i -> named_struct(
+        |  'w', toks[i-1],
+        |  'u', if(i >= 2, toks[i-2], cast(null as string)),
+        |  'v', if(i >= 3, toks[i-3], cast(null as string))))""".stripMargin)).as("p"))
+      .select(col("id"), col("p.w").as("w"), col("p.u").as("u"), col("p.v").as("v"))
+      .withColumn("k3", when(col("v").isNotNull, concat_ws(" ", col("v"), col("u"), col("w"))))
+      .withColumn("kc2", when(col("v").isNotNull, concat_ws(" ", col("v"), col("u"))))
+      .withColumn("k2", when(col("u").isNotNull, concat_ws(" ", col("u"), col("w"))))
+
+    val t3 = model.tri.select(col("k").as("t3_k"), col("c3"))
+    val bctx = model.bi.select(col("k").as("bc_k"), col("c2").as("c2ctx"))
+    val b2 = model.bi.select(col("k").as("b2_k"), col("c2"))
+    val uctx = model.uni.select(col("w").as("uc_w"), col("c1").as("c1u"))
+    val uw = model.uni.select(col("w").as("uw_w"), col("c1").as("c1w"))
+
+    // c(vuw) > 0 implies c(vu) > 0 and c(uw) > 0 implies c(u) > 0
+    // (every n-gram occurrence contains its prefix), so the chosen
+    // branch's denominator is never null.
+    val joined = pos
+      .join(t3, col("k3") === col("t3_k"), "left")
+      .join(bctx, col("kc2") === col("bc_k"), "left")
+      .join(b2, col("k2") === col("b2_k"), "left")
+      .join(uctx, col("u") === col("uc_w"), "left")
+      .join(uw, col("w") === col("uw_w"), "left")
+      .crossJoin(broadcast(model.total))
+
+    val a = lit(Alpha)
+    val sc = when(col("v").isNotNull && col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("u").isNotNull && col("c2").isNotNull,
+        when(col("v").isNotNull, a).otherwise(lit(1.0)) *
+          col("c2").cast("double") / col("c1u").cast("double"))
+      .otherwise(
+        when(col("v").isNotNull, a * a)
+          .when(col("u").isNotNull, a).otherwise(lit(1.0)) *
+          col("c1w").cast("double") / col("n_total").cast("double"))
+
+    joined
+      .select(col("id"), round(log10(sc), 6).cast(DecimalType(18, 6)).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("lp")).as("lp_sum"))
+      .select(col("id"), col("n_scored"),
+        col("lp_sum").cast("double").as("log10_score"),
+        round(pow(lit(10.0), -col("lp_sum").cast("double") / col("n_scored")), 6).as("ppl"))
+  }
+
+  /** Registered surface: top-25 trigrams by count — the head of the
+    * model the first backoff level consults. */
+  def trigramHead(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = train(tokenized(Ingest.corpusFromDocuments(spark, sfDir)))
+    m.tri.orderBy(col("c3").desc, col("k").asc).limit(25)
+  }
+
+  /** Registered surface: the corpus self-scored — per-document
+    * perplexity, ordered by id. */
+  def scoreCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
+    score(train(docs), docs).orderBy(col("id"))
+  }
+
+  /** Registered surface: CCNet-style head/middle/tail perplexity
+    * buckets — NTILE(3) over (ppl, id) (total order, engine-exact) with
+    * per-bucket stats; ppl sums stay decimal so shuffle order never
+    * shows. */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
+    val scored = score(train(docs), docs)
+    val bucketed = scored.withColumn("bucket",
+      ntile(3).over(Window.orderBy(col("ppl").asc, col("id").asc)).cast("long"))
+    bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppl")).as("min_ppl"),
+        max(col("ppl")).as("max_ppl"),
+        sum(col("ppl").cast(DecimalType(18, 6))).cast("double").as("sum_ppl"))
+      .orderBy(col("bucket"))
+  }
+}

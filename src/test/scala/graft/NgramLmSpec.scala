@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.NgramLm
+
+/** Stupid-backoff trigram LM (Brants et al. 2007 — see NgramLm
+  * scaladoc): count tables are exact, scoring matches a from-scratch
+  * driver-side reference implementation on held-out documents through
+  * every backoff branch, and self-scoring (the registered surface)
+  * never needs a branch below the trigram by construction. */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("id", "sentence")
+
+  private def toks(df: DataFrame): DataFrame = {
+    val t = df // NgramLm.tokenized is private; restate its two steps
+    t.selectExpr("id",
+      "filter(split(lower(sentence), '[^a-z0-9]+'), x -> x != '') AS toks")
+      .filter("size(toks) > 0")
+  }
+
+  /** From-scratch driver-side stupid backoff — the oracle for [[NgramLm.score]]. */
+  private def refScore(train: Seq[Seq[String]], doc: Seq[String]): (Long, BigDecimal, Double) = {
+    val uni = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = train.flatMap(_.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = train.flatMap(_.sliding(3).filter(_.size == 3).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = train.map(_.size).sum.toDouble
+    val a = 0.4
+    val lps = doc.indices.map { i =>
+      val w = doc(i)
+      val u = if (i >= 1) Some(doc(i - 1)) else None
+      val v = if (i >= 2) Some(doc(i - 2)) else None
+      val s = (v, u) match {
+        case (Some(vv), Some(uu)) if tri.contains(s"$vv $uu $w") =>
+          tri(s"$vv $uu $w").toDouble / bi(s"$vv $uu").toDouble
+        case (vOpt, Some(uu)) if bi.contains(s"$uu $w") =>
+          (if (vOpt.isDefined) a else 1.0) * bi(s"$uu $w").toDouble / uni(uu).toDouble
+        case (vOpt, uOpt) =>
+          (if (vOpt.isDefined) a * a else if (uOpt.isDefined) a else 1.0) *
+            uni(w).toDouble / n
+      }
+      BigDecimal(math.log10(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val sum = lps.sum
+    val ppl = math.pow(10.0, -sum.toDouble / doc.size)
+    (doc.size.toLong, sum, BigDecimal(ppl).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("count tables are exact on a tiny corpus") {
+    val df = toks(corpus(0L -> "a b c a b", 1L -> "b c d"))
+    val m = NgramLm.train(df)
+    val uni = m.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 2L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    val bi = m.bi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi == Map("a b" -> 2L, "b c" -> 2L, "c a" -> 1L, "c d" -> 1L))
+    val tri = m.tri.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tri == Map("a b c" -> 1L, "b c a" -> 1L, "c a b" -> 1L, "b c d" -> 1L))
+    assert(m.total.collect().head.getLong(0) == 8L)
+  }
+
+  test("held-out scoring matches the reference through every backoff branch") {
+    // train corpus has trigrams; the held-out doc is built to hit:
+    //   pos 0 -> unigram (no context), pos 1 -> bigram chain,
+    //   "a b c" -> trigram hit, "c a d" -> trigram miss/bigram miss
+    //   (a d unseen) -> alpha^2 * unigram, "b d" -> bigram miss with
+    //   v present -> alpha * ... checks factor accounting
+    val train = toks(corpus(0L -> "a b c a b c", 1L -> "a d b", 2L -> "c c d"))
+    val held = corpus(10L -> "a b c a d b d")
+    val m = NgramLm.train(train)
+    val out = NgramLm.score(m, toks(held)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val trainToks = Seq(Seq("a", "b", "c", "a", "b", "c"), Seq("a", "d", "b"), Seq("c", "c", "d"))
+    val (n, lp, ppl) = refScore(trainToks, Seq("a", "b", "c", "a", "d", "b", "d"))
+    assert(r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - lp.toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(3) - ppl) < 1e-9)
+  }
+
+  test("self-scoring always has its own trigrams: branch-1 everywhere past position 1") {
+    // every trigram of the scored doc came from training on it, so the
+    // score of each position >= 2 is c3/c2 with no alpha factor
+    val df = toks(corpus(0L -> "x y z x y"))
+    val m = NgramLm.train(df)
+    val r = NgramLm.score(m, df).collect().head
+    val (_, lp, _) = refScore(Seq(Seq("x", "y", "z", "x", "y")), Seq("x", "y", "z", "x", "y"))
+    assert(math.abs(r.getDouble(2) - lp.toDouble) < 1e-9)
+  }
+
+  test("registered surfaces: trigram head, per-doc score, ppl buckets on sf0.001") {
+    val head = NgramLm.trigramHead(spark, sfSmall).collect()
+    assert(head.length == 25)
+    assert(head.map(_.getLong(1)).toSeq == head.map(_.getLong(1)).sortBy(-_).toSeq)
+
+    val scored = NgramLm.scoreCorpus(spark, sfSmall)
+    val rows = scored.collect()
+    assert(rows.length > 0)
+    assert(rows.forall(r => r.getDouble(3) > 0.0))
+    // ids ordered, one row per non-empty doc
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
+
+    val buckets = NgramLm.pplBuckets(spark, sfSmall).collect()
+    assert(buckets.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val sizes = buckets.map(_.getLong(1))
+    assert(math.abs(sizes.max - sizes.min) <= 1) // NTILE balance
+    // buckets are ordered by ppl: max of bucket i <= min of bucket i+1
+    val mins = buckets.map(_.getDouble(2))
+    val maxs = buckets.map(_.getDouble(3))
+    assert(maxs(0) <= mins(1) && maxs(1) <= mins(2))
+  }
+
+  test("zero-token documents are excluded from training and scoring") {
+    val df = toks(corpus(0L -> "a b", 1L -> "!!!", 2L -> "   "))
+    assert(df.count() == 1)
+    val m = NgramLm.train(df)
+    assert(m.total.collect().head.getLong(0) == 2L)
+    assert(NgramLm.score(m, df).collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+}
