@@ -456,6 +456,9 @@ object SparkEntry {
     "lm_trigram_head" -> ((s, d) => NgramLm.trigramHead(s, d)),
     "lm_score" -> ((s, d) => NgramLm.scoreCorpus(s, d)),
     "lm_ppl_buckets" -> ((s, d) => NgramLm.pplBuckets(s, d)),
+    // scoring through the persisted additive count logs must reproduce
+    // lm_score exactly (same counts, different scan) — same oracle
+    "lm_persisted_score" -> ((s, d) => NgramLm.persistedScore(s, d)),
     // multinomial NB quality classifier (the deterministic counts-based
     // twin of fastText-style model-based filtering): trains on the
     // qualityKeep weak labels, self-scores, audits the distillation fit
@@ -1214,6 +1217,14 @@ object SparkEntry {
       s"""WITH $sqlLmCounts
          |SELECT k, c3 FROM tri ORDER BY c3 DESC, k ASC LIMIT 25""".stripMargin,
     "lm_score" ->
+      s"""WITH $sqlLmScored
+         |SELECT id, count(*)::BIGINT AS n_scored,
+         |  CAST(sum(lp) AS DOUBLE) AS log10_score,
+         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(*)), 6) AS ppl
+         |FROM sc GROUP BY id ORDER BY id""".stripMargin,
+    // persisted-model path: identical counts after the per-key log
+    // sums, so the lm_score oracle applies verbatim
+    "lm_persisted_score" ->
       s"""WITH $sqlLmScored
          |SELECT id, count(*)::BIGINT AS n_scored,
          |  CAST(sum(lp) AS DOUBLE) AS log10_score,

@@ -135,7 +135,7 @@ object Dedup {
   /** LSH band keys for a signature table: NumBands keys per doc, each
     * concatenating the band's signature rows. Shared by the minhash and
     * n-gram families (identical banding, different verify sets). */
-  private def lshBands(sigs: DataFrame): DataFrame =
+  private[operators] def lshBands(sigs: DataFrame): DataFrame =
     sigs.withColumn("bandkeys",
         expr(s"transform(sequence(0, ${NumBands - 1}), " +
           "b -> struct(b AS band, concat(element_at(sig, 2*b+1), '|', element_at(sig, 2*b+2)) AS key))"))

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Persisted MinHash-LSH index — incremental near-duplicate detection
+  * for a GROWING corpus. Document-level dedup at 100 TB is not a
+  * one-shot job: every ingest wave must be checked against everything
+  * already accepted, and recomputing the standing corpus's signatures
+  * per wave multiplies the pipeline's cost by the number of waves. The
+  * fix is the same additive-index pattern as the IVF postings / BM25
+  * term index / span-dedup window counts: persist the banded signature
+  * rows once, and let each wave (a) PROBE its band keys against the
+  * stored bands — an equi-join on (band, key), never a cross product —
+  * and (b) APPEND its own rows so the next wave sees it.
+  *
+  * Layout under `dir/`:
+  *   bands/bucket=…/  (band, key, id) — partitioned by
+  *                    crc32(band|key) % nBuckets (append locality; a
+  *                    probe is an equi-join, not a partition prune,
+  *                    because a wave's keys span all buckets)
+  *   docs/            (id, tset) — distinct-token sets for the
+  *                    Jaccard verify join
+  *   meta/            n_buckets
+  *
+  * Appends are additive (no file rewritten — the span-index contract);
+  * like [[SpanDedup.appendWindowIndex]] they are not crash-idempotent
+  * alone and compose with the BatchFs marker protocol under
+  * at-least-once delivery. The degenerate-bucket cap
+  * ([[Dedup.MaxBandBucket]]) applies to INDEX buckets at probe time,
+  * counted after a semi-join prune to the wave's keys (pruning keeps
+  * whole buckets, so counts equal the full-index counts). */
+object MinhashIndex {
+
+  private def bandBucket(nBuckets: Int): Column =
+    pmod(crc32(concat_ws("|", col("band"), col("key"))), lit(nBuckets)).cast("int")
+
+  /** Build the index from a corpus (overwrites `dir`). */
+  def save(corpus: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    val sigs = Dedup.minhashSignaturesCorpus(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.lshBands(sigs)
+      .withColumn("bucket", bandBucket(nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    sigs.select(col("id"), array_distinct(col("toks")).as("tset"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    sigs.unpersist(blocking = false)
+  }
+
+  private def nBucketsOf(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head.getInt(0)
+
+  /** Append a new wave's band rows + token sets (additive — no existing
+    * file is touched). Returns the number of documents appended. */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame): Long = {
+    val nBuckets = nBucketsOf(spark, dir)
+    val sigs = Dedup.minhashSignaturesCorpus(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sigs.count()
+    Dedup.lshBands(sigs)
+      .withColumn("bucket", bandBucket(nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+    sigs.select(col("id"), array_distinct(col("toks")).as("tset"))
+      .write.mode("append").parquet(s"$dir/docs")
+    sigs.unpersist(blocking = false)
+    n
+  }
+
+  /** Probe a wave against the index WITHOUT touching its stored
+    * signatures: (probe_id, index_id, jaccard) for every stored
+    * document sharing ≥1 band key with a probe document and verifying
+    * at token-set Jaccard ≥ `minJaccard`. The wave itself is NOT
+    * appended (call [[append]] after acting on the verdicts). */
+  def probe(spark: SparkSession, dir: String, probeDocs: DataFrame,
+            minJaccard: Double = 0.8,
+            maxBucket: Int = Dedup.MaxBandBucket): DataFrame = {
+    val sigs = Dedup.minhashSignaturesCorpus(probeDocs)
+    val pBands = Dedup.lshBands(sigs)
+    val iBands = spark.read.parquet(s"$dir/bands").select(col("band"), col("key"), col("id"))
+    // prune to probed keys first (whole buckets survive, so the cap
+    // count below still equals the full-index bucket size)
+    val probed = iBands.join(
+      pBands.select(col("band"), col("key")).distinct(), Seq("band", "key"), "left_semi")
+    val capped = Dedup.capBuckets(probed, maxBucket)
+    val cand = pBands.select(col("band"), col("key"), col("id").as("probe_id"))
+      .join(capped.select(col("band"), col("key"), col("id").as("index_id")),
+        Seq("band", "key"))
+      .select(col("probe_id"), col("index_id")).distinct()
+    val pSets = sigs.select(col("id").as("probe_id"), array_distinct(col("toks")).as("pset"))
+    val iSets = spark.read.parquet(s"$dir/docs")
+      .select(col("id").as("index_id"), col("tset").as("iset"))
+    cand.join(pSets, Seq("probe_id")).join(iSets, Seq("index_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("pset"), col("iset"))).cast("double") /
+          size(array_union(col("pset"), col("iset"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("probe_id"), col("index_id"), col("jaccard"))
+  }
+
+  // ---- registered surface -------------------------------------------
+
+  private val indexCache = scala.collection.mutable.Map[String, String]()
+
+  /** Registered query: index the even-id half of the corpus, probe the
+    * odd-id half against it — the "new wave vs standing corpus" shape
+    * with a deterministic, SQL-restatable split. */
+  def minhashProbeFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Ingest.corpusFromDocuments(spark, sfDir)
+    val dir = indexCache.getOrElseUpdate(sfDir, {
+      val d = "/root/repo/target/minhash-index/" + new java.io.File(sfDir).getName
+      save(corpus.filter(col("id") % 2 === 0), d)
+      d
+    })
+    probe(spark, dir, corpus.filter(col("id") % 2 === 1))
+      .orderBy(col("probe_id").asc, col("index_id").asc)
+  }
+}

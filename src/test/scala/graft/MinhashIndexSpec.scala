@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MinhashIndex}
+
+/** Persisted MinHash-LSH index (see MinhashIndex scaladoc): probing a
+  * wave against stored band rows equals the direct LSH join, appends
+  * extend the index without rebuilding, and planted duplicates across
+  * the wave/index boundary surface with their exact Jaccard. */
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("id", "sentence")
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+
+  /** Direct (non-persisted) reference: band join of probe × index
+    * frames through the same signature pipeline. */
+  private def directProbe(index: DataFrame, probeDf: DataFrame,
+                          minJaccard: Double): Set[(Long, Long, Double)] = {
+    val all = Dedup.dedupMinhashCorpus(
+      index.unionByName(probeDf), minJaccard)
+    // dedupMinhash emits a<b pairs within the union; keep only
+    // cross-half pairs and orient them (probe, index)
+    val idxIds = index.select("id").as[Long].collect().toSet
+    pairs(all).flatMap { case (a, b, j) =>
+      if (idxIds.contains(a) && !idxIds.contains(b)) Some((b, a, j))
+      else if (!idxIds.contains(a) && idxIds.contains(b)) Some((a, b, j))
+      else None
+    }
+  }
+
+  private def filler(tag: Char, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("planted exact duplicate across the wave boundary is found at jaccard 1.0") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val idx = corpus(0L -> shared, 2L -> filler('x', 12))
+    val wave = corpus(1L -> shared, 3L -> filler('y', 12))
+    val dir = tmpDir("mh-idx")
+    MinhashIndex.save(idx, dir)
+    val got = pairs(MinhashIndex.probe(spark, dir, wave))
+    assert(got == Set((1L, 0L, 1.0)))
+  }
+
+  test("probe against the persisted index equals the direct LSH join") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val idx = corpus(
+      0L -> base,
+      2L -> filler('a', 15),
+      4L -> "one two three four five six seven eight nine ten")
+    val wave = corpus(
+      1L -> base.replace("lazy", "sleepy"), // near dup of 0
+      3L -> filler('b', 15),
+      5L -> "one two three four five six seven eight nine ten") // exact dup of 4
+    val dir = tmpDir("mh-idx")
+    MinhashIndex.save(idx, dir)
+    val got = pairs(MinhashIndex.probe(spark, dir, wave, minJaccard = 0.5))
+    assert(got == directProbe(idx, wave, 0.5))
+    assert(got.exists(p => p._1 == 5L && p._2 == 4L && p._3 == 1.0))
+  }
+
+  test("append extends the index: a later wave matches appended documents") {
+    val s1 = "red orange yellow green blue indigo violet ultraviolet"
+    val s2 = "north south east west up down left right forward backward"
+    val dir = tmpDir("mh-idx")
+    MinhashIndex.save(corpus(0L -> s1, 2L -> filler('q', 10)), dir)
+    assert(MinhashIndex.append(spark, dir,
+      corpus(10L -> s2, 12L -> filler('r', 10))) == 2L)
+    // wave duplicates one original doc and one appended doc
+    val got = pairs(MinhashIndex.probe(spark, dir, corpus(21L -> s1, 23L -> s2)))
+    assert(got == Set((21L, 0L, 1.0), (23L, 10L, 1.0)))
+  }
+
+  test("disjoint wave produces no pairs") {
+    val dir = tmpDir("mh-idx")
+    MinhashIndex.save(corpus(0L -> filler('m', 10)), dir)
+    assert(pairs(MinhashIndex.probe(spark, dir, corpus(1L -> filler('n', 10)))).isEmpty)
+  }
+
+  test("registered even/odd surface is consistent with its construction on sf0.001") {
+    val out = MinhashIndex.minhashProbeFor(spark, sfSmall).collect()
+    // orientation: probes odd, index even; verified at >= 0.8
+    assert(out.forall(r => r.getLong(0) % 2 == 1 && r.getLong(1) % 2 == 0))
+    assert(out.forall(_.getDouble(2) >= 0.8))
+  }
+}

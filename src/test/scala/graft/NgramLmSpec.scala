@@ -113,6 +113,34 @@ class NgramLmSpec extends SparkSpec {
     assert(maxs(0) <= mins(1) && maxs(1) <= mins(2))
   }
 
+  test("persisted model round-trips: loaded counts equal trained counts") {
+    val df = toks(corpus(0L -> "a b c a b", 1L -> "b c d e f"))
+    val m = NgramLm.train(df)
+    val dir = tmpDir("lm-model")
+    NgramLm.saveModel(m, dir)
+    val l = NgramLm.loadModel(spark, dir)
+    def m2(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2(l.uni) == m2(m.uni))
+    assert(m2(l.bi) == m2(m.bi))
+    assert(m2(l.tri) == m2(m.tri))
+    assert(l.total.collect().head.getLong(0) == 10L)
+  }
+
+  test("appended waves sum to a fresh rebuild over the union; scoring is identical") {
+    val wave1 = toks(corpus(0L -> "a b c a b c", 1L -> "c b a"))
+    val wave2 = toks(corpus(2L -> "a b c d", 3L -> "d c b a b c"))
+    val dir = tmpDir("lm-model")
+    NgramLm.saveModel(NgramLm.train(wave1), dir)
+    assert(NgramLm.appendModel(spark, dir, wave2) == 19L) // 9 + 10 tokens
+    val union = wave1.unionByName(wave2)
+    val fresh = NgramLm.train(union)
+    val loaded = NgramLm.loadModel(spark, dir)
+    val a = NgramLm.score(fresh, union).orderBy("id").collect().toSeq
+    val b = NgramLm.score(loaded, union).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("zero-token documents are excluded from training and scoring") {
     val df = toks(corpus(0L -> "a b", 1L -> "!!!", 2L -> "   "))
     assert(df.count() == 1)
