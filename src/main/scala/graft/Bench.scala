@@ -72,7 +72,11 @@ object Bench {
     "knn_batch_ivf" -> 3.5, "min_cost_supplier" -> 3.0,
     "corpus_upsert" -> 3.0, "similarity_join_stats" -> 3.0,
     // late-r8 audit surfaces + new operators (BASELINE late-r8 table)
-    "ivf_search_pruned" -> 2.5, "dup_spans" -> 2.5, "bloom_semi_join" -> 2.0
+    "ivf_search_pruned" -> 2.5, "dup_spans" -> 2.5, "bloom_semi_join" -> 2.0,
+    // r8 model/index family (BASELINE r8 model table; quiet medians
+    // 3.26 / 2.89 / 1.51 s with headroom for artifact-build variance)
+    "minhash_probe" -> 5.0, "lm_ppl_buckets" -> 4.5, "lm_persisted_score" -> 3.0,
+    "bpe_merges" -> 15.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -188,6 +192,9 @@ object Bench {
         Pq.flatCodedFor(spark, sfDir, 8, 16).count(); () }),
       "pq_residual_codes" -> (() => {
         Pq.codedPostings(spark, sfDir, 4, 8, 16, residual = true).count(); () }),
+      // 16-merge BPE table (2 small jobs per merge) shared by the
+      // encoder-audit query
+      "bpe_merges" -> (() => { Bpe.mergesFor(spark, sfDir); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

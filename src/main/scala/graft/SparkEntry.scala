@@ -433,6 +433,10 @@ object SparkEntry {
     // encoder are deterministic but not SQL-expressible loops; BpeSpec
     // pins them against a driver-side reference implementation
     "bpe_pair_counts" -> ((s, d) => Bpe.pairCountsFor(s, d)),
+    // corpus-wide encoder audit over the trained merge table: roundtrip
+    // + bounds flags verified distributively for EVERY vocabulary word,
+    // oracle states them literal TRUE (IndexAudits pattern)
+    "bpe_encode_audit" -> ((s, d) => Bpe.encodeAudit(s, d)),
     // bloom-filter semi-join: dim key set too big to broadcast-hash,
     // small as a bloom — codegen'd probe prunes the fact scan BEFORE
     // its shuffle, residual semi-join restores exactness (no false
@@ -1147,6 +1151,16 @@ object SparkEntry {
          |FROM pr GROUP BY left_sym, right_sym
          |ORDER BY weight DESC, left_sym ASC, right_sym ASC
          |LIMIT 25""".stripMargin,
+    // encoder audit: n_words restates as distinct tokens; the
+    // roundtrip/bounds invariants are engine-verified per word and
+    // oracle-stated TRUE; n_merges is the configured 16 (corpus has
+    // far more than 16 mergeable pairs at every gate scale)
+    "bpe_encode_audit" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT count(DISTINCT term)::BIGINT AS n_words,
+         |  TRUE AS all_roundtrip, TRUE AS all_in_bounds,
+         |  16::BIGINT AS n_merges
+         |FROM (SELECT unnest(toks) AS term FROM corpus)""".stripMargin,
     // the bloom path must reproduce the plain semi-join exactly (the
     // probe only moves WHERE non-matching rows are dropped)
     "bloom_semi_join" ->

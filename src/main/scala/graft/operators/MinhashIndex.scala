@@ -20,13 +20,13 @@ import graft.sources.Ingest
   *                    crc32(band|key) % nBuckets (append locality; a
   *                    probe is an equi-join, not a partition prune,
   *                    because a wave's keys span all buckets)
-  *   docs/            (id, tset) — distinct-token sets for the
-  *                    Jaccard verify join
+  *   docs/bucket=…/   (id, tset) — distinct-token sets for the
+  *                    Jaccard verify join, crc32(id)-bucketed
   *   meta/            n_buckets
   *
   * Appends are additive (no file rewritten — the span-index contract);
-  * like [[SpanDedup.appendWindowIndex]] they are not crash-idempotent
-  * alone and compose with the BatchFs marker protocol under
+  * [[append]] alone is not crash-idempotent, and [[appendBatch]] wraps
+  * it in the BatchFs stage → prefixed-move → marker protocol for
   * at-least-once delivery. The degenerate-bucket cap
   * ([[Dedup.MaxBandBucket]]) applies to INDEX buckets at probe time,
   * counted after a semi-join prune to the wave's keys (pruning keeps
@@ -36,16 +36,26 @@ object MinhashIndex {
   private def bandBucket(nBuckets: Int): Column =
     pmod(crc32(concat_ws("|", col("band"), col("key"))), lit(nBuckets)).cast("int")
 
+  private def docBucket(nBuckets: Int): Column =
+    pmod(crc32(col("id").cast("string")), lit(nBuckets)).cast("int")
+
+  private def bandRows(sigs: DataFrame, nBuckets: Int): DataFrame =
+    Dedup.lshBands(sigs).withColumn("bucket", bandBucket(nBuckets))
+
+  private def docRows(sigs: DataFrame, nBuckets: Int): DataFrame =
+    sigs.select(col("id"), array_distinct(col("toks")).as("tset"))
+      .withColumn("bucket", docBucket(nBuckets))
+
+  private def writeBucketed(df: DataFrame, path: String, mode: String): Unit =
+    df.repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
+
   /** Build the index from a corpus (overwrites `dir`). */
   def save(corpus: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     val sigs = Dedup.minhashSignaturesCorpus(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.lshBands(sigs)
-      .withColumn("bucket", bandBucket(nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
-    sigs.select(col("id"), array_distinct(col("toks")).as("tset"))
-      .write.mode("overwrite").parquet(s"$dir/docs")
+    writeBucketed(bandRows(sigs, nBuckets), s"$dir/bands", "overwrite")
+    writeBucketed(docRows(sigs, nBuckets), s"$dir/docs", "overwrite")
     val spark = corpus.sparkSession
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
@@ -57,20 +67,50 @@ object MinhashIndex {
     spark.read.parquet(s"$dir/meta").head.getInt(0)
 
   /** Append a new wave's band rows + token sets (additive — no existing
-    * file is touched). Returns the number of documents appended. */
+    * file is touched). NOT crash-idempotent alone (a replay re-appends
+    * both tables); at-least-once callers use [[appendBatch]]. Returns
+    * the number of documents appended. */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame): Long = {
     val nBuckets = nBucketsOf(spark, dir)
     val sigs = Dedup.minhashSignaturesCorpus(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sigs.count()
-    Dedup.lshBands(sigs)
-      .withColumn("bucket", bandBucket(nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
-    sigs.select(col("id"), array_distinct(col("toks")).as("tset"))
-      .write.mode("append").parquet(s"$dir/docs")
+    writeBucketed(bandRows(sigs, nBuckets), s"$dir/bands", "append")
+    writeBucketed(docRows(sigs, nBuckets), s"$dir/docs", "append")
     sigs.unpersist(blocking = false)
     n
+  }
+
+  /** Idempotent per-batch append for at-least-once replay — the LSH
+    * twin of [[TextSearch.appendTermBatch]]: stage the wave's band and
+    * doc rows, move them in under the `b<tag>-` prefix (clearing a
+    * crashed attempt's files first), marker written last. A replayed
+    * committed batch is a no-op; a crash mid-commit is repaired by the
+    * replay. Returns documents appended (0 for a replay). */
+  def appendBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
+                  batchId: Long, namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val nBuckets = nBucketsOf(spark, dir)
+    val sigs = Dedup.minhashSignaturesCorpus(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sigs.count()
+      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+      Seq(("bands", bandRows(sigs, nBuckets)), ("docs", docRows(sigs, nBuckets)))
+        .foreach { case (name, df) =>
+          val staging = s"$dir/_staging/$name-batch-$tag"
+          writeBucketed(df, staging, "overwrite")
+          val live = Paths.get(s"$dir/$name")
+          BatchFs.clearBatch(live, "bucket=", tag)
+          BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+          BatchFs.deleteRecursively(Paths.get(staging))
+        }
+      BatchFs.writeMarker(marker, n.toString)
+      n
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** Probe a wave against the index WITHOUT touching its stored

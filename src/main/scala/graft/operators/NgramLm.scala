@@ -159,12 +159,14 @@ object NgramLm {
       .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Persist a trained model under `dir` (overwrites): uni/bi/tri count
-    * logs bucketed by crc32(key) % nBuckets + the token total. */
+    * logs bucketed by crc32(key) % nBuckets. The token total is NOT
+    * stored — it is definitionally Σc1 over the unigram log, so
+    * deriving it at load time keeps the persisted state fully additive
+    * with no separately-consistent scalar to crash out of sync. */
   def saveModel(model: Model, dir: String, nBuckets: Int = 64): Unit = {
     writeCounts(model.uni, "w", "c1", s"$dir/uni", nBuckets, "overwrite")
     writeCounts(model.bi, "k", "c2", s"$dir/bi", nBuckets, "overwrite")
     writeCounts(model.tri, "k", "c3", s"$dir/tri", nBuckets, "overwrite")
-    model.total.coalesce(1).write.mode("overwrite").parquet(s"$dir/total")
     val spark = model.uni.sparkSession
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
@@ -172,32 +174,69 @@ object NgramLm {
   }
 
   /** Append an ingest wave's counts as delta rows (additive log — no
-    * existing file touched; readers sum). Returns the wave's token
-    * count. */
+    * existing file touched; readers sum). NOT crash-idempotent alone
+    * (a replay double-counts); at-least-once callers use
+    * [[appendModelBatch]]. Returns the post-append corpus token
+    * total. */
   def appendModel(spark: SparkSession, dir: String, newDocs: DataFrame): Long = {
     val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
     val m = train(newDocs)
     writeCounts(m.uni, "w", "c1", s"$dir/uni", nBuckets, "append")
     writeCounts(m.bi, "k", "c2", s"$dir/bi", nBuckets, "append")
     writeCounts(m.tri, "k", "c3", s"$dir/tri", nBuckets, "append")
-    m.total.coalesce(1).write.mode("append").parquet(s"$dir/total")
-    spark.read.parquet(s"$dir/total")
-      .agg(sum(col("n_total"))).head.getLong(0)
+    spark.read.parquet(s"$dir/uni")
+      .agg(coalesce(sum(col("c1")), lit(0L))).head.getLong(0)
+  }
+
+  /** Idempotent per-batch append for at-least-once replay — the LM
+    * twin of [[TextSearch.appendTermBatch]]: stage the wave's three
+    * count logs, move them in under the `b<tag>-` prefix (clearing a
+    * crashed attempt's files first), marker written last. A replayed
+    * committed batch is a no-op; a crash mid-commit is repaired by the
+    * replay. Returns the wave's token count (0 for a replay). */
+  def appendModelBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
+                       batchId: Long, namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
+    val m = train(newDocs)
+    val waveTokens = {
+      val r = m.total.head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (waveTokens == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+    val parts = Seq(
+      ("uni", m.uni, "w", "c1"), ("bi", m.bi, "k", "c2"), ("tri", m.tri, "k", "c3"))
+    parts.foreach { case (name, df, key, cnt) =>
+      val staging = s"$dir/_staging/$name-batch-$tag"
+      writeCounts(df, key, cnt, staging, nBuckets, "overwrite")
+      val live = Paths.get(s"$dir/$name")
+      BatchFs.clearBatch(live, "bucket=", tag)
+      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+      BatchFs.deleteRecursively(Paths.get(staging))
+    }
+    BatchFs.writeMarker(marker, waveTokens.toString)
+    waveTokens
   }
 
   /** Load the persisted model: per-key sums over the additive logs —
     * exactly what a fresh [[train]] over the union of all waves would
     * count, so [[score]] against a loaded model is bit-identical to
-    * scoring against a rebuilt one (test-pinned). */
-  def loadModel(spark: SparkSession, dir: String): Model = Model(
-    uni = spark.read.parquet(s"$dir/uni")
-      .groupBy(col("w")).agg(sum(col("c1")).as("c1")),
-    bi = spark.read.parquet(s"$dir/bi")
-      .groupBy(col("k")).agg(sum(col("c2")).as("c2")),
-    tri = spark.read.parquet(s"$dir/tri")
-      .groupBy(col("k")).agg(sum(col("c3")).as("c3")),
-    total = spark.read.parquet(s"$dir/total")
-      .agg(sum(col("n_total")).cast("long").as("n_total")))
+    * scoring against a rebuilt one (test-pinned). The total derives
+    * from the unigram log (Σc1 = token count by construction). */
+  def loadModel(spark: SparkSession, dir: String): Model = {
+    val uni = spark.read.parquet(s"$dir/uni")
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+    Model(
+      uni = uni,
+      bi = spark.read.parquet(s"$dir/bi")
+        .groupBy(col("k")).agg(sum(col("c2")).as("c2")),
+      tri = spark.read.parquet(s"$dir/tri")
+        .groupBy(col("k")).agg(sum(col("c3")).as("c3")),
+      total = uni.agg(sum(col("c1")).cast("long").as("n_total")))
+  }
 
   private val modelCache = scala.collection.mutable.Map[String, String]()
 
@@ -231,7 +270,9 @@ object NgramLm {
   /** Registered surface: CCNet-style head/middle/tail perplexity
     * buckets — NTILE(3) over (ppl, id) (total order, engine-exact) with
     * per-bucket stats; ppl sums stay decimal so shuffle order never
-    * shows. */
+    * shows. The global NTILE sort is the oracle-exact form;
+    * [[pplBucketsThresholded]] is the 100 TB path (sketch cut points,
+    * no global sort). */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
     val scored = score(train(docs), docs)
@@ -243,5 +284,24 @@ object NgramLm {
         max(col("ppl")).as("max_ppl"),
         sum(col("ppl").cast(DecimalType(18, 6))).cast("double").as("sum_ppl"))
       .orderBy(col("bucket"))
+  }
+
+  /** Production bucket assignment at corpus scale: tercile cut points
+    * from the mergeable GK sketch (`approx_percentile`, rank error ≤
+    * `accuracy`⁻¹) broadcast back, bucket = threshold comparison — a
+    * narrow map after one small aggregate, no global row sort. Returns
+    * (id, ppl, bucket). Documents within sketch rank-error of a cut
+    * point may land one bucket off the exact NTILE (bounded,
+    * test-pinned); everything else matches [[pplBuckets]]'s layout. */
+  def pplBucketsThresholded(scored: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val cuts = scored.agg(
+      percentile_approx(col("ppl"), typedlit(Seq(1.0 / 3.0, 2.0 / 3.0)),
+        lit(accuracy)).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("ppl") <= col("cuts").getItem(0), 1L)
+          .when(col("ppl") <= col("cuts").getItem(1), 2L)
+          .otherwise(3L))
+      .select(col("id"), col("ppl"), col("bucket"))
   }
 }

@@ -109,4 +109,22 @@ class BpeSpec extends SparkSpec {
     val weights = rows.map(_.getLong(2))
     assert(weights.sameElements(weights.sortBy(-_)))
   }
+
+  test("corpus-wide encoder audit: every vocabulary word round-trips in bounds") {
+    val r = Bpe.encodeAudit(spark, sfSmall).collect().head
+    assert(r.getLong(0) > 0L)          // n_words
+    assert(r.getBoolean(1))            // all_roundtrip
+    assert(r.getBoolean(2))            // all_in_bounds
+    assert(r.getLong(3) == 16L)        // n_merges applied
+    // the merges actually compress: some word ends with fewer symbols
+    // than its initial char+marker segmentation
+    val merges = Bpe.mergesFor(spark, sfSmall)
+    import org.apache.spark.sql.functions._
+    val shrunk = Bpe.wordFreqs(
+        graft.sources.Ingest.corpusFromDocuments(spark, sfSmall))
+      .select(col("word"), Bpe.segment(col("word"), merges).as("syms"))
+      .where(size(col("syms")) < length(col("word")) + 1)
+      .count()
+    assert(shrunk > 0L)
+  }
 }

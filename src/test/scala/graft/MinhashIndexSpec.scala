@@ -77,6 +77,21 @@ class MinhashIndexSpec extends SparkSpec {
     assert(got == Set((21L, 0L, 1.0), (23L, 10L, 1.0)))
   }
 
+  test("appendBatch replay is a no-op: no duplicate band or doc rows") {
+    val s1 = "red orange yellow green blue indigo violet ultraviolet"
+    val dir = tmpDir("mh-idx")
+    MinhashIndex.save(corpus(0L -> filler('q', 10)), dir)
+    val wave = corpus(10L -> s1)
+    assert(MinhashIndex.appendBatch(spark, dir, wave, 0L, "t") == 1L)
+    assert(MinhashIndex.appendBatch(spark, dir, wave, 0L, "t") == 0L) // replay
+    val bands = spark.read.parquet(s"$dir/bands").where("id = 10")
+    assert(bands.count() == 4L) // 4 bands, appended exactly once
+    assert(spark.read.parquet(s"$dir/docs").where("id = 10").count() == 1L)
+    // probing still finds the appended doc exactly once
+    val got = pairs(MinhashIndex.probe(spark, dir, corpus(21L -> s1)))
+    assert(got == Set((21L, 10L, 1.0)))
+  }
+
   test("disjoint wave produces no pairs") {
     val dir = tmpDir("mh-idx")
     MinhashIndex.save(corpus(0L -> filler('m', 10)), dir)

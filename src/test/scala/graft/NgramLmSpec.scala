@@ -141,6 +141,43 @@ class NgramLmSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("appendModelBatch replay is a no-op and counts stay exact") {
+    val wave1 = toks(corpus(0L -> "a b c a b c"))
+    val wave2 = toks(corpus(2L -> "a b c d"))
+    val dir = tmpDir("lm-model")
+    NgramLm.saveModel(NgramLm.train(wave1), dir)
+    assert(NgramLm.appendModelBatch(spark, dir, wave2, 0L, "t") == 4L)
+    assert(NgramLm.appendModelBatch(spark, dir, wave2, 0L, "t") == 0L) // replay
+    val loaded = NgramLm.loadModel(spark, dir)
+    val fresh = NgramLm.train(wave1.unionByName(wave2))
+    def m2(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2(loaded.uni) == m2(fresh.uni))
+    assert(m2(loaded.bi) == m2(fresh.bi))
+    assert(m2(loaded.tri) == m2(fresh.tri))
+    assert(loaded.total.collect().head.getLong(0) == 10L)
+  }
+
+  test("thresholded buckets agree with exact NTILE terciles away from the cut points") {
+    val docs = toks(spark.read.parquet(s"$sfSmall/documents.parquet")
+      .selectExpr("doc_id AS id", "trim(text) AS sentence")
+      .filter("length(trim(text)) > 0"))
+    val scored = NgramLm.score(NgramLm.train(docs), docs)
+    val exact = scored.withColumn("bucket",
+        org.apache.spark.sql.functions.ntile(3).over(
+          org.apache.spark.sql.expressions.Window.orderBy($"ppl".asc, $"id".asc)).cast("long"))
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = NgramLm.pplBucketsThresholded(scored).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    // sketch rank error can move a document at most one bucket
+    val off = approx.count { case (id, b) => math.abs(b - exact(id)) > 1 }
+    assert(off == 0)
+    // and the disagreement set itself is a thin boundary band
+    val disagree = approx.count { case (id, b) => b != exact(id) }
+    assert(disagree <= math.max(2, exact.size / 20), s"disagree=$disagree of ${exact.size}")
+  }
+
   test("zero-token documents are excluded from training and scoring") {
     val df = toks(corpus(0L -> "a b", 1L -> "!!!", 2L -> "   "))
     assert(df.count() == 1)
