@@ -1238,9 +1238,10 @@ object SparkEntry {
          |SELECT k, c3 FROM tri ORDER BY c3 DESC, k ASC LIMIT 25""".stripMargin,
     "lm_score" ->
       s"""WITH $sqlLmScored
-         |SELECT id, count(*)::BIGINT AS n_scored,
+         |SELECT id, count(lp)::BIGINT AS n_scored,
+         |  (count(*) - count(lp))::BIGINT AS n_oov,
          |  CAST(sum(lp) AS DOUBLE) AS log10_score,
-         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(*)), 6) AS ppl
+         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(lp)), 6) AS ppl
          |FROM sc GROUP BY id ORDER BY id""".stripMargin,
     // composed curation verdict: LM chain (sqlLmScored) + NB chain
     // (nbtot avoids the `tot` collision) + span-dup chain + quality/
@@ -1249,7 +1250,7 @@ object SparkEntry {
     "curation_scorecard" ->
       s"""WITH $sqlLmScored,
          |agg AS (
-         |  SELECT id, count(*)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
+         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
          |  FROM sc GROUP BY id),
          |lmq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
          |lmb AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS ppl_bucket FROM lmq),
@@ -1335,14 +1336,15 @@ object SparkEntry {
     // sums, so the lm_score oracle applies verbatim
     "lm_persisted_score" ->
       s"""WITH $sqlLmScored
-         |SELECT id, count(*)::BIGINT AS n_scored,
+         |SELECT id, count(lp)::BIGINT AS n_scored,
+         |  (count(*) - count(lp))::BIGINT AS n_oov,
          |  CAST(sum(lp) AS DOUBLE) AS log10_score,
-         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(*)), 6) AS ppl
+         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(lp)), 6) AS ppl
          |FROM sc GROUP BY id ORDER BY id""".stripMargin,
     "lm_ppl_buckets" ->
       s"""WITH $sqlLmScored,
          |agg AS (
-         |  SELECT id, count(*)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
+         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
          |  FROM sc GROUP BY id),
          |p AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
          |b AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS bucket FROM p)

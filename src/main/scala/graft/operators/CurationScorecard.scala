@@ -39,18 +39,20 @@ object CurationScorecard {
     val corpus = Ingest.corpusFromDocuments(spark, sfDir)
     val docs = NgramLm.tokenized(corpus)
 
-    val quality = corpus.select(col("id"),
-      TextAnalytics.qualityKeep(col("sentence")).as("keep_quality"),
+    // one labeled frame carries the quality predicate for BOTH the
+    // heuristic column and the NB weak labels (qualityKeep is a
+    // regexp + HOF pass — defined once, not re-spelled per signal)
+    val labeled = corpus.select(col("id"), col("sentence"),
+      TextAnalytics.tokens(col("sentence")).as("toks"),
+      TextAnalytics.qualityKeep(col("sentence")).as("label"))
+
+    val quality = labeled.select(col("id"),
+      col("label").as("keep_quality"),
       (col("id") === min(col("id")).over(Window.partitionBy(col("sentence"))))
         .as("dedup_kept"))
 
-    val nb = {
-      val labeled = corpus.select(col("id"),
-        TextAnalytics.tokens(col("sentence")).as("toks"),
-        TextAnalytics.qualityKeep(col("sentence")).as("label"))
-      NbClassifier.score(NbClassifier.train(labeled), labeled)
-        .select(col("id"), col("nb_keep"))
-    }
+    val nb = NbClassifier.score(NbClassifier.train(labeled), labeled)
+      .select(col("id"), col("nb_keep"))
 
     val lm = NgramLm.score(NgramLm.train(docs), docs)
       .withColumn("ppl_bucket",

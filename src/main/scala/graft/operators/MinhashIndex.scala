@@ -121,7 +121,13 @@ object MinhashIndex {
   def probe(spark: SparkSession, dir: String, probeDocs: DataFrame,
             minJaccard: Double = 0.8,
             maxBucket: Int = Dedup.MaxBandBucket): DataFrame = {
+    // the wave's signature pipeline feeds three subtrees (key prune,
+    // candidate join, Jaccard verify) — persist it so the shingle +
+    // 8-hash derivation runs once (the 740 s MinHash postmortem
+    // discipline); the ContextCleaner reclaims the blocks when the
+    // returned frame is released
     val sigs = Dedup.minhashSignaturesCorpus(probeDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pBands = Dedup.lshBands(sigs)
     val iBands = spark.read.parquet(s"$dir/bands").select(col("band"), col("key"), col("id"))
     // prune to probed keys first (whole buckets survive, so the cap
@@ -146,7 +152,8 @@ object MinhashIndex {
 
   // ---- registered surface -------------------------------------------
 
-  private val indexCache = scala.collection.mutable.Map[String, String]()
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Registered query: index the even-id half of the corpus, probe the
     * odd-id half against it — the "new wave vs standing corpus" shape

@@ -78,19 +78,25 @@ object NgramLm {
   }
 
   /** Per-document stupid-backoff score over an (id, toks) frame:
-    * (id, n_scored, log10_score, ppl) where log10_score is the exact
-    * decimal sum of per-token round(log10(S), 6) and
-    * ppl = round(10^(−log10_score/n_scored), 6).
+    * (id, n_scored, n_oov, log10_score, ppl) where log10_score is the
+    * exact decimal sum of per-token round(log10(S), 6) over IN-VOCAB
+    * positions and ppl = round(10^(−log10_score/n_scored), 6).
     *
     * Every position is scored with the longest available context
-    * (position 0 → unigram, position 1 → bigram chain). Self-trained
-    * scoring never leaves the unigram table, so no OOV floor is needed;
-    * scoring a disjoint corpus would add one (documented, not
-    * defaulted). */
+    * (position 0 → unigram, position 1 → bigram chain). Positions whose
+    * token is absent from the model vocabulary score no mass — they are
+    * excluded from BOTH the sum and n_scored and reported as `n_oov`
+    * instead (a doc that is all-OOV gets null log10_score/ppl), so
+    * held-out scoring is total and never silently blends missing
+    * positions into the average. Self-trained scoring has n_oov = 0
+    * everywhere. Zero-token docs produce no row. */
   def score(model: Model, docs: DataFrame): DataFrame = {
     // (id, w, u, v) + join keys for every token position — narrow map.
     // u/v are the 1- and 2-back context tokens (null off the left edge).
-    val pos = docs.select(col("id"), explode(expr(
+    // sequence(1, 0) counts DOWN (the Bpe.pairCounts trap), so empty
+    // token arrays are filtered, not exploded into phantom positions.
+    val pos = docs.filter(size(col("toks")) > 0)
+      .select(col("id"), explode(expr(
       """transform(sequence(1, size(toks)), i -> named_struct(
         |  'w', toks[i-1],
         |  'u', if(i >= 2, toks[i-2], cast(null as string)),
@@ -128,11 +134,17 @@ object NgramLm {
           .when(col("u").isNotNull, a).otherwise(lit(1.0)) *
           col("c1w").cast("double") / col("n_total").cast("double"))
 
+    // lp is null exactly on OOV positions (the chosen branch's
+    // denominator is never null — see above — and every non-OOV branch
+    // has a non-null ratio), so count(lp) is the in-vocab position
+    // count and sum(lp) skips OOV mass rather than nulling the doc.
     joined
       .select(col("id"), round(log10(sc), 6).cast(DecimalType(18, 6)).as("lp"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_scored"), sum(col("lp")).as("lp_sum"))
-      .select(col("id"), col("n_scored"),
+      .agg(count(col("lp")).as("n_scored"),
+        (count(lit(1)) - count(col("lp"))).as("n_oov"),
+        sum(col("lp")).as("lp_sum"))
+      .select(col("id"), col("n_scored"), col("n_oov"),
         col("lp_sum").cast("double").as("log10_score"),
         round(pow(lit(10.0), -col("lp_sum").cast("double") / col("n_scored")), 6).as("ppl"))
   }
@@ -180,10 +192,14 @@ object NgramLm {
     * total. */
   def appendModel(spark: SparkSession, dir: String, newDocs: DataFrame): Long = {
     val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
-    val m = train(newDocs)
-    writeCounts(m.uni, "w", "c1", s"$dir/uni", nBuckets, "append")
-    writeCounts(m.bi, "k", "c2", s"$dir/bi", nBuckets, "append")
-    writeCounts(m.tri, "k", "c3", s"$dir/tri", nBuckets, "append")
+    // the three count writes each scan the wave; cache it once
+    val cached = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = train(cached)
+      writeCounts(m.uni, "w", "c1", s"$dir/uni", nBuckets, "append")
+      writeCounts(m.bi, "k", "c2", s"$dir/bi", nBuckets, "append")
+      writeCounts(m.tri, "k", "c3", s"$dir/tri", nBuckets, "append")
+    } finally cached.unpersist(blocking = false)
     spark.read.parquet(s"$dir/uni")
       .agg(coalesce(sum(col("c1")), lit(0L))).head.getLong(0)
   }
@@ -201,24 +217,28 @@ object NgramLm {
     val marker = BatchFs.markerFor(dir, batchId, namespace)
     if (Files.exists(marker)) return 0L
     val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
-    val m = train(newDocs)
-    val waveTokens = {
-      val r = m.total.head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    if (waveTokens == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-    val parts = Seq(
-      ("uni", m.uni, "w", "c1"), ("bi", m.bi, "k", "c2"), ("tri", m.tri, "k", "c3"))
-    parts.foreach { case (name, df, key, cnt) =>
-      val staging = s"$dir/_staging/$name-batch-$tag"
-      writeCounts(df, key, cnt, staging, nBuckets, "overwrite")
-      val live = Paths.get(s"$dir/$name")
-      BatchFs.clearBatch(live, "bucket=", tag)
-      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-      BatchFs.deleteRecursively(Paths.get(staging))
-    }
-    BatchFs.writeMarker(marker, waveTokens.toString)
-    waveTokens
+    // total head + three staged writes each scan the wave; cache it once
+    val cached = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = train(cached)
+      val waveTokens = {
+        val r = m.total.head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      if (waveTokens == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+      val parts = Seq(
+        ("uni", m.uni, "w", "c1"), ("bi", m.bi, "k", "c2"), ("tri", m.tri, "k", "c3"))
+      parts.foreach { case (name, df, key, cnt) =>
+        val staging = s"$dir/_staging/$name-batch-$tag"
+        writeCounts(df, key, cnt, staging, nBuckets, "overwrite")
+        val live = Paths.get(s"$dir/$name")
+        BatchFs.clearBatch(live, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+        BatchFs.deleteRecursively(Paths.get(staging))
+      }
+      BatchFs.writeMarker(marker, waveTokens.toString)
+      waveTokens
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Load the persisted model: per-key sums over the additive logs —
@@ -238,7 +258,8 @@ object NgramLm {
       total = uni.agg(sum(col("c1")).cast("long").as("n_total")))
   }
 
-  private val modelCache = scala.collection.mutable.Map[String, String]()
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Registered surface: scoring through the PERSISTED model must
     * reproduce [[scoreCorpus]] exactly — same counts, same arithmetic,
@@ -247,7 +268,10 @@ object NgramLm {
     val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
     val dir = modelCache.getOrElseUpdate(sfDir, {
       val d = "/root/repo/target/lm-model/" + new java.io.File(sfDir).getName
-      saveModel(train(docs), d)
+      // three count writes scan the corpus; cache it for the build
+      val cached = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try saveModel(train(cached), d)
+      finally cached.unpersist(blocking = false)
       d
     })
     score(loadModel(spark, dir), docs).orderBy(col("id"))

@@ -77,8 +77,28 @@ class NgramLmSpec extends SparkSpec {
     val trainToks = Seq(Seq("a", "b", "c", "a", "b", "c"), Seq("a", "d", "b"), Seq("c", "c", "d"))
     val (n, lp, ppl) = refScore(trainToks, Seq("a", "b", "c", "a", "d", "b", "d"))
     assert(r.getLong(1) == n)
-    assert(math.abs(r.getDouble(2) - lp.toDouble) < 1e-9)
-    assert(math.abs(r.getDouble(3) - ppl) < 1e-9)
+    assert(r.getLong(2) == 0L) // no OOV: every held-out token is in vocab
+    assert(math.abs(r.getDouble(3) - lp.toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(4) - ppl) < 1e-9)
+  }
+
+  test("OOV positions are excluded from the score and reported, not blended") {
+    val train = toks(corpus(0L -> "a b c a b c"))
+    val m = NgramLm.train(train)
+    // "zzz" is out of vocabulary; "a b" scores normally
+    val out = NgramLm.score(m, toks(corpus(10L -> "a b zzz"))).collect().head
+    assert(out.getLong(1) == 2L) // n_scored: in-vocab positions only
+    assert(out.getLong(2) == 1L) // n_oov
+    val (_, lpRef, _) = refScore(Seq(Seq("a", "b", "c", "a", "b", "c")), Seq("a", "b"))
+    assert(math.abs(out.getDouble(3) - lpRef.toDouble) < 1e-9)
+    // all-OOV doc: row present, null score/ppl
+    val allOov = NgramLm.score(m, toks(corpus(11L -> "qq ww"))).collect().head
+    assert(allOov.getLong(1) == 0L && allOov.getLong(2) == 2L)
+    assert(allOov.isNullAt(3) && allOov.isNullAt(4))
+    // empty-toks docs produce no phantom row (sequence(1,0) trap)
+    import spark.implicits._
+    val empty = Seq((12L, Seq.empty[String])).toDF("id", "toks")
+    assert(NgramLm.score(m, empty).count() == 0L)
   }
 
   test("self-scoring always has its own trigrams: branch-1 everywhere past position 1") {
@@ -88,7 +108,7 @@ class NgramLmSpec extends SparkSpec {
     val m = NgramLm.train(df)
     val r = NgramLm.score(m, df).collect().head
     val (_, lp, _) = refScore(Seq(Seq("x", "y", "z", "x", "y")), Seq("x", "y", "z", "x", "y"))
-    assert(math.abs(r.getDouble(2) - lp.toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(3) - lp.toDouble) < 1e-9)
   }
 
   test("registered surfaces: trigram head, per-doc score, ppl buckets on sf0.001") {
@@ -99,7 +119,8 @@ class NgramLmSpec extends SparkSpec {
     val scored = NgramLm.scoreCorpus(spark, sfSmall)
     val rows = scored.collect()
     assert(rows.length > 0)
-    assert(rows.forall(r => r.getDouble(3) > 0.0))
+    assert(rows.forall(r => r.getDouble(4) > 0.0))
+    assert(rows.forall(_.getLong(2) == 0L)) // self-scored: no OOV
     // ids ordered, one row per non-empty doc
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sortBy(identity).toSeq)
 
