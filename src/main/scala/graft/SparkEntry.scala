@@ -171,6 +171,9 @@ object SparkEntry {
     "events_hopping" -> ((s, d) => RelationalOps.eventsHopping(s, d)),
     "grouping_sets_docs" -> ((s, d) => RelationalOps.docsGroupingSets(s, d)),
     "user_conversion" -> ((s, d) => RelationalOps.userConversion(s, d)),
+    // weekly retention matrix: cohort = ISO week of first activity,
+    // counted per active-week offset — all partial-aggregable shuffles
+    "retention_cohorts" -> ((s, d) => RelationalOps.retentionCohorts(s, d)),
     "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
     // cube over a NULLABLE dimension: grouping_id() disambiguates the
     // NULL group from the aggregated-out marker
@@ -880,6 +883,17 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     // gaps-and-islands replay of session_window: break when the gap to
     // the previous event is >= 30 min (Spark session is [start, last+gap)).
+    "retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |  date_diff('week', f.cw, a.week)::BIGINT AS offset_weeks,
+        |  count(*)::BIGINT AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY f.cw, offset_weeks
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
     "user_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

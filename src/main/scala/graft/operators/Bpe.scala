@@ -63,15 +63,42 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** [[mergeOnce]] behind a codegen'd membership guard: the fold is an
+    * interpreted higher-order function, and almost no word contains
+    * the merged pair, so skipping the fold for rows lacking either
+    * symbol removes most of each training iteration's cost. A word
+    * with both symbols but no adjacency folds to an unchanged array —
+    * the guard is purely an evaluation-cost filter, never a semantics
+    * change. ONLY safe where `syms` is a plain column reference: the
+    * guard mentions its input four times, so chaining it (as
+    * [[segment]] does with the unguarded form) would grow the
+    * expression tree 4^nMerges and OOM the driver — the trainer
+    * materializes each generation, so its input is always a bare
+    * attribute. */
+  private def mergeOnceGuarded(syms: Column, l: String, r: String): Column =
+    when(array_contains(syms, l) && array_contains(syms, r),
+      mergeOnce(syms, l, r)).otherwise(syms)
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table.
-    * The loop re-caches the rewritten word table each iteration and
-    * releases the previous generation, so lineage stays one fold
-    * deep. */
+    * The loop LOCAL-CHECKPOINTS the rewritten word table each
+    * iteration (the CC-loop discipline, Clustering.scala): persist
+    * alone caches the DATA but the logical plan keeps every prior
+    * fold, so analysis/optimization cost grows with the iteration
+    * number — measured 85-90 s for 16 merges at sf0.1 under persist vs
+    * 17 s cold with the plan truncated (most of the residue is the
+    * one-time corpus scan + JIT). localCheckpoint rebases each
+    * generation on a LogicalRDD, keeping per-iteration planning O(1);
+    * superseded generations are reclaimed by the ContextCleaner once
+    * unreferenced. */
   def train(corpus: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    // the word table is the post-aggregation vocabulary — tiny relative
+    // to the corpus; collapse it to a few partitions so the per-merge
+    // jobs are not scheduling-overhead-bound (32 near-empty tasks per
+    // iteration × 2 jobs × nMerges adds up)
     var words = wordFreqs(corpus)
+      .coalesce(4)
       .select(col("word"), col("freq"), initialSyms(col("word")).as("syms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count()
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var exhausted = false
@@ -84,15 +111,12 @@ object Bpe {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
         val next = words
-          .select(col("word"), col("freq"), mergeOnce(col("syms"), l, r).as("syms"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist(blocking = false)
-        words = next
+          .select(col("word"), col("freq"), mergeOnceGuarded(col("syms"), l, r).as("syms"))
+          .localCheckpoint(true)
+        words = next // superseded generation: ContextCleaner reclaims it
         i += 1
       }
     }
-    words.unpersist(blocking = false)
     merges.toSeq
   }
 

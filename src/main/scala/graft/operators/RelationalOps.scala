@@ -688,6 +688,32 @@ object RelationalOps {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Weekly retention cohorts — the product-analytics matrix every
+    * event pipeline materializes: users bucketed by the ISO week of
+    * their FIRST event (the cohort), counted in every later week they
+    * were active, keyed by week offset. Shape: per-user min (one
+    * partial-aggregable shuffle), distinct (user, week) activity (one
+    * more), an equi-join on user_id, and the final (cohort, offset)
+    * count — every step partial-aggregable or key-joined, nothing
+    * windowed globally, so the matrix costs the same plan at 1000×
+    * users. Week truncation is ISO-Monday in both engines; offsets
+    * divide exactly (both sides are week-aligned). */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("offset_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_weeks"), col("n_users"))
+      .orderBy(col("cohort_week").asc, col("offset_weeks").asc)
+  }
+
   /** CUBE over a NULLABLE dimension with `grouping_id()` — the
     * disambiguation [[cubeEvents]] doesn't need (its dimensions are
     * non-nullable): here `etype` is NULL for 'view' events, so a NULL

@@ -156,4 +156,38 @@ object IndexMaintenance {
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }
+
+  /** Continuous incremental dedup — the LSH twin of [[appendStream]]:
+    * each micro-batch of documents (`id`, `sentence`) first PROBES the
+    * persisted MinHash index for near-duplicates among everything
+    * already admitted (the verdict pairs go to `onMatches`), then
+    * APPENDS its own band rows through the idempotent
+    * [[graft.operators.MinhashIndex.appendBatch]], so the NEXT batch
+    * probes against this one too. Append is exactly-once under replay
+    * (marker protocol); the probe side-effect is at-least-once — a
+    * replayed committed batch re-probes and re-emits its matches, so
+    * `onMatches` consumers dedupe on (probe_id, index_id) if they
+    * persist verdicts. Duplicates WITHIN one batch are not probe-
+    * visible (the batch appends after probing); run the batch through
+    * [[graft.operators.Dedup.dedupMinhashCorpus]] first if intra-wave
+    * pairs matter. */
+  def dedupStream(newDocs: DataFrame, dir: String,
+                  onMatches: (DataFrame, Long) => Unit,
+                  minJaccard: Double = 0.8,
+                  checkpointDir: Option[String] = None): StreamingQuery = {
+    val ns = checkpointNamespace(checkpointDir)
+    val writer = newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        onMatches(
+          graft.operators.MinhashIndex.probe(spark, dir, batch, minJaccard),
+          batchId)
+        graft.operators.MinhashIndex.appendBatch(spark, dir, batch, batchId,
+          namespace = ns)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

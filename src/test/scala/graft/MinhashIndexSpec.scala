@@ -98,6 +98,45 @@ class MinhashIndexSpec extends SparkSpec {
     assert(pairs(MinhashIndex.probe(spark, dir, corpus(1L -> filler('n', 10)))).isEmpty)
   }
 
+  test("dedupStream: each wave probes everything admitted before it, then joins the index") {
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val s2 = "one two three four five six seven eight nine"
+    val dir = tmpDir("mh-stream-idx")
+    val landing = tmpDir("mh-stream-landing")
+    val ckpt = tmpDir("mh-stream-ckpt")
+    MinhashIndex.save(corpus(0L -> s1, 2L -> filler('x', 10)), dir)
+
+    val schema = corpus(0L -> "x").schema
+    def stage(name: String, rows: (Long, String)*): Unit = {
+      val tmp = tmpDir("mh-stream-stage")
+      corpus(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      graft.streaming.IndexMaintenance.dedupStream(stream, dir,
+        (m, _) => seen ++= m.collect().map(r => (r.getLong(0), r.getLong(1))),
+        checkpointDir = Some(ckpt)).awaitTermination()
+    }
+    // wave 1: a dup of the ORIGINAL corpus + a novel doc (s2)
+    stage("w1", 11L -> s1, 13L -> s2); run()
+    assert(seen.toSet == Set((11L, 0L)))
+    // wave 2: a dup of wave 1's novel doc — visible only because wave 1
+    // was appended to the index
+    seen.clear(); stage("w2", 21L -> s2); run()
+    assert(seen.toSet == Set((21L, 13L)))
+    // third run with nothing new: no probes, no appends
+    seen.clear(); run()
+    assert(seen.isEmpty)
+    // the index holds originals + both waves exactly once
+    assert(spark.read.parquet(s"$dir/docs").select("id").distinct().count() == 5L)
+    assert(spark.read.parquet(s"$dir/docs").count() == 5L)
+  }
+
   test("registered even/odd surface is consistent with its construction on sf0.001") {
     val out = MinhashIndex.minhashProbeFor(spark, sfSmall).collect()
     // orientation: probes odd, index even; verified at >= 0.8

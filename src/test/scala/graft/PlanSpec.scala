@@ -230,4 +230,24 @@ class PlanSpec extends SparkSpec {
       assert(n <= 1, s"$q: $n range exchanges — a non-terminal sort crept back in")
     }
   }
+
+  test("retention cohorts: offset-0 diagonal equals cohort size, later offsets never exceed it") {
+    val rows = graft.operators.RelationalOps.retentionCohorts(spark, sfSmall)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cw, rs) =>
+      val offsets = rs.map(_._2).toSet
+      assert(offsets.contains(0L), s"cohort $cw missing its offset-0 diagonal")
+      val base = rs.find(_._2 == 0L).get._3
+      rs.foreach { case (_, off, n) =>
+        assert(n <= base, s"cohort $cw offset $off: $n users > cohort size $base")
+        assert(off >= 0L)
+      }
+    }
+    // every user lands in exactly one cohort: diagonal sums to the user count
+    val users = graft.Tables.events(spark, sfSmall)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
 }
