@@ -881,8 +881,8 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
-    // gaps-and-islands replay of session_window: break when the gap to
-    // the previous event is >= 30 min (Spark session is [start, last+gap)).
+    // weekly retention matrix: ISO-Monday week truncation and exact
+    // week offsets agree across engines
     "retention_cohorts" ->
       """WITH f AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cw
@@ -894,6 +894,8 @@ object SparkEntry {
         |FROM a JOIN f USING (user_id)
         |GROUP BY f.cw, offset_weeks
         |ORDER BY cohort_week, offset_weeks""".stripMargin,
+    // gaps-and-islands replay of session_window: break when the gap to
+    // the previous event is >= 30 min (Spark session is [start, last+gap)).
     "user_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

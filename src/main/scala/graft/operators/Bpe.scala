@@ -79,26 +79,35 @@ object Bpe {
     when(array_contains(syms, l) && array_contains(syms, r),
       mergeOnce(syms, l, r)).otherwise(syms)
 
-  /** Train `nMerges` BPE merges. Returns the ordered merge table.
-    * The loop LOCAL-CHECKPOINTS the rewritten word table each
-    * iteration (the CC-loop discipline, Clustering.scala): persist
-    * alone caches the DATA but the logical plan keeps every prior
-    * fold, so analysis/optimization cost grows with the iteration
-    * number — measured 85-90 s for 16 merges at sf0.1 under persist vs
-    * 17 s cold with the plan truncated (most of the residue is the
-    * one-time corpus scan + JIT). localCheckpoint rebases each
-    * generation on a LogicalRDD, keeping per-iteration planning O(1);
-    * superseded generations are reclaimed by the ContextCleaner once
-    * unreferenced. */
+  /** Rebase a derived word-table generation on its own PERSISTED RDD:
+    * the returned frame's logical plan is a bare scan of that RDD, so
+    * per-iteration analysis stays O(1) — persist alone caches the DATA
+    * but keeps every prior fold in the plan, and analysis cost then
+    * grows with the iteration number (measured: 85-90 s for 16 merges
+    * at sf0.1 under plain persist vs ~4 s warm with the plan rebased).
+    * Unlike localCheckpoint the RDD keeps its lineage, so an executor
+    * loss mid-training recomputes instead of failing the job, and the
+    * superseded generation's blocks are released EXPLICITLY as the
+    * loop advances (no waiting on driver GC + ContextCleaner). */
+  private def rebased(df: DataFrame)
+  : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Train `nMerges` BPE merges. Returns the ordered merge table. Each
+    * generation is [[rebased]] on its persisted RDD (plan stays flat,
+    * lineage stays recomputable, superseded blocks are freed). */
   def train(corpus: DataFrame, nMerges: Int): Seq[(String, String)] = {
     // the word table is the post-aggregation vocabulary — tiny relative
     // to the corpus; collapse it to a few partitions so the per-merge
     // jobs are not scheduling-overhead-bound (32 near-empty tasks per
     // iteration × 2 jobs × nMerges adds up)
-    var words = wordFreqs(corpus)
+    var (words, wordsRdd) = rebased(wordFreqs(corpus)
       .coalesce(4)
-      .select(col("word"), col("freq"), initialSyms(col("word")).as("syms"))
-      .localCheckpoint(true)
+      .select(col("word"), col("freq"), initialSyms(col("word")).as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var exhausted = false
@@ -110,13 +119,15 @@ object Bpe {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
-        val next = words
-          .select(col("word"), col("freq"), mergeOnceGuarded(col("syms"), l, r).as("syms"))
-          .localCheckpoint(true)
-        words = next // superseded generation: ContextCleaner reclaims it
+        val (next, nextRdd) = rebased(words
+          .select(col("word"), col("freq"), mergeOnceGuarded(col("syms"), l, r).as("syms")))
+        wordsRdd.unpersist(blocking = false)
+        words = next
+        wordsRdd = nextRdd
         i += 1
       }
     }
+    wordsRdd.unpersist(blocking = false)
     merges.toSeq
   }
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.IvfIndex
 
@@ -163,12 +164,25 @@ object IndexMaintenance {
     * already admitted (the verdict pairs go to `onMatches`), then
     * APPENDS its own band rows through the idempotent
     * [[graft.operators.MinhashIndex.appendBatch]], so the NEXT batch
-    * probes against this one too. Append is exactly-once under replay
-    * (marker protocol); the probe side-effect is at-least-once — a
-    * replayed committed batch re-probes and re-emits its matches, so
-    * `onMatches` consumers dedupe on (probe_id, index_id) if they
-    * persist verdicts. Duplicates WITHIN one batch are not probe-
-    * visible (the batch appends after probing); run the batch through
+    * probes against this one too.
+    *
+    * Replay semantics, in crash order:
+    *  - marker present (crash AFTER the append committed, before the
+    *    offset commit): the whole batch is skipped — no re-probe, no
+    *    re-append, so verdicts are never re-emitted against an index
+    *    that already contains the batch;
+    *  - marker absent (crash before or mid-append): the replay
+    *    re-probes and re-emits (at-least-once verdicts — consumers
+    *    persisting them dedupe on the pair key) and the appendBatch
+    *    replay repairs any partial commit. In BOTH orderings the index
+    *    side of the probe EXCLUDES the batch's own ids (anti-join), so
+    *    a partially-appended batch can never match itself.
+    *
+    * The verdict frame handed to `onMatches` is materialized
+    * (localCheckpoint) BEFORE the append, so a consumer that defers
+    * its action still reads the pre-append verdicts, never a
+    * post-append self-match. Duplicates WITHIN one batch are not
+    * probe-visible by design; run the batch through
     * [[graft.operators.Dedup.dedupMinhashCorpus]] first if intra-wave
     * pairs matter. */
   def dedupStream(newDocs: DataFrame, dir: String,
@@ -179,11 +193,18 @@ object IndexMaintenance {
     val writer = newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        onMatches(
-          graft.operators.MinhashIndex.probe(spark, dir, batch, minJaccard),
-          batchId)
-        graft.operators.MinhashIndex.appendBatch(spark, dir, batch, batchId,
-          namespace = ns)
+        val committed = java.nio.file.Files.exists(
+          graft.operators.BatchFs.markerFor(dir, batchId, ns))
+        if (!committed) {
+          val verdicts = graft.operators.MinhashIndex
+            .probe(spark, dir, batch, minJaccard)
+            .join(batch.select(col("id").as("index_id")), Seq("index_id"), "left_anti")
+            .select(col("probe_id"), col("index_id"), col("jaccard"))
+            .localCheckpoint(true)
+          onMatches(verdicts, batchId)
+          graft.operators.MinhashIndex.appendBatch(spark, dir, batch, batchId,
+            namespace = ns)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -110,10 +110,11 @@ class MinhashIndexSpec extends SparkSpec {
     def stage(name: String, rows: (Long, String)*): Unit = {
       val tmp = tmpDir("mh-stream-stage")
       corpus(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(_.toString.endsWith(".parquet"))
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try files.filter(_.toString.endsWith(".parquet"))
         .forEach(p => java.nio.file.Files.move(p,
           java.nio.file.Paths.get(s"$landing/$name.parquet")))
+      finally files.close()
     }
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     def run(): Unit = {
@@ -135,6 +136,36 @@ class MinhashIndexSpec extends SparkSpec {
     // the index holds originals + both waves exactly once
     assert(spark.read.parquet(s"$dir/docs").select("id").distinct().count() == 5L)
     assert(spark.read.parquet(s"$dir/docs").count() == 5L)
+  }
+
+  test("dedupStream replay of a committed batch is skipped: no self-matches, no re-append") {
+    // simulate a crash AFTER appendBatch committed batch 0 but BEFORE
+    // the streaming offset commit: the batch is already in the index
+    // (marker present) when the stream replays it from a fresh
+    // checkpoint state — the batch must be skipped entirely, because a
+    // re-probe would match the batch against its own appended rows
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = tmpDir("mh-replay-idx")
+    val landing = tmpDir("mh-replay-landing")
+    val ckpt = tmpDir("mh-replay-ckpt")
+    MinhashIndex.save(corpus(0L -> filler('q', 10)), dir)
+    val tmp = tmpDir("mh-replay-stage")
+    corpus(10L -> s1).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    try files.filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.move(p,
+        java.nio.file.Paths.get(s"$landing/w1.parquet")))
+    finally files.close()
+    // pre-commit batch 0 under the namespace the stream will derive
+    val ns = graft.streaming.IndexMaintenance.checkpointNamespace(Some(ckpt))
+    assert(MinhashIndex.appendBatch(spark, dir, corpus(10L -> s1), 0L, ns) == 1L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = spark.readStream.schema(corpus(0L -> "x").schema).parquet(landing)
+    graft.streaming.IndexMaintenance.dedupStream(stream, dir,
+      (m, _) => seen ++= m.collect().map(r => (r.getLong(0), r.getLong(1))),
+      checkpointDir = Some(ckpt)).awaitTermination()
+    assert(seen.isEmpty, s"replayed committed batch must not re-probe: $seen")
+    assert(spark.read.parquet(s"$dir/docs").where("id = 10").count() == 1L)
   }
 
   test("registered even/odd surface is consistent with its construction on sf0.001") {
