@@ -355,6 +355,9 @@ object SparkEntry {
     // same scores through the persisted bucket-partitioned inverted
     // index — the scan is partition-pruned to the query terms' buckets
     "bm25_persisted" -> ((s, d) => TextSearch.bm25Persisted(s, d)),
+    // hybrid retrieval: BM25 top-10 + cosine top-10 fused by
+    // reciprocal-rank fusion (rank-only, score-scale-free)
+    "hybrid_search_rrf" -> ((s, d) => HybridSearch.hybridSearchRrf(s, d)),
     // --- corpus prep (north star): PII scrubbing + context-window
     // chunking ---
     "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
@@ -1667,6 +1670,29 @@ object SparkEntry {
         |  total_tokens::BIGINT AS total_tokens, avg_tokens
         |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
     "bm25_search" -> sqlBm25,
+    // RRF fusion of the two oracle-exact hit lists: ranks from their
+    // total orders, fused score = two exact-integer reciprocals
+    "hybrid_search_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS lex_rank
+         |  FROM ($sqlBm25)),
+         |sem AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS sem_rank
+         |  FROM (
+         |    SELECT vec_id, s AS sim FROM (
+         |      SELECT b.vec_id AS vec_id,
+         |        ${sqlDot("a.embedding", "b.embedding")} /
+         |          (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS s
+         |      FROM embeddings a, embeddings b
+         |      WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |    ORDER BY s DESC, vec_id ASC LIMIT 10))
+         |SELECT coalesce(l.id, m.id) AS id,
+         |  l.lex_rank::BIGINT AS lex_rank, m.sem_rank::BIGINT AS sem_rank,
+         |  coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
+         |    + coalesce(1.0::DOUBLE / (60 + m.sem_rank), 0.0::DOUBLE) AS rrf
+         |FROM lex l FULL OUTER JOIN sem m ON l.id = m.id
+         |ORDER BY rrf DESC, id ASC""".stripMargin,
     // the persisted-index path must produce the IDENTICAL ranking —
     // same tf/df/stats, same arithmetic, different scan
     "bm25_persisted" -> sqlBm25,

@@ -231,6 +231,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF fuses exactly the union of the two hit lists with the rank formula") {
+    import graft.operators.{HybridSearch, TextSearch, VectorSearchOps}
+    val lexIds = TextSearch.bm25Search(spark, sfSmall)
+      .collect().map(_.getLong(0))
+    val semIds = VectorSearchOps.knnExactCosine(spark, sfSmall)
+      .collect().map(_.getLong(0))
+    val fused = HybridSearch.hybridSearchRrf(spark, sfSmall).collect()
+    assert(fused.map(_.getLong(0)).toSet == (lexIds ++ semIds).toSet)
+    // recompute rrf from the emitted ranks
+    fused.foreach { r =>
+      val expect =
+        (if (r.isNullAt(1)) 0.0 else 1.0 / (60 + r.getLong(1))) +
+          (if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getLong(2)))
+      assert(r.getDouble(3) == expect, s"id ${r.getLong(0)}")
+    }
+    // descending by fused score
+    val scores = fused.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // ranks are 1..k within each source list
+    val lexRanks = fused.filter(!_.isNullAt(1)).map(_.getLong(1)).sorted.toSeq
+    assert(lexRanks == (1L to lexIds.length.toLong).toSeq)
+  }
+
   test("retention cohorts: offset-0 diagonal equals cohort size, later offsets never exceed it") {
     val rows = graft.operators.RelationalOps.retentionCohorts(spark, sfSmall)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
