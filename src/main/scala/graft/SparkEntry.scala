@@ -411,6 +411,9 @@ object SparkEntry {
         .orderBy(col("id").asc)
     }),
     "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    // pairs -> groups -> keep-one: CC over the LSH pairs with min-id
+    // canonicals (transitive collapse; oracled via recursive CTE)
+    "minhash_clusters" -> ((s, d) => Dedup.minhashClusters(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
@@ -1754,6 +1757,35 @@ object SparkEntry {
          |SELECT a_id, b_id, jaccard FROM j
          |WHERE jaccard >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+    // CC over the LSH pair graph: same banded candidate/verify chain
+    // as dedup_minhash, symmetrized edges, recursive reachability with
+    // min-id canonicals over every signature-bearing doc
+    "minhash_clusters" ->
+      s"""WITH RECURSIVE $sqlMinhashSig,
+         |bands AS (
+         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id FROM cand c
+         |  JOIN tokenized ta ON ta.id = c.a_id
+         |  JOIN tokenized tb ON tb.id = c.b_id
+         |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
+         |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT id, id FROM tokenized
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+         |SELECT src AS id, MIN(node) AS canonical_id,
+         |  src = MIN(node) AS kept
+         |FROM reach GROUP BY src
+         |ORDER BY id""".stripMargin,
     // persisted-index probe ≡ the direct LSH join between the two
     // corpus halves (band keys from the same md5 signatures; the
     // bucket cap is a no-op at oracle scale — dedup_minhash precedent)

@@ -169,6 +169,28 @@ object Dedup {
                          maxBucket: Int = MaxBandBucket): DataFrame =
     dedupMinhashFromSigs(minhashSignaturesCorpus(corpus), minJaccard, maxBucket)
 
+  /** MinHash near-dup CLUSTERS: the pairs→groups→keep-one step that
+    * completes the text-dedup story (the lexical twin of
+    * [[dedupEmbedExact]]'s embedding groups). LSH pairs become edges of
+    * a similarity graph; connected components with a min-id canonical
+    * pick exactly one keeper per group — transitively, so A≈B≈C
+    * collapses to one document even when A and C share no band.
+    * Returns (id, canonical_id, kept) over every signature-bearing
+    * document; singletons keep themselves. Scale = the pair join's
+    * (banded, bucket-capped) plus CC's bounded driver fast path /
+    * distributed pointer-jumping. */
+  def minhashClusters(spark: SparkSession, sfDir: String,
+                      minJaccard: Double = 0.8): DataFrame = {
+    val sigs = cachedSigs(spark, sfDir)
+    val pairs = dedupMinhashFromSigs(sigs, minJaccard, MaxBandBucket)
+    Clustering.connectedComponents(
+      sigs.select(col("id")),
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      .select(col("id"), col("comp").as("canonical_id"),
+        (col("id") === col("comp")).as("kept"))
+      .orderBy(col("id").asc)
+  }
+
   private def dedupMinhashFromSigs(sigs: DataFrame, minJaccard: Double,
                                    maxBucket: Int): DataFrame = {
     val bands = capBuckets(lshBands(sigs), maxBucket)

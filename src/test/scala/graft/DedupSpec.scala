@@ -199,4 +199,36 @@ class DedupSpec extends SparkSpec {
     // canonical must be <= member id (min of component)
     rows.foreach { r => assert(r.getLong(1) <= r.getLong(0)) }
   }
+
+  test("minhash clusters equal driver-side union-find over the emitted LSH pairs") {
+    val pairs = Dedup.dedupMinhash(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.minhashClusters(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // reference: union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = clusters.map(_._1).map(id => id -> find(id)).toMap
+    // min-id canonical per component
+    val canon = roots.groupBy(_._2).flatMap { case (_, m) =>
+      val c = m.keys.min; m.keys.map(_ -> c)
+    }
+    clusters.foreach { case (id, canonical, kept) =>
+      assert(canonical == canon(id), s"id $id")
+      assert(kept == (id == canonical))
+    }
+    // every signature-bearing doc appears exactly once
+    assert(clusters.map(_._1).distinct.length == clusters.length)
+    // transitivity: any two docs joined through a chain share a canonical
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b))
+    }
+  }
 }
