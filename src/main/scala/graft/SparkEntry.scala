@@ -366,6 +366,12 @@ object SparkEntry {
     // exact per-stratum counts in a reproducible md5 order; the
     // thresholded 100 TB variant is test-pinned equal (SamplingSpec)
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    // the registered 100 TB path: per-stratum hash-threshold pre-filter
+    // (window sort touches O(margin·k·strata) rows), EXACTLY equal to
+    // the exact sampler whenever the threshold retains >= perStratum
+    // rows (guaranteed for small strata, 10-sigma at margin 4 for
+    // large) — so the oracle is the exact sampler's SQL verbatim
+    "stratified_sample_t" -> ((s, d) => Sampling.stratifiedSampleThresholded(s, d)),
     // keyed CDC upsert into bucket-partitioned parquet: update/insert/
     // tombstone delta applied by rewriting ONLY the touched buckets;
     // the final table is read back and hash-checked against the
@@ -469,6 +475,12 @@ object SparkEntry {
     "lm_trigram_head" -> ((s, d) => NgramLm.trigramHead(s, d)),
     "lm_score" -> ((s, d) => NgramLm.scoreCorpus(s, d)),
     "lm_ppl_buckets" -> ((s, d) => NgramLm.pplBuckets(s, d)),
+    // sketch-only scale twin (GK cut points, no refine pass): cuts are
+    // engine-specific, so the registered surface is the deterministic
+    // audit — exact doc count + GK-bound/monotone/within-one-bucket
+    // flags the oracle states literal TRUE (value_percentiles_approx
+    // pattern)
+    "lm_ppl_buckets_t" -> ((s, d) => NgramLm.pplBucketsThresholdedAudit(s, d)),
     // scoring through the persisted additive count logs must reproduce
     // lm_score exactly (same counts, different scan) — same oracle
     "lm_persisted_score" -> ((s, d) => NgramLm.persistedScore(s, d)),
@@ -1374,6 +1386,16 @@ object SparkEntry {
          |  min(ppl) AS min_ppl, max(ppl) AS max_ppl,
          |  CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS sum_ppl
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // sketch-only twin: GK cut values are engine-specific, so the
+    // oracle pins the deterministic contract — exact scored-doc count
+    // plus the GK rank-guarantee / monotonicity / within-one-bucket
+    // flags, all literal TRUE (value_percentiles_approx pattern)
+    "lm_ppl_buckets_t" ->
+      s"""WITH $sqlCorpusToks
+         |SELECT count(*)::BIGINT AS n_docs,
+         |  TRUE AS cut1_ok, TRUE AS cut2_ok,
+         |  TRUE AS monotone_ok, TRUE AS within_one_ok
+         |FROM corpus WHERE len(toks) > 0""".stripMargin,
     // multinomial NB on qualityKeep weak labels: the oracle restates
     // the full model — exact class counts, Laplace weights rounded to
     // DECIMAL(18,6) before any sum, tf·weight decimal accumulation
@@ -1873,6 +1895,19 @@ object SparkEntry {
     // exact stratified sample: the md5 rank order is engine-identical,
     // so DuckDB replays the per-stratum selection row-for-row
     "stratified_sample" ->
+      """SELECT id, lang, rank_in_stratum FROM (
+        |  SELECT doc_id AS id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat' || doc_id::VARCHAR), doc_id)
+        |      AS rank_in_stratum
+        |  FROM documents) t
+        |WHERE rank_in_stratum <= 50
+        |ORDER BY lang, rank_in_stratum""".stripMargin,
+    // thresholded scale twin: exactly equal to the exact sampler by
+    // the margin-covers contract (SamplingSpec pins it; the threshold
+    // keeps the lowest hashes, the rank order is the same hash
+    // ascending) — the exact sampler's oracle applies verbatim
+    "stratified_sample_t" ->
       """SELECT id, lang, rank_in_stratum FROM (
         |  SELECT doc_id AS id, lang,
         |    row_number() OVER (PARTITION BY lang

@@ -37,7 +37,6 @@ object CurationScorecard {
 
   def scorecard(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Ingest.corpusFromDocuments(spark, sfDir)
-    val docs = NgramLm.tokenized(corpus)
 
     // one labeled frame carries the quality predicate for BOTH the
     // heuristic column and the NB weak labels (qualityKeep is a
@@ -54,9 +53,15 @@ object CurationScorecard {
     val nb = NbClassifier.score(NbClassifier.train(labeled), labeled)
       .select(col("id"), col("nb_keep"))
 
-    val lm = NgramLm.score(NgramLm.train(docs), docs)
+    // exact NTILE(3) tercile from ExactRank cut points (shared with
+    // lm_ppl_buckets via the memoized artifact): same value the oracle
+    // states with a window, but the plan carries NO unpartitioned
+    // window — at 100 TB the per-document verdict table never stalls
+    // on a single-task sort (PlanSpec pins this shape)
+    val (scored, _, cuts) = NgramLm.scoredWithCuts(spark, sfDir)
+    val lm = scored
       .withColumn("ppl_bucket",
-        ntile(3).over(Window.orderBy(col("ppl").asc, col("id").asc)).cast("long"))
+        graft.operators.ExactRank.bucketCol(col("ppl"), col("id"), cuts))
       .select(col("id"), col("ppl"), col("ppl_bucket"))
 
     val spans = SpanDedup.dupStats(corpus).select(col("id"), col("dup_fraction"))

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact global rank selection WITHOUT a global sort — the machinery
+  * that lets percentile-bucket operators (CCNet-style perplexity
+  * terciles, NTILE scorecard signals) stay bit-identical to their
+  * `NTILE(k) OVER (ORDER BY value, id)` oracle while never funnelling
+  * the corpus through a single-task window.
+  *
+  * The selection problem: given a frame totally ordered by
+  * (value, id), find the exact (value, id) pair at 1-based global rank
+  * r. The classic distributed answer is a range-partitioned sort
+  * (still a full shuffle + sort of every row); this one is the
+  * sketch-bracket-and-refine scheme instead:
+  *
+  *   1. bracket: one `percentile_approx` (Greenwald–Khanna, mergeable,
+  *      rank error ≤ n/accuracy) brackets the target rank between two
+  *      ACTUAL data values [vLo, vHi] — GK returns observed elements,
+  *      so the bracket is type-exact for longs and doubles alike;
+  *   2. verify: one aggregate computes the EXACT boundary counts
+  *      (#rows < vLo, ≤ vLo, < vHi, ≤ vHi). If the target rank lands
+  *      on a boundary value, that value is the exact answer (GK only
+  *      ever proposed it; the exact counts confirmed it). The sketch
+  *      guarantee is thereby checked, never trusted;
+  *   3. shrink: otherwise the answer lies strictly inside (vLo, vHi) —
+  *      an interval that, by the verified rank error, holds
+  *      O(n/accuracy) rows. Recurse on the filtered frame with the
+  *      rank rebased by the exact below-count.
+  *   4. floor: once the candidate window is ≤ max(accuracy, 1024)
+  *      rows, collect just the window and index it — driver state
+  *      bounded by the ACCURACY PARAMETER, not the data (the
+  *      `driverMaxEdges` discipline from Clustering).
+  *
+  * Each round is two aggregates over a (persisted) two-column frame
+  * and shrinks the window ~accuracy/6×, so 100 TB (n ≈ 1e11) resolves
+  * in 3 rounds at the default accuracy. Duplicated values never stall
+  * the loop: a value carrying the target rank is returned from the
+  * exact boundary check, and the id tiebreak inside a duplicated value
+  * runs the same selection over the (unique) ids of just that value's
+  * rows.
+  *
+  * Determinism contract: every returned cut is an actual data element
+  * confirmed by exact integer counts, so downstream bucket assignment
+  * (`bucketCol`) is engine-exact — the DuckDB NTILE oracle restates it
+  * verbatim. */
+object ExactRank {
+
+  /** Exact cut for one rank: the (value, tiebreakId) pair at global
+    * 1-based rank `rank` of the (value, id) lexicographic order. */
+  final case class Cut(rank: Long, value: Double, id: Long)
+
+  /** NTILE(buckets) cumulative bucket-boundary ranks s_1..s_{b-1}:
+    * standard SQL semantics — bucket i gets n/b rows plus one extra
+    * for the first n mod b buckets. A frame's bucket is
+    * 1 + #{cuts strictly before the row}. */
+  def ntileCutRanks(n: Long, buckets: Int): Seq[Long] = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    if (n <= 0) Seq.empty
+    else {
+      val base = n / buckets
+      val rem = n % buckets
+      (1 until buckets).map(i => i * base + math.min(i.toLong, rem))
+        .filter(_ >= 1L)
+    }
+  }
+
+  /** Ordering over the runtime-typed values GK hands back (actual data
+    * elements — comparisons must be type-exact, not via-double, so
+    * 64-bit ids beyond 2^53 still order correctly). */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+    case (x: Float, y: Float)   => java.lang.Float.compare(x, y)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported rank-selection value types: ${a.getClass}, ${b.getClass}")
+  }
+
+  private def toDouble(a: Any): Double = a match {
+    case d: Double => d
+    case l: Long   => l.toDouble
+    case i: Int    => i.toDouble
+    case f: Float  => f.toDouble
+  }
+
+  private def toLong(a: Any): Long = a match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case d: Double => d.toLong
+  }
+
+  /** Exact value at global 1-based rank `r` of column `c`'s ascending
+    * order over `df` (duplicates: the value v with
+    * count(< v) < r ≤ count(≤ v)). Returns (value, exact global
+    * count of rows strictly below value) — the below-count is what an
+    * id tiebreak inside a duplicated value rebases on.
+    *
+    * `n` must be df.count(). Driver state: O(max(accuracy, 1024))
+    * collected cells in the floor step; everything before is
+    * two-aggregate rounds. */
+  private[graft] def selectAt(df: DataFrame, c: String, n: Long, r: Long,
+                              accuracy: Int): (Any, Long) = {
+    require(r >= 1 && r <= n, s"rank $r out of [1, $n]")
+    val floorSize = math.max(accuracy, 1024)
+    var cur = df
+    var base = 0L   // exact #rows (globally) ordered strictly before cur's window
+    var curN = n
+    var rounds = 0
+    while (curN > floorSize) {
+      rounds += 1
+      require(rounds <= 64, "rank-selection window failed to shrink (bug)")
+      val target = r - base
+      val e = math.max(1L, (curN + accuracy - 1) / accuracy)
+      val pLo = math.max(0.0, (target - 3.0 * e) / curN)
+      val pHi = math.min(1.0, (target + 3.0 * e) / curN)
+      val bracket = cur.agg(percentile_approx(col(c),
+        typedlit(Seq(pLo, pHi)), lit(accuracy)).as("b")).head
+        .getSeq[Any](0)
+      val (vLo, vHi) = (bracket(0), bracket(1))
+      def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+      val counts = cur.agg(
+        cnt(col(c) < lit(vLo)).as("lt_lo"), cnt(col(c) <= lit(vLo)).as("le_lo"),
+        cnt(col(c) < lit(vHi)).as("lt_hi"), cnt(col(c) <= lit(vHi)).as("le_hi")).head
+      val (ltLo, leLo, ltHi, leHi) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
+      if (ltLo < target && target <= leLo) return (vLo, base + ltLo)
+      if (ltHi < target && target <= leHi) return (vHi, base + ltHi)
+      if (target <= ltLo) {
+        // GK undershot its guarantee (not observed; defensive): keep
+        // the strictly-below-vLo window — still a strict shrink.
+        cur = cur.filter(col(c) < lit(vLo)); curN = ltLo
+      } else if (target > leHi) {
+        cur = cur.filter(col(c) > lit(vHi)); base += leHi; curN -= leHi
+      } else {
+        // strictly interior: O(n/accuracy) rows by the verified counts
+        cur = cur.filter(col(c) > lit(vLo) && col(c) < lit(vHi))
+        base += leLo; curN = ltHi - leLo
+      }
+    }
+    // floor: window ≤ max(accuracy, 1024) rows — bounded collect
+    val window = cur.select(col(c)).collect().map(_.get(0))
+    scala.util.Sorting.stableSort(window, (a: Any, b: Any) => cmp(a, b) < 0)
+    val v = window((r - base - 1).toInt)
+    (v, base + window.count(cmp(_, v) < 0))
+  }
+
+  /** Exact cuts at the given ascending 1-based global ranks of the
+    * (valueCol, idCol) lexicographic total order. `valueCol` is a
+    * double (duplicates fine), `idCol` an integral per-row tiebreak
+    * (unique; also what makes the order total). `df` should be
+    * persisted by the caller — each cut costs a handful of aggregate
+    * jobs over it. Driver state: O(max(accuracy, 1024)) per cut. */
+  def cutsAt(df: DataFrame, valueCol: String, idCol: String,
+             ranks: Seq[Long], accuracy: Int = 10000): Seq[Cut] = {
+    if (ranks.isEmpty) return Seq.empty
+    val n = df.count()
+    ranks.map { r =>
+      val (v, cntLt) = selectAt(df, valueCol, n, r, accuracy)
+      // id tiebreak: the cut row is the (r - cntLt)-th smallest id
+      // among rows sharing the cut value (ids unique -> terminates)
+      val tied = df.filter(col(valueCol) === lit(v))
+      val (idv, _) = selectAt(tied, idCol, tied.count(), r - cntLt, accuracy)
+      Cut(r, toDouble(v), toLong(idv))
+    }
+  }
+
+  /** Bucket assignment from exact cuts: 1 + #{cuts ordered strictly
+    * before (value, id)} — identical to
+    * NTILE(cuts.size + 1) OVER (ORDER BY value, id). A narrow,
+    * codegen-friendly when-chain over broadcast literals: no join, no
+    * shuffle, no window. */
+  def bucketCol(value: Column, id: Column, cuts: Seq[Cut]): Column = {
+    val sorted = cuts.sortBy(_.rank)
+    sorted.zipWithIndex.foldRight(lit(sorted.size + 1L)) {
+      case ((cut, i), elseCol) =>
+        when(value < lit(cut.value) ||
+          (value === lit(cut.value) && id <= lit(cut.id)), lit(i + 1L))
+          .otherwise(elseCol)
+    }
+  }
+}

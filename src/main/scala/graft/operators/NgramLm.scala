@@ -291,18 +291,42 @@ object NgramLm {
     score(train(docs), docs).orderBy(col("id"))
   }
 
+  /** Memoized per-scale LM-bucket artifact: the persisted (id, ppl)
+    * self-scored frame, its row count, and the EXACT NTILE(3) cut
+    * points found by [[ExactRank]]'s sketch-bracket-and-refine — no
+    * global sort anywhere. Shared by [[pplBuckets]], the thresholded
+    * audit, and CurationScorecard, so the train+score pipeline runs
+    * once per JVM per scale (the Clustering.assignCache discipline). */
+  private val scoredCutsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, Long, Seq[ExactRank.Cut])]
+
+  private[graft] def scoredWithCuts(spark: SparkSession, sfDir: String)
+      : (DataFrame, Long, Seq[ExactRank.Cut]) =
+    scoredCutsCache.getOrElseUpdate(sfDir, {
+      val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
+      val scored = score(train(docs), docs).select(col("id"), col("ppl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = scored.count()
+      val cuts = ExactRank.cutsAt(scored, "ppl", "id",
+        ExactRank.ntileCutRanks(n, 3))
+      (scored, n, cuts)
+    })
+
   /** Registered surface: CCNet-style head/middle/tail perplexity
-    * buckets — NTILE(3) over (ppl, id) (total order, engine-exact) with
-    * per-bucket stats; ppl sums stay decimal so shuffle order never
-    * shows. The global NTILE sort is the oracle-exact form;
-    * [[pplBucketsThresholded]] is the 100 TB path (sketch cut points,
-    * no global sort). */
+    * buckets with per-bucket stats; ppl sums stay decimal so shuffle
+    * order never shows. The bucket is the EXACT
+    * NTILE(3) OVER (ORDER BY ppl, id) value — the oracle restates it
+    * with that window verbatim — but it is computed from [[ExactRank]]
+    * cut points (aggregate bracketing + a bounded refine), so the plan
+    * carries NO unpartitioned window: at 100 TB the corpus is never
+    * funnelled through a single sort task. [[pplBucketsThresholded]]
+    * remains the sketch-only variant (one aggregate cheaper, buckets
+    * approximate within GK rank error). */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
-    val scored = score(train(docs), docs)
-    val bucketed = scored.withColumn("bucket",
-      ntile(3).over(Window.orderBy(col("ppl").asc, col("id").asc)).cast("long"))
-    bucketed.groupBy(col("bucket"))
+    val (scored, _, cuts) = scoredWithCuts(spark, sfDir)
+    scored.withColumn("bucket",
+        ExactRank.bucketCol(col("ppl"), col("id"), cuts))
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("ppl")).as("min_ppl"),
         max(col("ppl")).as("max_ppl"),
@@ -327,5 +351,53 @@ object NgramLm {
           .when(col("ppl") <= col("cuts").getItem(1), 2L)
           .otherwise(3L))
       .select(col("id"), col("ppl"), col("bucket"))
+  }
+
+  /** Registered surface for the sketch-only scale twin
+    * ([[pplBucketsThresholded]]): its GK cut points are
+    * engine-specific, so the oracle pins the DETERMINISTIC contract
+    * instead (the `value_percentiles_approx` pattern) — one row of
+    * exact-count facts plus invariant flags the oracle states literal
+    * TRUE:
+    *
+    *  - `n_docs`: scored-doc count, exact (the oracle recounts it);
+    *  - `cut1_ok`/`cut2_ok`: the GK rank guarantee checked with exact
+    *    counts — each returned cut value's rank interval
+    *    [count(< v)+1, count(≤ v)] overlaps target ± n/accuracy;
+    *  - `monotone_ok`: cut1 ≤ cut2 (same sketch, monotone in p);
+    *  - `within_one_ok`: every document's thresholded bucket is within
+    *    1 of its exact-NTILE bucket — deterministic once the tercile
+    *    width n/3 exceeds twice the rank error (accuracy > 6), because
+    *    a document moves only if its rank sits between a GK cut's rank
+    *    and the exact cut rank. */
+  def pplBucketsThresholdedAudit(spark: SparkSession, sfDir: String,
+                                 accuracy: Int = 10000): DataFrame = {
+    val (scored, n, cuts) = scoredWithCuts(spark, sfDir)
+    val t = pplBucketsThresholded(scored, accuracy)
+      .select(col("id"), col("bucket").as("b_t"))
+    val exact = scored.withColumn("b_x",
+      ExactRank.bucketCol(col("ppl"), col("id"), cuts))
+    val e = math.max(1L, (n + accuracy - 1) / accuracy)
+    val targets = ExactRank.ntileCutRanks(n, 3) match {
+      case Seq() => Seq(1L, 1L) // empty corpus: flags vacuous
+      case ts    => ts
+    }
+    // re-derive the engine's GK cut values once (same agg as the twin)
+    val gk = scored.agg(percentile_approx(col("ppl"),
+      typedlit(Seq(1.0 / 3.0, 2.0 / 3.0)), lit(accuracy)).as("cuts"))
+    val joined = exact.join(t, Seq("id")).crossJoin(broadcast(gk))
+    joined.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(when(col("ppl") < col("cuts").getItem(0), 1L).otherwise(0L))
+        < lit(targets.head + e) &&
+       sum(when(col("ppl") <= col("cuts").getItem(0), 1L).otherwise(0L))
+        >= lit(targets.head - e)).as("cut1_ok"),
+      (sum(when(col("ppl") < col("cuts").getItem(1), 1L).otherwise(0L))
+        < lit(targets.last + e) &&
+       sum(when(col("ppl") <= col("cuts").getItem(1), 1L).otherwise(0L))
+        >= lit(targets.last - e)).as("cut2_ok"),
+      min(when(col("cuts").getItem(0) <= col("cuts").getItem(1), 1L)
+        .otherwise(0L)).cast("boolean").as("monotone_ok"),
+      (max(abs(col("b_t") - col("b_x"))) <= 1L).as("within_one_ok"))
   }
 }

@@ -273,4 +273,39 @@ class PlanSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
   }
+
+  test("perplexity terciles carry no unpartitioned window (r8 verdict item 1)") {
+    // the r8 global-NTILE scale-killer: an unpartitioned Window
+    // funnels every scored document through ONE task. The ExactRank
+    // cut-point rewrite must keep every Window in these plans above a
+    // hash partitioning — no Window may sit on a SinglePartition
+    // exchange (the corpus-wide span-dedup and exact-dup windows are
+    // per-sentence/per-id partitioned and stay).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def singleTaskWindows(p: SparkPlan): Int = {
+      def kids(x: SparkPlan) = x match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      def hasSingleExchange(x: SparkPlan): Boolean = x match {
+        case s: ShuffleExchangeLike => s.outputPartitioning == SinglePartition
+        case other => kids(other).exists(hasSingleExchange)
+      }
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty || hasSingleExchange(w) => 1
+        case _ => 0
+      }
+      self + kids(p).map(singleTaskWindows).sum
+    }
+    for (q <- Seq("lm_ppl_buckets", "lm_ppl_buckets_t", "curation_scorecard")) {
+      val df = SparkEntry.queries(q)(spark, sfSmall)
+      df.collect()
+      val n = singleTaskWindows(df.queryExecution.executedPlan)
+      assert(n == 0, s"$q: $n single-task window(s) — the global NTILE crept back")
+    }
+  }
 }
