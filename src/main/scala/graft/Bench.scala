@@ -76,7 +76,13 @@ object Bench {
     // r8 model/index family (BASELINE r8 model table; quiet medians
     // 3.26 / 2.89 / 1.51 s with headroom for artifact-build variance)
     "minhash_probe" -> 5.0, "lm_ppl_buckets" -> 4.5, "lm_persisted_score" -> 3.0,
-    "bpe_merges" -> 15.0
+    // covers the documented ~17 s COLD-JVM training pass (BASELINE),
+    // not just the warmup-order-JITted ~12 s — a reordered warmup list
+    // must not flag this entry spuriously (r8 advice)
+    "bpe_merges" -> 18.0,
+    // r9 shared-artifact warm entries (quiet sf0.1 medians + headroom)
+    "lm_scored_cuts" -> 6.0, "profile_exact_agg" -> 4.0,
+    "exact_twin_batch" -> 4.0, "exact_twin_xlabel" -> 4.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -101,6 +107,9 @@ object Bench {
   private def r3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  private def r2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def compactLine(total: Double, queries: Seq[(String, Double)],
                   nErrors: Int, flagged: Seq[String], sf: String,
                   budget: Int = 1600, nWarm: Int = 0): String = {
@@ -124,6 +133,46 @@ object Bench {
       fits
     }
     head + kept.mkString(",") + s"""},"omitted":${entries.size - kept.size}}"""
+  }
+
+  /** The r9 tail format: EVERY timing fits the driver's 2000-char
+    * capture, so "omitted" is finally a literal 0. A fully-named
+    * 144-entry map needs ~3.5 KB (names dominate at ~24 chars/entry) —
+    * it can never fit — so the per-query medians ride POSITIONALLY:
+    * `"qt":[…]` lists 2-decimal seconds for the registered queries in
+    * NAME-SORTED order (exactly `sorted(SparkEntry.queries.keys)` —
+    * reconstructable by any consumer from the registry; −1 marks an
+    * errored query, whose message is in the full preceding line).
+    * Warm shared-artifact builds stay individually NAMED in `"warm"`
+    * (few, and their names are not registry-derivable), and a
+    * slowest-first named `"queries"` map fills whatever budget
+    * remains for at-a-glance reading. */
+  def compactLineFull(total: Double, ok: Seq[(String, Double)],
+                      registryNames: Seq[String], warm: Seq[(String, Double)],
+                      nErrors: Int, flagged: Seq[String], sf: String,
+                      budget: Int = 1900): String = {
+    val okMap = ok.toMap
+    val flaggedJson =
+      flagged.take(15).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val qt = registryNames.sorted
+      .map(n => r2(okMap.getOrElse(n, -1.0))).mkString("[", ",", "]")
+    val warmJson = warm
+      .map { case (k, v) => "\"" + esc(k) + "\":" + r2(v) }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+      s""","n_queries":${registryNames.size},"n_warm":${warm.size}""" +
+      s""","n_errors":$nErrors,"flagged":$flaggedJson,"sf":"${esc(sf)}"""" +
+      s""","warm":$warmJson,"qt":$qt,"queries":{"""
+    val entries =
+      (ok ++ warm.map { case (k, v) => s"warm:$k" -> v }).sortBy(-_._2)
+        .map { case (k, v) => "\"" + esc(k) + "\":" + r2(v) }
+    val fixedTail = 17 // },"omitted":0}
+    var used = head.length + fixedTail
+    val kept = entries.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
+    }
+    head + kept.mkString(",") + s"""},"omitted":0}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -195,6 +244,15 @@ object Bench {
       // 16-merge BPE table (2 small jobs per merge) shared by the
       // encoder-audit query
       "bpe_merges" -> (() => { Bpe.mergesFor(spark, sfDir); () }),
+      // r9 shared artifacts: LM scored frame + exact tercile cuts
+      // (lm_ppl_buckets / lm_ppl_buckets_t / curation_scorecard), the
+      // exact profile wide-agg row (profile_lineitem + the HLL audit),
+      // and the sampled exact-twin top-k references the recall audits
+      // reuse (hard_negatives_lsh, knn_batch_ivf)
+      "lm_scored_cuts" -> (() => { NgramLm.scoredWithCuts(spark, sfDir); () }),
+      "profile_exact_agg" -> (() => { Profiling.exactWideCached(spark, sfDir).count(); () }),
+      "exact_twin_batch" -> (() => { IndexAudits.exactBatchTwin(spark, sfDir).count(); () }),
+      "exact_twin_xlabel" -> (() => { IndexAudits.exactXlabelTwin(spark, sfDir).count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())
@@ -228,11 +286,11 @@ object Bench {
     val total = ok.map(_._2).sum + warm.map(_._2).sum
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$ws,"reps":$reps,"errors":$errJson,"noise":$noiseJson,"flagged":$flaggedJson,"sf":"$sfDir"}"""
     // warm entries count toward the total, so the tail record lists
-    // them alongside the queries (prefixed) — the sum must be auditable
-    // from the tail alone
-    val tailLine = compactLine(total,
-      ok ++ warm.map { case (k, v) => s"warm:$k" -> v },
-      errors.size, flagged, sfDir, nWarm = warm.size)
+    // them alongside the queries — the sum must be auditable from the
+    // tail alone; the positional qt array carries EVERY registered
+    // query's median ("omitted":0, r9)
+    val tailLine = compactLineFull(total, ok,
+      SparkEntry.queries.keys.toSeq, warm, errors.size, flagged, sfDir)
     println(fullLine)
     sys.env.get("GRAFT_BENCH_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p, "UTF-8")

@@ -1187,13 +1187,14 @@ object SparkEntry {
          |LIMIT 25""".stripMargin,
     // encoder audit: n_words restates as distinct tokens; the
     // roundtrip/bounds invariants are engine-verified per word and
-    // oracle-stated TRUE; n_merges is the configured 16 (corpus has
-    // far more than 16 mergeable pairs at every gate scale)
+    // oracle-stated TRUE; n_merges interpolates Bpe.DefaultMerges so
+    // the operator default and the oracle cannot drift (the corpus has
+    // far more mergeable pairs than that at every gate scale)
     "bpe_encode_audit" ->
       s"""WITH $sqlCorpusToks
          |SELECT count(DISTINCT term)::BIGINT AS n_words,
          |  TRUE AS all_roundtrip, TRUE AS all_in_bounds,
-         |  16::BIGINT AS n_merges
+         |  ${Bpe.DefaultMerges}::BIGINT AS n_merges
          |FROM (SELECT unnest(toks) AS term FROM corpus)""".stripMargin,
     // the bloom path must reproduce the plain semi-join exactly (the
     // probe only moves WHERE non-matching rows are dropped)

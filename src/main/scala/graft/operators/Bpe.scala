@@ -140,10 +140,16 @@ object Bpe {
   private val mergeCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String)]]
 
+  /** The registered surfaces' merge-table size. The encode-audit
+    * oracle interpolates THIS constant into its SQL (n_merges column),
+    * so the operator default and the oracle cannot drift apart. */
+  val DefaultMerges = 16
+
   /** Memoized trained merge table per (corpus, nMerges) — the shared
     * warm artifact the encoder surfaces reuse (trainer = 2·nMerges
     * small jobs; see Bench's `bpe_merges` warm entry). */
-  def mergesFor(spark: SparkSession, sfDir: String, nMerges: Int = 16): Seq[(String, String)] =
+  def mergesFor(spark: SparkSession, sfDir: String,
+                nMerges: Int = DefaultMerges): Seq[(String, String)] =
     mergeCache.getOrElseUpdate((sfDir, nMerges), {
       train(Ingest.corpusFromDocuments(spark, sfDir), nMerges)
     })
@@ -158,7 +164,7 @@ object Bpe {
     *  - `all_in_bounds`: 1 ≤ #symbols ≤ len(word) + 1;
     *  - `n_words` / `n_merges` restate exactly in SQL.
     * One row; flags oracle-stated literal TRUE. */
-  def encodeAudit(spark: SparkSession, sfDir: String, nMerges: Int = 16): DataFrame = {
+  def encodeAudit(spark: SparkSession, sfDir: String, nMerges: Int = DefaultMerges): DataFrame = {
     val merges = mergesFor(spark, sfDir, nMerges)
     wordFreqs(Ingest.corpusFromDocuments(spark, sfDir))
       .select(col("word"), segment(col("word"), merges).as("syms"))

@@ -290,6 +290,69 @@ object IvfIndex {
     load(spark, dstDir)
   }
 
+  /** Outcome of one [[maintainIndex]] pass: the measured skew, the
+    * threshold it was held against, and whether a new generation was
+    * trained and promoted. */
+  final case class MaintenanceReport(retrained: Boolean, maxShare: Double,
+                                     threshold: Double, nlist: Int)
+
+  /** The §7.5 maintenance loop closed end-to-end: measure drift from
+    * [[listStats]], decide, and either leave the append-only index as
+    * is or train-and-promote a fresh generation.
+    *
+    * Decision rule (the documented policy): appends assign against
+    * FROZEN centroids, so distribution drift shows up as list-size
+    * skew; when the largest list's share exceeds
+    * `maxShareFactor / nlist` (a few multiples of the balanced share),
+    * quantization quality has degraded enough that probing that list
+    * dominates search cost, and a retrain re-balances. Below the
+    * threshold a retrain would churn the whole index for no recall
+    * benefit — the append-only path stands.
+    *
+    * Promotion is the Upsert swap posture: the new generation is fully
+    * written to a sibling staging dir, the old directory is moved
+    * aside, the new one moved in, the old deleted — single-writer
+    * maintenance windows assumed; in-flight readers of the old
+    * generation on an object store would instead get a manifest
+    * pointer flip. Driver state stays bounded: the decision reads ONE
+    * aggregate row (max share) and the centroid matrix (≤ nlist). */
+  def maintainIndex(spark: SparkSession, dir: String,
+                    maxShareFactor: Double = 3.0, seed: Long = 42L,
+                    maxIter: Int = 20): MaintenanceReport = {
+    import java.nio.file.{Files, Paths}
+    val index = load(spark, dir)
+    val nlist = index.centroidArrays.length
+    val threshold = maxShareFactor / nlist
+    // one aggregate row to the driver — the whole decision input
+    val maxShare = listStats(index)
+      .agg(max(col("share"))).head.getDouble(0)
+    if (maxShare <= threshold)
+      return MaintenanceReport(retrained = false, maxShare, threshold, nlist)
+    val staging = s"$dir.next-gen"
+    BatchFs.deleteRecursively(Paths.get(staging)) // crashed prior attempt
+    retrain(spark, dir, staging, nlist, seed, maxIter)
+    // carry the batch markers into the new generation: every
+    // marker-committed wave's rows are inside the retrained postings,
+    // so a post-promotion replay (offset not yet checkpointed upstream)
+    // must still see its marker and no-op — without this, the replay
+    // would re-append rows the retrain already folded in
+    val oldMarkers = Paths.get(s"$dir/_committed")
+    if (Files.exists(oldMarkers)) {
+      val s = Files.walk(oldMarkers)
+      try s.forEach { p =>
+        val rel = Paths.get(staging).resolve(Paths.get(dir).relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(rel)
+        else { Files.createDirectories(rel.getParent); Files.copy(p, rel); () }
+      } finally s.close()
+    }
+    val prev = Paths.get(s"$dir.prev-gen")
+    BatchFs.deleteRecursively(prev)
+    Files.move(Paths.get(dir), prev)
+    Files.move(Paths.get(staging), Paths.get(dir))
+    BatchFs.deleteRecursively(prev)
+    MaintenanceReport(retrained = true, maxShare, threshold, nlist)
+  }
+
   // Registered-query surface for the append lifecycle (the §7.5
   // maintenance path as a driver-visible query): build on the first
   // half of the sf embeddings, append the second half against the

@@ -120,12 +120,25 @@ object MinhashIndex {
     * appended (call [[append]] after acting on the verdicts). */
   def probe(spark: SparkSession, dir: String, probeDocs: DataFrame,
             minJaccard: Double = 0.8,
-            maxBucket: Int = Dedup.MaxBandBucket): DataFrame = {
+            maxBucket: Int = Dedup.MaxBandBucket): DataFrame =
+    probeWithHandle(spark, dir, probeDocs, minJaccard, maxBucket)._1
+
+  /** [[probe]] plus the persisted wave-signature frame, for callers
+    * that must release its blocks DETERMINISTICALLY: a long-running
+    * [[graft.streaming.IndexMaintenance.dedupStream]] leaves one
+    * MEMORY_AND_DISK signature frame behind per micro-batch if release
+    * waits on driver GC + ContextCleaner — materialize the verdicts,
+    * then `handle.unpersist()`. One-shot callers can keep using
+    * [[probe]] and let the cleaner reclaim the blocks. */
+  private[graft] def probeWithHandle(spark: SparkSession, dir: String,
+                                     probeDocs: DataFrame,
+                                     minJaccard: Double = 0.8,
+                                     maxBucket: Int = Dedup.MaxBandBucket)
+      : (DataFrame, DataFrame) = {
     // the wave's signature pipeline feeds three subtrees (key prune,
     // candidate join, Jaccard verify) — persist it so the shingle +
     // 8-hash derivation runs once (the 740 s MinHash postmortem
-    // discipline); the ContextCleaner reclaims the blocks when the
-    // returned frame is released
+    // discipline)
     val sigs = Dedup.minhashSignaturesCorpus(probeDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pBands = Dedup.lshBands(sigs)
@@ -142,12 +155,13 @@ object MinhashIndex {
     val pSets = sigs.select(col("id").as("probe_id"), array_distinct(col("toks")).as("pset"))
     val iSets = spark.read.parquet(s"$dir/docs")
       .select(col("id").as("index_id"), col("tset").as("iset"))
-    cand.join(pSets, Seq("probe_id")).join(iSets, Seq("index_id"))
+    val verdicts = cand.join(pSets, Seq("probe_id")).join(iSets, Seq("index_id"))
       .withColumn("jaccard",
         size(array_intersect(col("pset"), col("iset"))).cast("double") /
           size(array_union(col("pset"), col("iset"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("probe_id"), col("index_id"), col("jaccard"))
+    (verdicts, sigs)
   }
 
   // ---- registered surface -------------------------------------------

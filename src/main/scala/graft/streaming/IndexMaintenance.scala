@@ -196,11 +196,16 @@ object IndexMaintenance {
         val committed = java.nio.file.Files.exists(
           graft.operators.BatchFs.markerFor(dir, batchId, ns))
         if (!committed) {
-          val verdicts = graft.operators.MinhashIndex
-            .probe(spark, dir, batch, minJaccard)
+          val (probed, sigs) = graft.operators.MinhashIndex
+            .probeWithHandle(spark, dir, batch, minJaccard)
+          val verdicts = probed
             .join(batch.select(col("id").as("index_id")), Seq("index_id"), "left_anti")
             .select(col("probe_id"), col("index_id"), col("jaccard"))
             .localCheckpoint(true)
+          // verdicts are materialized — release the wave-signature
+          // blocks NOW, not at driver GC: a long stream otherwise
+          // accumulates one MEMORY_AND_DISK frame per micro-batch
+          sigs.unpersist(blocking = false)
           onMatches(verdicts, batchId)
           graft.operators.MinhashIndex.appendBatch(spark, dir, batch, batchId,
             namespace = ns)

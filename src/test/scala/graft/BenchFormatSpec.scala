@@ -94,4 +94,49 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"c\":0.500"))
     assert(line.contains("\"omitted\":0"))
   }
+
+  // ---- r9 positional tail (omitted always 0) -------------------------
+
+  private val regNames = (1 to 130).map(i => f"some_registered_query_name_$i%03d")
+  private val okRuns: Seq[(String, Double)] =
+    regNames.filterNot(_.endsWith("007")).map(n => n -> 0.37) // 007 "errored"
+  private val warmRuns: Seq[(String, Double)] =
+    (1 to 16).map(i => s"shared_artifact_build_$i" -> (i * 1.3))
+
+  test("compactLineFull fits the tail at full current scale with omitted 0") {
+    val line = Bench.compactLineFull(142.6, okRuns, regNames, warmRuns,
+      1, Seq("slow_one"), "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"len=${line.length}")
+    val tail = (("x" * 50000) + "\n" + line).takeRight(2000)
+    assert(tail.startsWith("\n" + line.take(10)) || tail.contains("\"metric\":\"total\""))
+    assert(line.contains("\"omitted\":0"))
+    assert(line.contains("\"n_queries\":130"))
+    assert(line.contains("\"n_warm\":16"))
+  }
+
+  test("compactLineFull qt is positional over NAME-SORTED registry, -1 for errors") {
+    val line = Bench.compactLineFull(10.0, okRuns, regNames.reverse, warmRuns,
+      1, Nil, "sf")
+    val qt = line.substring(line.indexOf("\"qt\":[") + 6, line.indexOf("],\"queries\""))
+      .split(",")
+    assert(qt.length == regNames.size)
+    // registry order passed reversed, but qt must follow sorted order:
+    // index of the errored 007 in sorted names carries -1.00
+    val idx = regNames.sorted.indexOf("some_registered_query_name_007")
+    assert(qt(idx) == "-1.00", qt(idx))
+    assert(qt.count(_ == "-1.00") == 1)
+    assert(qt.filterNot(_ == "-1.00").forall(_ == "0.37"))
+  }
+
+  test("compactLineFull is balanced JSON with named warm map and slowest-first queries") {
+    val line = Bench.compactLineFull(10.0, okRuns, regNames, warmRuns, 0, Nil, "sf")
+    assert(line.head == '{' && line.last == '}')
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+    assert(!line.contains(",}") && !line.contains(",]"))
+    assert(line.contains("\"warm\":{\"shared_artifact_build_1\":1.30"))
+    val qStart = line.indexOf("\"queries\":{") + "\"queries\":{".length
+    val firstKey = line.substring(qStart + 1, line.indexOf('"', qStart + 1))
+    assert(firstKey == "warm:shared_artifact_build_16", firstKey)
+  }
 }
