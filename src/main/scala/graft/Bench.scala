@@ -153,7 +153,7 @@ object Bench {
                       budget: Int = 1900): String = {
     val okMap = ok.toMap
     val flaggedJson =
-      flagged.take(15).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+      flagged.take(10).map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val qt = registryNames.sorted
       .map(n => r2(okMap.getOrElse(n, -1.0))).mkString("[", ",", "]")
     val warmJson = warm
@@ -162,10 +162,20 @@ object Bench {
       s""","n_queries":${registryNames.size},"n_warm":${warm.size}""" +
       s""","n_errors":$nErrors,"flagged":$flaggedJson,"sf":"${esc(sf)}"""" +
       s""","warm":$warmJson,"qt":$qt,"queries":{"""
+    val fixedTail = 17 // },"omitted":0}
+    // the positional qt/warm blocks are the format's point and cannot
+    // be truncated; if pathological inputs (3-digit timings × a full
+    // flagged list) blow the fixed head past the budget, degrade to
+    // the legacy slowest-first named line — over-budget output risks
+    // pushing the record's own opening brace out of the driver's
+    // 2000-char capture, which is worse than "omitted" > 0
+    if (head.length + fixedTail > budget)
+      return compactLine(total,
+        ok ++ warm.map { case (k, v) => s"warm:$k" -> v },
+        nErrors, flagged, sf, budget = budget, nWarm = warm.size)
     val entries =
       (ok ++ warm.map { case (k, v) => s"warm:$k" -> v }).sortBy(-_._2)
         .map { case (k, v) => "\"" + esc(k) + "\":" + r2(v) }
-    val fixedTail = 17 // },"omitted":0}
     var used = head.length + fixedTail
     val kept = entries.takeWhile { e =>
       val fits = used + e.length + 1 <= budget
@@ -273,7 +283,6 @@ object Bench {
       .mkString("{", ",", "}")
     val noiseJson = steals.map { case (k, (tot, st, ld)) =>
       val pct = if (tot > 0) 100.0 * st / tot else 0.0
-      def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       s""""${esc(k)}":{"steal_pct":${r2(pct)},"load1":${r2(ld)}}"""
     }.mkString("{", ",", "}")
     // flag vs BASELINE quiet ranges (sf0.1 numbers only)

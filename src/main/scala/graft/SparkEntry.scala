@@ -641,11 +641,14 @@ object SparkEntry {
         |           ELSE e.user_id % 25 END) = n.n_nationkey
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+    // round(6) is exact here (2-decimal values x <=2-decimal
+    // interpolation fraction -> <=4-decimal true quantile); it absorbs
+    // the engines' 1-ulp interpolation-order difference (r9 sf0.5 catch)
     "value_percentiles" ->
       """SELECT event_type,
-        |  quantile_cont(value, 0.5) AS p50,
-        |  quantile_cont(value, 0.9) AS p90,
-        |  quantile_cont(value, 0.99) AS p99,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY event_type

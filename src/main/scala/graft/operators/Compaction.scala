@@ -25,38 +25,105 @@ import org.apache.spark.sql.functions.col
   *  - markers are preserved: a batch replayed AFTER compaction still
   *    sees its marker and no-ops (its rows now live in the compacted
   *    file);
-  *  - the swap is the Upsert per-partition delete-then-move (staged
-  *    dir fully written first). Crash posture matches Upsert: a crash
-  *    mid-swap leaves partitions either compacted or original, each
-  *    internally consistent; re-running compaction is idempotent.
-  *    Single-writer maintenance windows are assumed, as everywhere in
-  *    this repo's sink family. */
+  *  - the per-partition swap is rename-based and CRASH-RECOVERING:
+  *    the live dir is renamed to an `_old-` sibling (invisible to
+  *    Spark's partition discovery) before the fully-written staged dir
+  *    moves in, so every crash point leaves a layout
+  *    [[Compaction.compactPartitions]]'s recovery pass finishes or
+  *    unwinds — no crash point loses committed rows, and re-running
+  *    compaction after any crash is safe. Single-writer maintenance
+  *    windows are assumed, as everywhere in this repo's sink family. */
 object Compaction {
 
   /** `b<tag>-part-….parquet` → Some(tag); base files → None. Exact
     * extraction at the `-part-` boundary (Spark part files always
     * start with `part-`), so a tag containing dashes — the
     * namespace-batchId scheme — never misclassifies. */
-  private def batchTagOf(name: String): Option[String] = {
+  private[graft] def batchTagOf(name: String): Option[String] = {
     val i = name.indexOf("-part-")
     if (name.startsWith("b") && i > 1) Some(name.substring(1, i)) else None
+  }
+
+  /** Tags with a commit marker under `markerRoot` — the committed set
+    * every fold/retrain decision classifies against. */
+  private[graft] def committedTagSet(markerRoot: String): Set[String] = {
+    val markerDir =
+      Paths.get(s"$markerRoot/_committed/${BatchFs.MarkerSchemeVersion}")
+    if (Files.exists(markerDir))
+      BatchFs.children(markerDir).map(_.getFileName.toString).toSet
+    else Set.empty
+  }
+
+  /** Finish or unwind a compaction interrupted by a crash, leaving the
+    * log exactly consistent before the new pass starts. The swap
+    * protocol below renames each live partition to an `_old-` sibling
+    * before moving its staged replacement in, so every crash point is
+    * recoverable from the directory layout alone:
+    *
+    *  - `_old-<part>` present, live present  → crash after the staged
+    *    move-in: the swap COMPLETED; drop the leftover set-aside dir;
+    *  - `_old-<part>` present, live missing → crash between rename and
+    *    move-in: the staged dir is complete (compacted file + carried
+    *    batch files — both written before any rename); promote it, or
+    *    restore the set-aside dir if staging is somehow gone;
+    *  - staging present with live intact   → crash before that
+    *    partition's swap: return any carried `b<tag>-` batch files to
+    *    the live dir (the compacted staged file is a discardable
+    *    re-derivation) and discard staging. */
+  private def recoverInterrupted(root: Path, staging: Path,
+                                 partCol: String): Unit = {
+    if (Files.exists(root)) {
+      // renamed-aside dirs use an `_old-` prefix: Spark's partition
+      // discovery ignores `_*` paths, so a reader that lands between a
+      // crash and this recovery never parses the set-aside dir as a
+      // partition value
+      BatchFs.children(root)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"_old-$partCol="))
+        .foreach { old =>
+          val name = old.getFileName.toString.stripPrefix("_old-")
+          val live = root.resolve(name)
+          if (Files.exists(live)) BatchFs.deleteRecursively(old)
+          else {
+            val staged = staging.resolve(name)
+            if (Files.exists(staged)) {
+              Files.move(staged, live); BatchFs.deleteRecursively(old)
+            } else Files.move(old, live)
+          }
+        }
+    }
+    if (Files.exists(staging)) {
+      BatchFs.children(staging)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$partCol="))
+        .foreach { staged =>
+          val live = root.resolve(staged.getFileName.toString)
+          if (Files.exists(live)) {
+            BatchFs.children(staged)
+              .filter(f => batchTagOf(f.getFileName.toString).isDefined)
+              .foreach(f => Files.move(f, live.resolve(f.getFileName),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+          }
+        }
+      BatchFs.deleteRecursively(staging)
+    }
   }
 
   /** Compact one additive log directory `dataDir` laid out as
     * `<partCol>=<v>/` parquet partitions, with commit markers under
     * `markerRoot` (the index root — several logs can share one marker
-    * dir, e.g. the LM's uni/bi/tri). Returns
-    * (parquet files before, parquet files after). */
+    * dir, e.g. the LM's uni/bi/tri). Crash-recovering and idempotent:
+    * an interrupted pass is finished or unwound by
+    * [[recoverInterrupted]] before the new pass starts, and every swap
+    * step is an atomic rename — no crash point loses committed rows.
+    * Returns (parquet files before, parquet files after). */
   def compactPartitions(spark: SparkSession, dataDir: String,
                         markerRoot: String, partCol: String): (Int, Int) = {
     val root = Paths.get(dataDir)
     if (!Files.exists(root)) return (0, 0)
-    val markerDir =
-      Paths.get(s"$markerRoot/_committed/${BatchFs.MarkerSchemeVersion}")
-    val committedTags: Set[String] =
-      if (Files.exists(markerDir))
-        BatchFs.children(markerDir).map(_.getFileName.toString).toSet
-      else Set.empty
+    val staging = Paths.get(s"$dataDir.compact-staging")
+    recoverInterrupted(root, staging, partCol)
+    val committedTags = committedTagSet(markerRoot)
     val partDirs = BatchFs.children(root).filter(p =>
       Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
     def parquets(d: Path) = BatchFs.children(d)
@@ -67,25 +134,50 @@ object Compaction {
       batchTagOf(f.getFileName.toString).forall(committedTags.contains)
     }
     if (committed.isEmpty) return (before, before)
-    val staging = s"$dataDir.compact-staging"
     spark.read.option("basePath", dataDir)
       .parquet(committed.map(_.toString): _*)
       .repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(staging)
-    // swap each partition: carry uncommitted batch files over, then
-    // delete-then-move (the Upsert posture)
+      .write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
+    // swap each partition: carry uncommitted batch files into the
+    // staged dir, rename live aside, promote staged, drop the old dir
     byPart.foreach { case (live, files) =>
-      val staged = Paths.get(s"$staging/${live.getFileName}")
+      val staged = staging.resolve(live.getFileName.toString)
       Files.createDirectories(staged)
       files.filter { f =>
         batchTagOf(f.getFileName.toString).exists(!committedTags.contains(_))
       }.foreach(f => Files.move(f, staged.resolve(f.getFileName)))
-      BatchFs.deleteRecursively(live)
+      val old = root.resolve(s"_old-${live.getFileName}")
+      Files.move(live, old)
       Files.move(staged, live)
+      BatchFs.deleteRecursively(old)
     }
-    BatchFs.deleteRecursively(Paths.get(staging))
+    BatchFs.deleteRecursively(staging)
     val after = partDirs.map(parquets(_).size).sum
     (before, after)
+  }
+
+  /** Measure-then-decide wrapper (the [[IvfIndex.maintainIndex]]
+    * discipline for the additive logs): compact `dataDir` only when
+    * some partition's parquet file count exceeds
+    * `maxFilesPerPartition` — below the bound, read amplification is
+    * tolerable and a rewrite would churn the log for nothing. The
+    * decision input is a directory listing (no Spark job). Returns
+    * (compacted?, max files per partition observed). Streaming
+    * appenders call this on a cadence (every N batches) from the same
+    * single-writer maintenance window their appends run in. */
+  def maintainLog(spark: SparkSession, dataDir: String, markerRoot: String,
+                  partCol: String,
+                  maxFilesPerPartition: Int = 16): (Boolean, Int) = {
+    val root = Paths.get(dataDir)
+    if (!Files.exists(root)) return (false, 0)
+    val maxFiles = BatchFs.children(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$partCol="))
+      .map(d => BatchFs.children(d)
+        .count(_.getFileName.toString.endsWith(".parquet")))
+      .foldLeft(0)(math.max)
+    if (maxFiles <= maxFilesPerPartition) (false, maxFiles)
+    else { compactPartitions(spark, dataDir, markerRoot, partCol); (true, maxFiles) }
   }
 
   /** Compact every log of a persisted BM25 term index. */

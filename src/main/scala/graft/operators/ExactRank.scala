@@ -108,35 +108,69 @@ object ExactRank {
     var base = 0L   // exact #rows (globally) ordered strictly before cur's window
     var curN = n
     var rounds = 0
+    var stalled = false
+    def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
     while (curN > floorSize) {
       rounds += 1
-      require(rounds <= 64, "rank-selection window failed to shrink (bug)")
+      // GK bracketing + bisection fallback both guarantee progress;
+      // 256 covers a full 64-bit bisection with wide margin.
+      require(rounds <= 256, "rank-selection window failed to shrink (bug)")
       val target = r - base
-      val e = math.max(1L, (curN + accuracy - 1) / accuracy)
-      val pLo = math.max(0.0, (target - 3.0 * e) / curN)
-      val pHi = math.min(1.0, (target + 3.0 * e) / curN)
-      val bracket = cur.agg(percentile_approx(col(c),
-        typedlit(Seq(pLo, pHi)), lit(accuracy)).as("b")).head
-        .getSeq[Any](0)
-      val (vLo, vHi) = (bracket(0), bracket(1))
-      def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
-      val counts = cur.agg(
-        cnt(col(c) < lit(vLo)).as("lt_lo"), cnt(col(c) <= lit(vLo)).as("le_lo"),
-        cnt(col(c) < lit(vHi)).as("lt_hi"), cnt(col(c) <= lit(vHi)).as("le_hi")).head
-      val (ltLo, leLo, ltHi, leHi) =
-        (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
-      if (ltLo < target && target <= leLo) return (vLo, base + ltLo)
-      if (ltHi < target && target <= leHi) return (vHi, base + ltHi)
-      if (target <= ltLo) {
-        // GK undershot its guarantee (not observed; defensive): keep
-        // the strictly-below-vLo window — still a strict shrink.
-        cur = cur.filter(col(c) < lit(vLo)); curN = ltLo
-      } else if (target > leHi) {
-        cur = cur.filter(col(c) > lit(vHi)); base += leHi; curN -= leHi
+      val prevN = curN
+      if (stalled) {
+        // Bisection fallback — only reachable if the sketch bracket
+        // made no progress (e.g. long values beyond 2^53, where GK's
+        // internal double buffering can propose NON-observed bracket
+        // values outside the window). Arithmetic midpoint + exact
+        // counts always splits a window with ≥2 distinct values; a
+        // 1-distinct-value window is caught by the boundary hit below.
+        val mm = cur.agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head
+        val (mn, mx) = (mm.get(0), mm.get(1))
+        val mid: Any = (mn, mx) match {
+          case (a: Double, b: Double) => a / 2 + b / 2
+          case (a: Long, b: Long)     => a / 2 + b / 2 + (a % 2 + b % 2) / 2
+          case (a: Int, b: Int)       => (a.toLong + b.toLong) / 2
+          case _                      => toDouble(mn) / 2 + toDouble(mx) / 2
+        }
+        val cs = cur.agg(
+          cnt(col(c) < lit(mn)).as("x"), cnt(col(c) <= lit(mn)).as("le_mn"),
+          cnt(col(c) <= lit(mid)).as("le_mid")).head
+        val leMn = cs.getLong(1); val leMid = cs.getLong(2)
+        if (target <= leMn) return (mn, base) // all-equal prefix holds the rank
+        if (target <= leMid) {
+          cur = cur.filter(col(c) > lit(mn) && col(c) <= lit(mid))
+          base += leMn; curN = leMid - leMn
+        } else {
+          cur = cur.filter(col(c) > lit(mid)); base += leMid; curN -= leMid
+        }
+        stalled = curN == prevN
       } else {
-        // strictly interior: O(n/accuracy) rows by the verified counts
-        cur = cur.filter(col(c) > lit(vLo) && col(c) < lit(vHi))
-        base += leLo; curN = ltHi - leLo
+        val e = math.max(1L, (curN + accuracy - 1) / accuracy)
+        val pLo = math.max(0.0, (target - 3.0 * e) / curN)
+        val pHi = math.min(1.0, (target + 3.0 * e) / curN)
+        val bracket = cur.agg(percentile_approx(col(c),
+          typedlit(Seq(pLo, pHi)), lit(accuracy)).as("b")).head
+          .getSeq[Any](0)
+        val (vLo, vHi) = (bracket(0), bracket(1))
+        val counts = cur.agg(
+          cnt(col(c) < lit(vLo)).as("lt_lo"), cnt(col(c) <= lit(vLo)).as("le_lo"),
+          cnt(col(c) < lit(vHi)).as("lt_hi"), cnt(col(c) <= lit(vHi)).as("le_hi")).head
+        val (ltLo, leLo, ltHi, leHi) =
+          (counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3))
+        if (ltLo < target && target <= leLo) return (vLo, base + ltLo)
+        if (ltHi < target && target <= leHi) return (vHi, base + ltHi)
+        if (target <= ltLo) {
+          // GK undershot its guarantee (not observed; defensive): keep
+          // the strictly-below-vLo window — still a strict shrink.
+          cur = cur.filter(col(c) < lit(vLo)); curN = ltLo
+        } else if (target > leHi) {
+          cur = cur.filter(col(c) > lit(vHi)); base += leHi; curN -= leHi
+        } else {
+          // strictly interior: O(n/accuracy) rows by the verified counts
+          cur = cur.filter(col(c) > lit(vLo) && col(c) < lit(vHi))
+          base += leLo; curN = ltHi - leLo
+        }
+        stalled = curN == prevN
       }
     }
     // floor: window ≤ max(accuracy, 1024) rows — bounded collect
@@ -153,9 +187,12 @@ object ExactRank {
     * persisted by the caller — each cut costs a handful of aggregate
     * jobs over it. Driver state: O(max(accuracy, 1024)) per cut. */
   def cutsAt(df: DataFrame, valueCol: String, idCol: String,
-             ranks: Seq[Long], accuracy: Int = 10000): Seq[Cut] = {
+             ranks: Seq[Long], accuracy: Int = 10000,
+             nKnown: Option[Long] = None): Seq[Cut] = {
     if (ranks.isEmpty) return Seq.empty
-    val n = df.count()
+    // callers that already counted the (persisted) frame pass n in —
+    // one fewer full pass over it
+    val n = nKnown.getOrElse(df.count())
     ranks.map { r =>
       val (v, cntLt) = selectAt(df, valueCol, n, r, accuracy)
       // id tiebreak: the cut row is the (r - cntLt)-th smallest id

@@ -316,10 +316,71 @@ object IvfIndex {
     * generation on an object store would instead get a manifest
     * pointer flip. Driver state stays bounded: the decision reads ONE
     * aggregate row (max share) and the centroid matrix (≤ nlist). */
+  /** Parquet files under `dir`/postings split into (committed,
+    * uncommitted-relative-paths): a `b<tag>-` file whose marker is
+    * absent belongs to a crashed, not-yet-replayed batch. */
+  private def classifyPostings(dir: String)
+      : (List[java.nio.file.Path], List[java.nio.file.Path]) = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(s"$dir/postings")
+    if (!Files.exists(root)) return (Nil, Nil)
+    val committedTags = Compaction.committedTagSet(dir)
+    val files = BatchFs.children(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("list_id="))
+      .flatMap(d => BatchFs.children(d))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    files.partition { f =>
+      Compaction.batchTagOf(f.getFileName.toString).forall(committedTags.contains)
+    }
+  }
+
+  /** Finish or unwind a [[maintainIndex]] promotion interrupted by a
+    * crash. Layout cases: `dir` missing with `dir.prev-gen` present →
+    * the fully-written `dir.next-gen` (markers included) promotes, or
+    * the prev generation restores; `dir.prev-gen` present next to a
+    * live `dir` → re-carry any uncommitted batch files and drop prev;
+    * a stray `dir.next-gen` beside a live `dir` with no prev → a
+    * re-derivable crashed retrain, discarded. */
+  private def recoverPromotion(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(dir)
+    val prev = Paths.get(s"$dir.prev-gen")
+    val staging = Paths.get(s"$dir.next-gen")
+    if (Files.exists(prev)) {
+      if (!Files.exists(d)) {
+        if (Files.exists(staging)) Files.move(staging, d)
+        else { Files.move(prev, d); return }
+      }
+      carryUncommitted(prev.toString, dir)
+      BatchFs.deleteRecursively(prev)
+    }
+    if (Files.exists(staging)) BatchFs.deleteRecursively(staging)
+  }
+
+  /** Move marker-less batch files from the superseded generation's
+    * postings into the new one's, same list_id dirs — their replay's
+    * clearBatch + commit cycle must find them under their batch
+    * prefix. (Their list assignment is stale w.r.t. the new centroids,
+    * exactly as uncompacted uncommitted data was stale pre-retrain;
+    * the replay reassigns against the promoted index.) */
+  private def carryUncommitted(fromDir: String, toDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val (_, uncommitted) = classifyPostings(fromDir)
+    uncommitted.foreach { f =>
+      val rel = Paths.get(s"$fromDir/postings").relativize(f)
+      val dst = Paths.get(s"$toDir/postings").resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(f, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def maintainIndex(spark: SparkSession, dir: String,
                     maxShareFactor: Double = 3.0, seed: Long = 42L,
                     maxIter: Int = 20): MaintenanceReport = {
     import java.nio.file.{Files, Paths}
+    recoverPromotion(dir) // a crashed prior promotion first
     val index = load(spark, dir)
     val nlist = index.centroidArrays.length
     val threshold = maxShareFactor / nlist
@@ -330,7 +391,18 @@ object IvfIndex {
       return MaintenanceReport(retrained = false, maxShare, threshold, nlist)
     val staging = s"$dir.next-gen"
     BatchFs.deleteRecursively(Paths.get(staging)) // crashed prior attempt
-    retrain(spark, dir, staging, nlist, seed, maxIter)
+    // retrain from COMMITTED postings only: folding a marker-less
+    // crashed batch's rows into the new generation would double them
+    // when the batch replays (its clearBatch would find no b<tag>-
+    // files to remove) — those files are carried over instead
+    val (committed, _) = classifyPostings(dir)
+    if (committed.isEmpty) // nothing durable to train on — stand pat
+      return MaintenanceReport(retrained = false, maxShare, threshold, nlist)
+    val current = spark.read.option("basePath", s"$dir/postings")
+      .parquet(committed.map(_.toString): _*)
+    val rebuilt = build(current, "id", "embedding", nlist, seed, maxIter)
+    save(rebuilt, staging)
+    rebuilt.postings.unpersist(blocking = false)
     // carry the batch markers into the new generation: every
     // marker-committed wave's rows are inside the retrained postings,
     // so a post-promotion replay (offset not yet checkpointed upstream)
@@ -349,6 +421,7 @@ object IvfIndex {
     BatchFs.deleteRecursively(prev)
     Files.move(Paths.get(dir), prev)
     Files.move(Paths.get(staging), Paths.get(dir))
+    carryUncommitted(prev.toString, dir)
     BatchFs.deleteRecursively(prev)
     MaintenanceReport(retrained = true, maxShare, threshold, nlist)
   }

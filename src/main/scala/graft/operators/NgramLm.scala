@@ -308,7 +308,7 @@ object NgramLm {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = scored.count()
       val cuts = ExactRank.cutsAt(scored, "ppl", "id",
-        ExactRank.ntileCutRanks(n, 3))
+        ExactRank.ntileCutRanks(n, 3), nKnown = Some(n))
       (scored, n, cuts)
     })
 
@@ -366,10 +366,14 @@ object NgramLm {
     *    [count(< v)+1, count(≤ v)] overlaps target ± n/accuracy;
     *  - `monotone_ok`: cut1 ≤ cut2 (same sketch, monotone in p);
     *  - `within_one_ok`: every document's thresholded bucket is within
-    *    1 of its exact-NTILE bucket — deterministic once the tercile
-    *    width n/3 exceeds twice the rank error (accuracy > 6), because
-    *    a document moves only if its rank sits between a GK cut's rank
-    *    and the exact cut rank. */
+    *    1 of its exact-NTILE bucket, EXCEPT documents whose ppl equals
+    *    a GK cut value exactly — a single duplicated value can carry
+    *    enough mass to span both rank cuts, and the value-thresholded
+    *    bucket then legitimately collapses what the id-tiebroken NTILE
+    *    splits. With that carve-out the flag is deterministic once the
+    *    tercile width n/3 exceeds the rank error (accuracy > 3): a
+    *    strictly-off-cut document moves only if its rank sits between
+    *    a GK cut's rank interval and the exact cut rank. */
   def pplBucketsThresholdedAudit(spark: SparkSession, sfDir: String,
                                  accuracy: Int = 10000): DataFrame = {
     val (scored, n, cuts) = scoredWithCuts(spark, sfDir)
@@ -398,6 +402,9 @@ object NgramLm {
         >= lit(targets.last - e)).as("cut2_ok"),
       min(when(col("cuts").getItem(0) <= col("cuts").getItem(1), 1L)
         .otherwise(0L)).cast("boolean").as("monotone_ok"),
-      (max(abs(col("b_t") - col("b_x"))) <= 1L).as("within_one_ok"))
+      (min(when(abs(col("b_t") - col("b_x")) <= 1L ||
+          col("ppl") === col("cuts").getItem(0) ||
+          col("ppl") === col("cuts").getItem(1), 1L).otherwise(0L)) === 1L)
+        .as("within_one_ok"))
   }
 }

@@ -183,15 +183,22 @@ object RelationalOps {
 
   /** Exact per-group percentiles over event values (median/p90/p99 —
     * the distribution statistics a quality-scoring pass reports).
-    * Spark's `percentile` is the exact interpolated quantile, matching
-    * DuckDB's `quantile_cont` bit-for-bit on the same doubles. */
+    * Spark's `percentile` is the exact interpolated quantile
+    * (DuckDB: `quantile_cont`), but the interpolation
+    * `lo + f·(hi−lo)` vs `(1−f)·lo + f·hi` differs by 1 ulp between
+    * engines — caught by the r9 sf0.5 cross-scale sweep (449.34 vs
+    * 449.3399999999999). Both sides round to 6 decimals, which here is
+    * EXACT, not a fudge: values carry 2 decimals and f has ≤2 (p ∈
+    * {.5,.9,.99} × an integer rank), so the true quantile is a ≤4-
+    * decimal rational — digit 7 is always zero and the rounding can
+    * never sit on a half-way boundary. */
   def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
-        percentile(col("value"), lit(0.5)).as("p50"),
-        percentile(col("value"), lit(0.9)).as("p90"),
-        percentile(col("value"), lit(0.99)).as("p99"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type").asc)
   }

@@ -62,6 +62,54 @@ class CompactionSpec extends SparkSpec {
     assert(before.sameElements(after))
   }
 
+  test("maintainLog compacts only past the file-count bound") {
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("compact-maintain-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 200), nBuckets = 4), dir)
+    TextSearch.appendTermBatch(spark, dir,
+      corpus.filter(col("id") >= 200 && col("id") < 300), 1L, "m")
+    // 2 files per bucket — under a bound of 4: stands pat
+    val (did1, max1) = Compaction.maintainLog(spark, s"$dir/postings", dir, "bucket", 4)
+    assert(!did1 && max1 == 2, s"($did1, $max1)")
+    TextSearch.appendTermBatch(spark, dir,
+      corpus.filter(col("id") >= 300 && col("id") < 400), 2L, "m")
+    TextSearch.appendTermBatch(spark, dir,
+      corpus.filter(col("id") >= 400), 3L, "m")
+    // 4 files per bucket — past a bound of 3: compacts back to 1
+    val (did2, max2) = Compaction.maintainLog(spark, s"$dir/postings", dir, "bucket", 3)
+    assert(did2 && max2 == 4, s"($did2, $max2)")
+    val (did3, max3) = Compaction.maintainLog(spark, s"$dir/postings", dir, "bucket", 3)
+    assert(!did3 && max3 == 1, s"($did3, $max3)")
+  }
+
+  test("a crash between rename-aside and promote loses nothing on the next pass") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("compact-recover-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 250), nBuckets = 4), dir)
+    TextSearch.appendTermBatch(spark, dir,
+      corpus.filter(col("id") >= 250), 1L, "r")
+    val expected = spark.read.parquet(s"$dir/postings")
+      .orderBy(col("term"), col("id")).collect()
+    // simulate the exact crash window: bucket=1 fully staged, live
+    // renamed aside, promote never ran
+    val live = Paths.get(s"$dir/postings/bucket=1")
+    val staged = Paths.get(s"$dir/postings.compact-staging/bucket=1")
+    Files.createDirectories(staged)
+    graft.operators.BatchFs.children(live)
+      .foreach(f => Files.move(f, staged.resolve(f.getFileName)))
+    Files.move(live, Paths.get(s"$dir/postings/_old-bucket=1"))
+    // next pass recovers, then compacts normally
+    Compaction.compactTermIndex(spark, dir)
+    val got = spark.read.parquet(s"$dir/postings")
+      .orderBy(col("term"), col("id")).collect()
+    assert(expected.sameElements(got), "rows lost or duplicated across recovery")
+    assert(!Files.exists(Paths.get(s"$dir/postings/_old-bucket=1")))
+    assert(!Files.exists(Paths.get(s"$dir/postings.compact-staging")))
+  }
+
   test("an uncommitted batch file is carried over, never folded") {
     import java.nio.file.{Files, Paths}
     val corpus = Ingest.corpusFromDocuments(spark, sfSmall)

@@ -53,6 +53,31 @@ class IvfMaintainSpec extends SparkSpec {
     assert(!r3.retrained, s"fresh generation still skewed (maxShare=${r3.maxShare})")
   }
 
+  test("maintainIndex never folds an uncommitted batch: excluded from retrain, carried, replay-exact") {
+    import java.nio.file.Files
+    val dir = tmpDir("ivf-uncommitted-") + "/idx"
+    IvfIndex.save(IvfIndex.build(baseRows.toDF("id", "embedding"),
+      "id", "embedding", nlist = 4, seed = 42L, maxIter = 10), dir)
+    // committed drifted wave (markered): (40+520)/740 ≈ 0.76 > 0.75
+    // even after the crashed wave dilutes the total
+    val drift = (0L until 520L).map(i => (30000L + i, vec(22f))).toDF("id", "embedding")
+    IvfIndex.appendBatch(spark, dir, drift, "id", "embedding", 5L, "m")
+    // crashed wave: committed files landed, marker write never happened
+    val crashed = (0L until 60L).map(i => (40000L + i, vec(41f))).toDF("id", "embedding")
+    IvfIndex.appendBatch(spark, dir, crashed, "id", "embedding", 9L, "x")
+    Files.delete(graft.operators.BatchFs.markerFor(dir, 9L, "x"))
+    val r = IvfIndex.maintainIndex(spark, dir)
+    assert(r.retrained)
+    // the crashed batch's files were carried (visible), not folded —
+    // its replay clears and re-appends them EXACTLY ONCE
+    assert(IvfIndex.appendBatch(spark, dir, crashed, "id", "embedding", 9L, "x") == 60L)
+    assert(IvfIndex.load(spark, dir).postings.count() ==
+      baseRows.size + 520L + 60L)
+    // and the replayed rows are now committed + deduplicated by id
+    assert(IvfIndex.load(spark, dir).postings
+      .select("id").distinct().count() == baseRows.size + 520L + 60L)
+  }
+
   test("maintainIndex carries batch markers into the new generation") {
     import java.nio.file.Files
     val dir = tmpDir("ivf-markers-") + "/idx"
