@@ -137,8 +137,7 @@ object Bpe {
   def segment(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(initialSyms(word)) { case (c, (l, r)) => mergeOnce(c, l, r) }
 
-  private val mergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String)]]
+  private val mergeCache = JvmCaches.map[(String, Int), Seq[(String, String)]]()
 
   /** The registered surfaces' merge-table size. The encode-audit
     * oracle interpolates THIS constant into its SQL (n_merges column),

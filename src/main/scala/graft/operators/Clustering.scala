@@ -260,9 +260,11 @@ object Clustering {
   // Per-JVM assignment cache: Verify/Bench call cluster_exact and
   // cluster_sizes as separate queries; recomputing the whole CC loop
   // for the sizes view (round 2 did) doubles the most expensive query.
-  // Keyed by a mode string that encodes all clustering parameters.
+  // Keyed by a mode string that encodes all clustering parameters;
+  // session-keyed so a second SparkSession never receives frames of a
+  // stopped context (JvmCaches discipline).
   private[graft] val assignCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+    JvmCaches.sessionMap[(String, String, Double), DataFrame]()
 
   /** Exact-graph clustering over the embeddings table: every pair with
     * dist < eps is an edge. O(n²) pair generation — the oracle-able
@@ -272,9 +274,11 @@ object Clustering {
     * will not finish at 100 TB. Route production clustering to
     * [[clusterIvf]] (registered `cluster_ivf`: IVF-bucketed edge
     * candidates, identical CC/singleton/−1 semantics downstream). */
-  def clusterExact(spark: SparkSession, sfDir: String, eps: Double = 1.4): DataFrame = {
-    val assignment = assignCache.getOrElseUpdate(("exact", sfDir, eps), {
+  def clusterExact(spark: SparkSession, sfDir: String, eps: Double = 1.4,
+                   maxRows: Long = ExactTwinGuard.MaxRows): DataFrame = {
+    val assignment = assignCache.getOrElseUpdate(spark, ("exact", sfDir, eps)) {
       val emb = Tables.embeddings(spark, sfDir)
+      ExactTwinGuard.check(emb.count(), maxRows, "cluster_exact", "cluster_ivf")
       val nodes = emb.select(col("vec_id").as("id"))
       val a = emb.select(col("vec_id").as("src"), col("embedding").as("a_emb"))
       val b = emb.select(col("vec_id").as("dst"), col("embedding").as("b_emb"))
@@ -284,7 +288,7 @@ object Clustering {
       val out = assign(nodes, edges).cache()
       out.count()
       out
-    })
+    }
     assignment
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id").asc)
@@ -300,7 +304,7 @@ object Clustering {
     // Memoized like clusterExact: Verify and Bench both invoke the
     // registered query, and the searchAll + CC pipeline is the single
     // most expensive thing in the engine — pay it once per JVM.
-    val assignment = assignCache.getOrElseUpdate((s"ivf:k=$k:nlist=$nlist:nprobe=$nprobe", sfDir, eps), {
+    val assignment = assignCache.getOrElseUpdate(spark, (s"ivf:k=$k:nlist=$nlist:nprobe=$nprobe", sfDir, eps)) {
       val emb = Tables.embeddings(spark, sfDir)
       val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
       val knn = IvfIndex.searchAll(index, emb, "vec_id", "embedding", k, nprobe)
@@ -315,7 +319,7 @@ object Clustering {
       out.count()
       edges.unpersist(blocking = false)
       out
-    })
+    }
     assignment
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id").asc)

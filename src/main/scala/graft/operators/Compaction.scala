@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions.col
   *    windows are assumed, as everywhere in this repo's sink family. */
 object Compaction {
 
-  /** `b<tag>-part-….parquet` → Some(tag); base files → None. Exact
-    * extraction at the `-part-` boundary (Spark part files always
-    * start with `part-`), so a tag containing dashes — the
-    * namespace-batchId scheme — never misclassifies. */
+  /** `b<tag>-part-….parquet` → Some(tag); base files → None. The tag
+    * is everything up to the LAST `-part-` (Spark part-file names
+    * cannot contain `-part-` again), so a tag containing dashes — the
+    * namespace-batchId scheme, or a namespace that itself embeds
+    * "-part-" — never truncates into a tag the marker set can't
+    * contain (which would silently carry the file forever and exclude
+    * it from every retrain). */
   private[graft] def batchTagOf(name: String): Option[String] = {
-    val i = name.indexOf("-part-")
+    val i = name.lastIndexOf("-part-")
     if (name.startsWith("b") && i > 1) Some(name.substring(1, i)) else None
   }
 
@@ -138,12 +141,42 @@ object Compaction {
       .parquet(committed.map(_.toString): _*)
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
-    // swap each partition: carry uncommitted batch files into the
-    // staged dir, rename live aside, promote staged, drop the old dir
-    byPart.foreach { case (live, files) =>
-      val staged = staging.resolve(live.getFileName.toString)
-      Files.createDirectories(staged)
-      files.filter { f =>
+    // Spark writes staging partitions under the CANONICAL rendering of
+    // each partition value. If a live dir name is non-canonical (e.g.
+    // `bucket=07`, or differently-escaped strings from a non-Spark
+    // writer), name-based resolution would silently misroute that
+    // partition's committed rows — so fail LOUDLY before any rename
+    // unless the staged names line up 1:1 with the live names.
+    val liveNames = byPart.map(_._1.getFileName.toString).toSet
+    val stagedDirs = BatchFs.children(staging).filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+    val stagedNames = stagedDirs.map(_.getFileName.toString).toSet
+    val unknownStaged = stagedNames.diff(liveNames)
+    require(unknownStaged.isEmpty,
+      s"compaction aborted: staged partition dir(s) ${unknownStaged.mkString(", ")} " +
+        s"have no same-named live dir under $dataDir — partition values do not " +
+        "round-trip Spark's canonical rendering; compact such a log only after " +
+        "rewriting it with canonical partition names")
+    val missingStaged = byPart.collect {
+      case (live, files)
+          if files.exists(f =>
+            batchTagOf(f.getFileName.toString).forall(committedTags.contains)) &&
+            !stagedNames.contains(live.getFileName.toString) =>
+        live.getFileName.toString
+    }
+    require(missingStaged.isEmpty,
+      s"compaction aborted: live partition dir(s) ${missingStaged.mkString(", ")} " +
+        s"hold committed rows but produced no same-named staged dir under $dataDir — " +
+        "promoting would drop them; partition values do not round-trip Spark's " +
+        "canonical rendering")
+    // swap each STAGED partition (each name is live-matched by the
+    // checks above): carry uncommitted batch files into the staged
+    // dir, rename live aside, promote staged, drop the old dir.
+    // Live dirs with no staged sibling hold only uncommitted files
+    // (nothing was folded) and stay untouched.
+    stagedDirs.foreach { staged =>
+      val live = root.resolve(staged.getFileName.toString)
+      parquets(live).filter { f =>
         batchTagOf(f.getFileName.toString).exists(!committedTags.contains(_))
       }.foreach(f => Files.move(f, staged.resolve(f.getFileName)))
       val old = root.resolve(s"_old-${live.getFileName}")
@@ -170,11 +203,18 @@ object Compaction {
                   maxFilesPerPartition: Int = 16): (Boolean, Int) = {
     val root = Paths.get(dataDir)
     if (!Files.exists(root)) return (false, 0)
+    // trigger on COMMITTED/base parquet files only: marker-less
+    // `b<tag>-` files are carried verbatim through compaction (their
+    // batch may yet replay), so counting them would make a pile of
+    // crashed never-replayed batches re-trigger a full rewrite every
+    // cadence without ever reducing the count
+    val committedTags = committedTagSet(markerRoot)
     val maxFiles = BatchFs.children(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(s"$partCol="))
       .map(d => BatchFs.children(d)
-        .count(_.getFileName.toString.endsWith(".parquet")))
+        .count(f => f.getFileName.toString.endsWith(".parquet") &&
+          batchTagOf(f.getFileName.toString).forall(committedTags.contains)))
       .foldLeft(0)(math.max)
     if (maxFiles <= maxFilesPerPartition) (false, maxFiles)
     else { compactPartitions(spark, dataDir, markerRoot, partCol); (true, maxFiles) }

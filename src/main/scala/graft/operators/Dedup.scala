@@ -76,16 +76,15 @@ object Dedup {
   // Three registered queries (signatures, token-Jaccard, shingle-
   // Jaccard) share the signature computation; memoize it per sfDir so
   // the bench pays the salted-md5 pass once.
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val sigCache = JvmCaches.sessionMap[String, DataFrame]()
 
   private def cachedSigs(spark: SparkSession, sfDir: String): DataFrame =
-    sigCache.getOrElseUpdate(sfDir, {
+    sigCache.getOrElseUpdate(spark, sfDir) {
       val s = minhashSignaturesCorpus(Ingest.corpusFromDocuments(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       s.count()
       s
-    })
+    }
 
   /** 3-token shingles as ROWS (id, s): posexplode + window leads, all
     * codegen'd. The previous `transform(sequence, i -> slice…)`
@@ -356,8 +355,10 @@ object Dedup {
     * [[docDedup]] (registered `doc_dedup`: IVF-bucketed candidate
     * generation, same CC + canonical semantics, no cross product). */
   def dedupEmbedExact(spark: SparkSession, sfDir: String,
-                      eps: Double = 0.9): DataFrame = {
+                      eps: Double = 0.9,
+                      maxRows: Long = ExactTwinGuard.MaxRows): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    ExactTwinGuard.check(emb.count(), maxRows, "dedup_embed_exact", "doc_dedup")
     val nodes = emb.select(col("vec_id").as("id"))
     val a = emb.select(col("vec_id").as("src"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("dst"), col("embedding").as("b_emb"))
@@ -378,8 +379,11 @@ object Dedup {
     * `neardup_cosine_lsh`: hyperplane-sketch band join + exact cosine
     * verify — same output contract, bucketed candidate generation). */
   def neardupCosine(spark: SparkSession, sfDir: String,
-                    minCos: Double = 0.95): DataFrame = {
+                    minCos: Double = 0.95,
+                    maxRows: Long = ExactTwinGuard.MaxRows): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    ExactTwinGuard.check(emb.count(), maxRows,
+      "neardup_cosine", "neardup_cosine_lsh")
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -490,13 +494,12 @@ object Dedup {
 
   // Cache: docDedup trains an index; Verify+Bench each invoke the
   // registered query, so memoize per (sfDir, eps).
-  private val docDedupCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+  private val docDedupCache = JvmCaches.sessionMap[(String, Double), DataFrame]()
 
   def docDedupFor(spark: SparkSession, sfDir: String, eps: Double = 0.3): DataFrame =
-    docDedupCache.getOrElseUpdate((sfDir, eps), {
+    docDedupCache.getOrElseUpdate(spark, (sfDir, eps)) {
       val out = docDedup(Ingest.corpusFromDocuments(spark, sfDir), eps).cache()
       out.count()
       out
-    })
+    }
 }

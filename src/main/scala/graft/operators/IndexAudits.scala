@@ -44,21 +44,21 @@ object IndexAudits {
     * `hard_negatives_lsh` / `knn_batch_ivf` made the audit, not the
     * production path, the queries' dominant cost. Build once,
     * persist, reuse. */
-  private val exactTwinCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val exactTwinCache = JvmCaches.sessionMap[String, DataFrame]()
 
-  private def memoizedTwin(key: String)(build: => DataFrame): DataFrame =
-    exactTwinCache.getOrElseUpdate(key, {
+  private def memoizedTwin(spark: SparkSession, key: String)
+                          (build: => DataFrame): DataFrame =
+    exactTwinCache.getOrElseUpdate(spark, key) {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
-    })
+    }
 
   /** Exact sampled self-kNN (L2) — the recall reference for
     * [[batchIvfAudit]]. Memoized per (sfDir, k, sampleMod). */
   private[graft] def exactBatchTwin(spark: SparkSession, sfDir: String,
                                     k: Int = 5, sampleMod: Int = 10): DataFrame =
-    memoizedTwin(s"batch-l2:$sfDir:$k:$sampleMod") {
+    memoizedTwin(spark, s"batch-l2:$sfDir:$k:$sampleMod") {
       val emb = embeddings(spark, sfDir)
       val wB = Window.partitionBy(col("src_id"))
         .orderBy(col("dist").asc, col("dst_id").asc)
@@ -76,7 +76,7 @@ object IndexAudits {
     * [[hardNegativesLshAudit]]. Memoized per (sfDir, k, sampleMod). */
   private[graft] def exactXlabelTwin(spark: SparkSession, sfDir: String,
                                      k: Int = 5, sampleMod: Int = 10): DataFrame =
-    memoizedTwin(s"xlabel-cos:$sfDir:$k:$sampleMod") {
+    memoizedTwin(spark, s"xlabel-cos:$sfDir:$k:$sampleMod") {
       val emb = embeddings(spark, sfDir)
       val wH = Window.partitionBy(col("anchor_id"))
         .orderBy(col("sim").desc, col("neg_id").asc)

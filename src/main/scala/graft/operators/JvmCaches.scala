@@ -1,0 +1,62 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.SparkSession
+
+/** Central registry for the per-JVM memoization caches (index builds,
+  * persisted-artifact paths, shared audit twins). Two concerns live
+  * here, both cross-cutting:
+  *
+  *  - **clearAll** — the bench's noise re-measure needs to rebuild a
+  *    flagged warm artifact HONESTLY: a re-run that hits the memoized
+  *    entry would time the cache lookup, not the build. Every cache
+  *    created through [[map]]/[[sessionMap]] registers a clearer, so
+  *    one call empties the lot and a re-run pays the true build cost.
+  *  - **session keying** — caches holding DataFrames (or structures
+  *    that embed them, e.g. IVF `Index`) are bound to the
+  *    SparkSession that created them: a second session in the same
+  *    JVM (suite-per-session test runs, repeated Verify/Bench entry)
+  *    must not receive frames referencing a stopped or foreign
+  *    SparkContext. [[SessionKeyedCache]] keys on
+  *    `sparkContext.applicationId` and evicts foreign-session entries
+  *    on access (their context is gone, so the cached blocks are
+  *    already unreachable — eviction is bookkeeping, not unpersist).
+  */
+object JvmCaches {
+  private val clearers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private def register(clear: () => Unit): Unit =
+    synchronized { clearers += clear }
+
+  /** A TrieMap cache wired into [[clearAll]]. Use for values that
+    * outlive a SparkSession (paths of persisted artifacts, driver-side
+    * model arrays, merge tables). */
+  def map[K, V](): TrieMap[K, V] = {
+    val m = TrieMap.empty[K, V]
+    register(() => m.clear())
+    m
+  }
+
+  /** A session-keyed cache wired into [[clearAll]]. Use for values
+    * bound to a SparkSession (DataFrames, Index handles). */
+  def sessionMap[K, V](): SessionKeyedCache[K, V] =
+    new SessionKeyedCache[K, V](map[(String, K), V]())
+
+  /** Empty every registered cache — the bench's honest-re-measure
+    * hook. Frames cached by the live session lose only their memoized
+    * handle (re-derivable); unpersist is deliberately not forced, the
+    * rebuild overwrites the same storage. */
+  def clearAll(): Unit = synchronized { clearers.foreach(_.apply()) }
+}
+
+/** See [[JvmCaches.sessionMap]]: getOrElseUpdate keyed by
+  * (applicationId, key), so entries created under a stopped or foreign
+  * SparkContext are never returned — they are evicted on access. */
+final class SessionKeyedCache[K, V] private[operators] (
+    underlying: TrieMap[(String, K), V]) {
+  def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V = {
+    val app = spark.sparkContext.applicationId
+    underlying.keySet.filter(_._1 != app).foreach(underlying.remove)
+    underlying.getOrElseUpdate((app, key), build)
+  }
+}

@@ -167,7 +167,7 @@ object MinhashIndex {
   // ---- registered surface -------------------------------------------
 
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    JvmCaches.map[String, String]()
 
   /** Registered query: index the even-id half of the corpus, probe the
     * odd-id half against it — the "new wave vs standing corpus" shape

@@ -258,8 +258,7 @@ object NgramLm {
       total = uni.agg(sum(col("c1")).cast("long").as("n_total")))
   }
 
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val modelCache = JvmCaches.map[String, String]()
 
   /** Registered surface: scoring through the PERSISTED model must
     * reproduce [[scoreCorpus]] exactly — same counts, same arithmetic,
@@ -297,12 +296,12 @@ object NgramLm {
     * global sort anywhere. Shared by [[pplBuckets]], the thresholded
     * audit, and CurationScorecard, so the train+score pipeline runs
     * once per JVM per scale (the Clustering.assignCache discipline). */
-  private val scoredCutsCache = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, Long, Seq[ExactRank.Cut])]
+  private val scoredCutsCache =
+    JvmCaches.sessionMap[String, (DataFrame, Long, Seq[ExactRank.Cut])]()
 
   private[graft] def scoredWithCuts(spark: SparkSession, sfDir: String)
       : (DataFrame, Long, Seq[ExactRank.Cut]) =
-    scoredCutsCache.getOrElseUpdate(sfDir, {
+    scoredCutsCache.getOrElseUpdate(spark, sfDir) {
       val docs = tokenized(Ingest.corpusFromDocuments(spark, sfDir))
       val scored = score(train(docs), docs).select(col("id"), col("ppl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -310,7 +309,7 @@ object NgramLm {
       val cuts = ExactRank.cutsAt(scored, "ppl", "id",
         ExactRank.ntileCutRanks(n, 3), nKnown = Some(n))
       (scored, n, cuts)
-    })
+    }
 
   /** Registered surface: CCNet-style head/middle/tail perplexity
     * buckets with per-bucket stats; ppl sums stay decimal so shuffle
@@ -341,16 +340,33 @@ object NgramLm {
     * (id, ppl, bucket). Documents within sketch rank-error of a cut
     * point may land one bucket off the exact NTILE (bounded,
     * test-pinned); everything else matches [[pplBuckets]]'s layout. */
-  def pplBucketsThresholded(scored: DataFrame, accuracy: Int = 10000): DataFrame = {
-    val cuts = scored.agg(
+  def pplBucketsThresholded(scored: DataFrame, accuracy: Int = 10000): DataFrame =
+    bucketizeByCuts(scored, thresholdCutValues(scored, accuracy))
+
+  /** The GK tercile cut values, run ONCE and collected (2 doubles —
+    * bounded driver state). GK summary merges are merge-order
+    * dependent, so two independent percentile_approx jobs can return
+    * different (both valid) cut values; every consumer that needs the
+    * SAME cuts the bucket assignment used (the thresholded audit's
+    * equality carve-out in particular) must share this collected row,
+    * never re-derive it. */
+  private[graft] def thresholdCutValues(scored: DataFrame,
+                                        accuracy: Int): Seq[Double] = {
+    val r = scored.agg(
       percentile_approx(col("ppl"), typedlit(Seq(1.0 / 3.0, 2.0 / 3.0)),
-        lit(accuracy)).as("cuts"))
-    scored.crossJoin(broadcast(cuts))
-      .withColumn("bucket",
-        when(col("ppl") <= col("cuts").getItem(0), 1L)
-          .when(col("ppl") <= col("cuts").getItem(1), 2L)
-          .otherwise(3L))
-      .select(col("id"), col("ppl"), col("bucket"))
+        lit(accuracy)).as("cuts")).head
+    if (r.isNullAt(0)) Seq.empty else r.getSeq[Double](0)
+  }
+
+  /** Threshold bucket assignment from collected cut values — a narrow
+    * when-chain over literals (no join, no shuffle, no window). */
+  private def bucketizeByCuts(scored: DataFrame, cuts: Seq[Double]): DataFrame = {
+    val bucket =
+      if (cuts.size < 2) lit(1L) // empty corpus: no rows to bucket anyway
+      else when(col("ppl") <= lit(cuts.head), 1L)
+        .when(col("ppl") <= lit(cuts(1)), 2L)
+        .otherwise(3L)
+    scored.select(col("id"), col("ppl"), bucket.as("bucket"))
   }
 
   /** Registered surface for the sketch-only scale twin
@@ -377,7 +393,16 @@ object NgramLm {
   def pplBucketsThresholdedAudit(spark: SparkSession, sfDir: String,
                                  accuracy: Int = 10000): DataFrame = {
     val (scored, n, cuts) = scoredWithCuts(spark, sfDir)
-    val t = pplBucketsThresholded(scored, accuracy)
+    // GK job runs ONCE; b_t and every flag below consume the same
+    // collected values. A second percentile_approx job could return a
+    // different (equally valid) cut under a different merge order, and
+    // the equality carve-out in within_one_ok would then test against
+    // cuts that did not produce b_t — a flaky gate on a real cluster.
+    val gkCuts = thresholdCutValues(scored, accuracy)
+    val (g1, g2) =
+      if (gkCuts.size >= 2) (gkCuts.head, gkCuts(1))
+      else (Double.NaN, Double.NaN) // empty corpus: flags vacuous
+    val t = bucketizeByCuts(scored, gkCuts)
       .select(col("id"), col("bucket").as("b_t"))
     val exact = scored.withColumn("b_x",
       ExactRank.bucketCol(col("ppl"), col("id"), cuts))
@@ -386,25 +411,22 @@ object NgramLm {
       case Seq() => Seq(1L, 1L) // empty corpus: flags vacuous
       case ts    => ts
     }
-    // re-derive the engine's GK cut values once (same agg as the twin)
-    val gk = scored.agg(percentile_approx(col("ppl"),
-      typedlit(Seq(1.0 / 3.0, 2.0 / 3.0)), lit(accuracy)).as("cuts"))
-    val joined = exact.join(t, Seq("id")).crossJoin(broadcast(gk))
+    val joined = exact.join(t, Seq("id"))
     joined.agg(
       count(lit(1)).as("n_docs"),
-      (sum(when(col("ppl") < col("cuts").getItem(0), 1L).otherwise(0L))
+      (sum(when(col("ppl") < lit(g1), 1L).otherwise(0L))
         < lit(targets.head + e) &&
-       sum(when(col("ppl") <= col("cuts").getItem(0), 1L).otherwise(0L))
+       sum(when(col("ppl") <= lit(g1), 1L).otherwise(0L))
         >= lit(targets.head - e)).as("cut1_ok"),
-      (sum(when(col("ppl") < col("cuts").getItem(1), 1L).otherwise(0L))
+      (sum(when(col("ppl") < lit(g2), 1L).otherwise(0L))
         < lit(targets.last + e) &&
-       sum(when(col("ppl") <= col("cuts").getItem(1), 1L).otherwise(0L))
+       sum(when(col("ppl") <= lit(g2), 1L).otherwise(0L))
         >= lit(targets.last - e)).as("cut2_ok"),
-      min(when(col("cuts").getItem(0) <= col("cuts").getItem(1), 1L)
+      min(when(lit(g1) <= lit(g2), 1L)
         .otherwise(0L)).cast("boolean").as("monotone_ok"),
       (min(when(abs(col("b_t") - col("b_x")) <= 1L ||
-          col("ppl") === col("cuts").getItem(0) ||
-          col("ppl") === col("cuts").getItem(1), 1L).otherwise(0L)) === 1L)
+          col("ppl") === lit(g1) ||
+          col("ppl") === lit(g2), 1L).otherwise(0L)) === 1L)
         .as("within_one_ok"))
   }
 }

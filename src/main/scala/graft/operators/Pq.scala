@@ -33,8 +33,7 @@ object Pq {
   // Per-JVM model cache: Verify + Bench invoke the pq queries
   // separately; training is the expensive step and is deterministic
   // (seeded), so pay it once (same convention as IvfIndex.indexCache).
-  private[graft] val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+  private[graft] val modelCache = JvmCaches.map[(String, Int, Int), Model]()
 
   /** Train per-subspace codebooks with seeded MLlib k-means. The
     * training frame is persisted once and reused for all `m` fits;
@@ -94,18 +93,17 @@ object Pq {
   // Flat-PQ coded corpus, memoized: searchPq must scan CODES (32×
   // smaller), not re-encode the float corpus per query — same fix as
   // the IVF codedPostings cache.
-  private val flatCodedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+  private val flatCodedCache = JvmCaches.sessionMap[(String, Int, Int), DataFrame]()
 
   private[graft] def flatCodedFor(spark: SparkSession, sfDir: String,
                                   m: Int, k: Int): DataFrame =
-    flatCodedCache.getOrElseUpdate((sfDir, m, k), {
+    flatCodedCache.getOrElseUpdate(spark, (sfDir, m, k)) {
       val model = forEmbeddings(spark, sfDir, m, k)
       val cached = encode(Tables.embeddings(spark, sfDir), "vec_id", "embedding", model)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count()
       cached
-    })
+    }
 
   /** Per-query ADC lookup table: lut(s)(j) = ||q_s − books(s)(j)||². */
   private[graft] def adcTable(model: Model, q: Array[Float]): Array[Array[Double]] = {
@@ -197,8 +195,7 @@ object Pq {
         (a, b) => a - b).as("resid"))
   }
 
-  private val residModelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Model]
+  private val residModelCache = JvmCaches.map[(String, Int, Int, Int), Model]()
 
   /** Codebooks trained on residuals (per (sfDir, nlist) — residuals
     * depend on the coarse quantizer). */
@@ -216,12 +213,12 @@ object Pq {
   // cached frame, so no plan can accidentally read it (plan-asserted
   // in PqSpec).
   private val codedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Boolean), DataFrame]
+    JvmCaches.sessionMap[(String, Int, Int, Int, Boolean), DataFrame]()
 
   private[graft] def codedPostings(spark: SparkSession, sfDir: String,
                                    nlist: Int, m: Int, k: Int,
                                    residual: Boolean): DataFrame =
-    codedCache.getOrElseUpdate((sfDir, nlist, m, k, residual), {
+    codedCache.getOrElseUpdate(spark, (sfDir, nlist, m, k, residual)) {
       val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
       val coded =
         if (residual) {
@@ -236,7 +233,7 @@ object Pq {
       val cached = coded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count()
       cached
-    })
+    }
 
   /** Per-list LUTs for a query: populated only for probed lists,
     * indexed by list_id (empty arrays elsewhere — [[graft.functions.PqAdcByList]]
@@ -416,7 +413,7 @@ object Pq {
   }
 
   private val persistedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Boolean), String]
+    JvmCaches.map[(String, Int, Int, Int, Boolean), String]()
 
   /** IVF-PQ search over the PERSISTED code postings: probe lists
     * driver-side, scan only the probed `list_id=` partitions (static

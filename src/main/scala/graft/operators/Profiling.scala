@@ -48,16 +48,15 @@ object Profiling {
     * the exact profile and the HLL audit consume it without
     * re-scanning — the r8 bench showed the audit paying the wide agg
     * twice per rep. */
-  private val exactWideCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val exactWideCache = JvmCaches.sessionMap[String, DataFrame]()
 
   private[graft] def exactWideCached(spark: SparkSession, sfDir: String): DataFrame =
-    exactWideCache.getOrElseUpdate(sfDir, {
+    exactWideCache.getOrElseUpdate(spark, sfDir) {
       val aggs = exactWideAggs
       val wide = Tables.lineitem(spark, sfDir).agg(aggs.head, aggs.tail: _*)
       val rows = java.util.Arrays.asList(wide.collect(): _*)
       spark.createDataFrame(rows, wide.schema)
-    })
+    }
 
   private def stackExact(wide: DataFrame): DataFrame =
     wide.select(expr(

@@ -782,8 +782,7 @@ object RelationalOps {
   // Bucketed-table registry: one write per (sfDir, session) — the
   // tables are the point (their layout), not their content, so the
   // write is memoized like the index caches.
-  private val bucketedTables =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val bucketedTables = JvmCaches.map[String, (String, String)]()
 
   /** Customer order totals over BUCKETED tables — the zero-Exchange
     * co-located join as a driver-visible query (previously only a plan

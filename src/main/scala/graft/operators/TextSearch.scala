@@ -375,8 +375,7 @@ object TextSearch {
   // and the bench's reps share one on-disk generation; the SEARCH
   // re-executes every invocation, so the bench times the pruned-scan
   // path, not the build.
-  private val termIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val termIndexCache = JvmCaches.map[String, String]()
 
   def persistedTermIndexFor(spark: SparkSession, sfDir: String): TermIndex = {
     val dir = termIndexCache.getOrElseUpdate(sfDir, {

@@ -18,6 +18,24 @@ import graft.functions.{cosine_sim, l2sq}
   * one-row join (so the same code path works for q=1 and q=many
   * without driver-side literals in the plan).
   */
+/** Input-size guard for the O(n²) ORACLE-ANCHOR modes (exact all-pairs
+  * similarity/clustering/near-dup). These exist to vouch for the
+  * bucketed scale twins at oracle scales; above the bound the pair
+  * join is not a job anyone should wait for, so the anchor FAILS FAST
+  * with a pointer to its registered scale twin instead of launching a
+  * quadratic stage that will not finish at 100 TB. The bound is a
+  * vector count: 1e5 rows ≈ 5e9 scored pairs — the most a maintenance
+  * window should ever spend on an audit anchor, and far below any
+  * production corpus. */
+object ExactTwinGuard {
+  val MaxRows = 100000L
+
+  def check(n: Long, maxRows: Long, op: String, twin: String): Unit =
+    require(n <= maxRows,
+      s"$op is an O(n^2) oracle anchor capped at $maxRows input rows (got $n); " +
+        s"run the registered scale twin `$twin` on corpus-scale data")
+}
+
 object VectorSearchOps {
 
   /** Top-k nearest neighbors (squared L2, ascending) of the vector
@@ -167,8 +185,11 @@ object VectorSearchOps {
     * small-side fallback. The O(n^2) pair generation happens
     * distributed (range-join shape), never on the driver.
     */
-  def similarityJoinExact(spark: SparkSession, sfDir: String, eps: Double = 1.4): DataFrame = {
+  def similarityJoinExact(spark: SparkSession, sfDir: String, eps: Double = 1.4,
+                          maxRows: Long = ExactTwinGuard.MaxRows): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    ExactTwinGuard.check(emb.count(), maxRows,
+      "similarity_join_exact", "neardup_cosine_lsh")
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -181,8 +202,11 @@ object VectorSearchOps {
   /** Aggregate surface of the similarity join (pairs + mean distance
     * per a-side id) — exercises agg-over-join and gives the oracle a
     * small, stable result set even at larger ε. */
-  def similarityJoinStats(spark: SparkSession, sfDir: String, eps: Double = 1.6): DataFrame = {
+  def similarityJoinStats(spark: SparkSession, sfDir: String, eps: Double = 1.6,
+                          maxRows: Long = ExactTwinGuard.MaxRows): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    ExactTwinGuard.check(emb.count(), maxRows,
+      "similarity_join_stats", "neardup_cosine_lsh")
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     // avg over raw doubles is summation-order-dependent across
