@@ -180,12 +180,36 @@ object ExactRank {
     (v, base + window.count(cmp(_, v) < 0))
   }
 
+  /** One in-flight selection problem of the batched [[cutsAt]] loop:
+    * find the element at window-relative rank `target` of `colName`'s
+    * ascending order over the rows matching `pred` (None = whole
+    * frame). Windows are always value-COMPLETE intervals (every shrink
+    * filters on value comparisons), so a value's full duplicate mass
+    * is inside whichever window proposes it. `phase` 1 selects the cut
+    * VALUE; its resolution spawns a phase-2 task selecting the
+    * tiebreak ID among the rows tied at that value. */
+  private final case class Task(rank: Long, colName: String,
+                                pred: Option[Column], target: Long,
+                                count: Long, stalled: Boolean, phase: Int)
+
   /** Exact cuts at the given ascending 1-based global ranks of the
     * (valueCol, idCol) lexicographic total order. `valueCol` is a
     * double (duplicates fine), `idCol` an integral per-row tiebreak
     * (unique; also what makes the order total). `df` should be
-    * persisted by the caller — each cut costs a handful of aggregate
-    * jobs over it. Driver state: O(max(accuracy, 1024)) per cut. */
+    * persisted by the caller.
+    *
+    * ALL ranks are selected together: each round runs ONE bracket
+    * aggregate (a `percentile_approx` per live rank, conditional on
+    * its window predicate) and ONE exact boundary-count aggregate for
+    * every live rank — so the job count is ~2 per ROUND, not per rank,
+    * and the duplicated-value tiebreak costs no dedicated counting
+    * pass (the tied-row count falls out of the boundary counts that
+    * resolved the value: #tied = #{≤ v} − #{< v}). Floored windows
+    * collect once per DISTINCT window (the k phase-1 tasks share the
+    * whole-frame window — one collect serves them all). Decision rules
+    * are identical to [[selectAt]], so the returned cuts are
+    * bit-identical to the one-rank-at-a-time path. Driver state:
+    * O(max(accuracy, 1024)) per distinct floored window. */
   def cutsAt(df: DataFrame, valueCol: String, idCol: String,
              ranks: Seq[Long], accuracy: Int = 10000,
              nKnown: Option[Long] = None): Seq[Cut] = {
@@ -193,14 +217,149 @@ object ExactRank {
     // callers that already counted the (persisted) frame pass n in —
     // one fewer full pass over it
     val n = nKnown.getOrElse(df.count())
-    ranks.map { r =>
-      val (v, cntLt) = selectAt(df, valueCol, n, r, accuracy)
-      // id tiebreak: the cut row is the (r - cntLt)-th smallest id
-      // among rows sharing the cut value (ids unique -> terminates)
-      val tied = df.filter(col(valueCol) === lit(v))
-      val (idv, _) = selectAt(tied, idCol, tied.count(), r - cntLt, accuracy)
-      Cut(r, toDouble(v), toLong(idv))
+    val floorSize = math.max(accuracy, 1024)
+    def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    def windowed(t: Task): Column =
+      t.pred.map(p => when(p, col(t.colName))).getOrElse(col(t.colName))
+    def and(pred: Option[Column], c: Column): Option[Column] =
+      Some(pred.map(_ && c).getOrElse(c))
+
+    val values = scala.collection.mutable.Map.empty[Long, Any] // rank -> cut value
+    val ids = scala.collection.mutable.Map.empty[Long, Any]    // rank -> tiebreak id
+    // phase-1 resolution: record the value and enqueue the id tiebreak
+    // (ltEq/leEq are the resolving boundary's window-relative counts,
+    // so the tied-row count and rebased target are free)
+    def resolveValue(t: Task, v: Any, ltV: Long, leV: Long): Option[Task] =
+      if (t.phase == 1) {
+        values(t.rank) = v
+        val tiedPred = and(None, col(valueCol) === lit(v))
+        Some(Task(t.rank, idCol, tiedPred, t.target - ltV, leV - ltV,
+          stalled = false, phase = 2))
+      } else { ids(t.rank) = v; None }
+
+    var tasks: List[Task] = ranks.toList.map { r =>
+      require(r >= 1 && r <= n, s"rank $r out of [1, $n]")
+      Task(r, valueCol, None, r, n, stalled = false, phase = 1)
     }
+    var rounds = 0
+    while (tasks.nonEmpty) {
+      rounds += 1
+      // GK bracketing + bisection fallback both guarantee progress per
+      // task; 256 covers a full 64-bit bisection with wide margin.
+      require(rounds <= 512, "rank-selection window failed to shrink (bug)")
+      val (floored, active) = tasks.partition(_.count <= floorSize)
+      var next: List[Task] = Nil
+      // floor: collect once per DISTINCT window (≤ floorSize rows each)
+      val windowCache = scala.collection.mutable.Map.empty[String, Array[Any]]
+      floored.foreach { t =>
+        val key = t.colName + "§" + t.pred.map(_.toString).getOrElse("")
+        val w = windowCache.getOrElseUpdate(key, {
+          val arr = t.pred.map(df.filter(_)).getOrElse(df)
+            .select(col(t.colName)).collect().map(_.get(0))
+          scala.util.Sorting.stableSort(arr, (a: Any, b: Any) => cmp(a, b) < 0)
+          arr
+        })
+        val v = w((t.target - 1).toInt)
+        val ltV = w.count(cmp(_, v) < 0).toLong
+        val leV = w.count(cmp(_, v) <= 0).toLong
+        resolveValue(t, v, ltV, leV).foreach(next ::= _)
+      }
+      if (active.nonEmpty) {
+        // pass 1 — ONE aggregate: a GK bracket per running task, a
+        // min/max pair per stalled task (bisection fallback: only
+        // reachable if the sketch bracket made no progress, e.g. long
+        // values beyond 2^53 where GK's double buffering can propose
+        // non-observed brackets outside the window)
+        val bracketExprs = active.flatMap { t =>
+          if (t.stalled)
+            Seq(min(windowed(t)), max(windowed(t)))
+          else {
+            val e = math.max(1L, (t.count + accuracy - 1) / accuracy)
+            val pLo = math.max(0.0, (t.target - 3.0 * e) / t.count)
+            val pHi = math.min(1.0, (t.target + 3.0 * e) / t.count)
+            Seq(percentile_approx(windowed(t), typedlit(Seq(pLo, pHi)),
+              lit(accuracy)))
+          }
+        }
+        val row1 = df.agg(bracketExprs.head, bracketExprs.tail: _*).head
+        // per task: the bracket/bisection probe values, in row1 order
+        var slot = 0
+        val probes: Seq[(Task, Any, Any)] = active.map { t =>
+          if (t.stalled) {
+            val (mn, mx) = (row1.get(slot), row1.get(slot + 1)); slot += 2
+            val mid: Any = (mn, mx) match {
+              case (a: Double, b: Double) => a / 2 + b / 2
+              case (a: Long, b: Long)     => a / 2 + b / 2 + (a % 2 + b % 2) / 2
+              case (a: Int, b: Int)       => (a.toLong + b.toLong) / 2
+              case _                      => toDouble(mn) / 2 + toDouble(mx) / 2
+            }
+            (t, mn, mid)
+          } else {
+            val b = row1.getSeq[Any](slot); slot += 1
+            (t, b(0), b(1))
+          }
+        }
+        // pass 2 — ONE aggregate: exact boundary counts for every task
+        val countExprs = probes.flatMap { case (t, a, b) =>
+          def c(cond: Column) = cnt(t.pred.map(_ && cond).getOrElse(cond))
+          if (t.stalled)
+            Seq(c(col(t.colName) <= lit(a)), c(col(t.colName) <= lit(b)))
+          else
+            Seq(c(col(t.colName) < lit(a)), c(col(t.colName) <= lit(a)),
+              c(col(t.colName) < lit(b)), c(col(t.colName) <= lit(b)))
+        }
+        val row2 = df.agg(countExprs.head, countExprs.tail: _*).head
+        slot = 0
+        probes.foreach { case (t, a, b) =>
+          if (t.stalled) {
+            val (mn, mid) = (a, b)
+            val leMn = row2.getLong(slot); val leMid = row2.getLong(slot + 1)
+            slot += 2
+            if (t.target <= leMn) {
+              // all-equal prefix holds the rank (mn is the window min,
+              // so its below-count inside the window is 0)
+              resolveValue(t, mn, 0L, leMn).foreach(next ::= _)
+            } else if (t.target <= leMid) {
+              next ::= t.copy(
+                pred = and(t.pred, col(t.colName) > lit(mn) && col(t.colName) <= lit(mid)),
+                target = t.target - leMn, count = leMid - leMn,
+                stalled = leMid - leMn == t.count)
+            } else {
+              next ::= t.copy(
+                pred = and(t.pred, col(t.colName) > lit(mid)),
+                target = t.target - leMid, count = t.count - leMid,
+                stalled = t.count - leMid == t.count)
+            }
+          } else {
+            val (vLo, vHi) = (a, b)
+            val ltLo = row2.getLong(slot); val leLo = row2.getLong(slot + 1)
+            val ltHi = row2.getLong(slot + 2); val leHi = row2.getLong(slot + 3)
+            slot += 4
+            if (ltLo < t.target && t.target <= leLo)
+              resolveValue(t, vLo, ltLo, leLo).foreach(next ::= _)
+            else if (ltHi < t.target && t.target <= leHi)
+              resolveValue(t, vHi, ltHi, leHi).foreach(next ::= _)
+            else if (t.target <= ltLo)
+              // GK undershot its guarantee (not observed; defensive):
+              // keep the strictly-below-vLo window — still a strict shrink
+              next ::= t.copy(pred = and(t.pred, col(t.colName) < lit(vLo)),
+                count = ltLo, stalled = ltLo == t.count)
+            else if (t.target > leHi)
+              next ::= t.copy(pred = and(t.pred, col(t.colName) > lit(vHi)),
+                target = t.target - leHi, count = t.count - leHi,
+                stalled = t.count - leHi == t.count)
+            else
+              // strictly interior: O(n/accuracy) rows by the verified counts
+              next ::= t.copy(
+                pred = and(t.pred, col(t.colName) > lit(vLo) && col(t.colName) < lit(vHi)),
+                target = t.target - leLo, count = ltHi - leLo,
+                stalled = ltHi - leLo == t.count)
+          }
+        }
+      }
+      tasks = next
+    }
+    ranks.map(r => Cut(r, toDouble(values(r)), toLong(ids(r))))
   }
 
   /** Bucket assignment from exact cuts: 1 + #{cuts ordered strictly

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.IvfIndex
+import graft.operators.{Compaction, IvfIndex}
 
 /** Streaming index maintenance (SURVEY.md §7.5): continuous append of
   * newly-arrived vectors into a persisted IVF index, with scheduled
@@ -62,6 +62,14 @@ object IndexMaintenance {
       }
       .getOrElse(java.util.UUID.randomUUID.toString.take(8))
 
+  /** True on the micro-batches where the in-stream maintenance cadence
+    * fires: every `every`-th batch, counting from the first. Replayed
+    * batchIds re-fire — every maintenance entry point here is
+    * idempotent (compaction decides from a directory listing; retrain
+    * carries markers forward), so a replay repeats a no-op at worst. */
+  private def cadenceHit(batchId: Long, every: Int): Boolean =
+    every > 0 && (batchId + 1) % every == 0
+
   /** Start a streaming append job: every micro-batch of
     * (`idCol`, `embCol`) rows is assigned and appended to the
     * persisted index at `dir`. AvailableNow processes the backlog and
@@ -77,15 +85,37 @@ object IndexMaintenance {
     * [[IvfIndex.appendBatch]]: a replayed batchId repairs any partial
     * commit and never lands a row twice — exactly-once postings on top
     * of an at-least-once delivery. Without a checkpointDir Spark uses
-    * a throwaway checkpoint (fine for tests, never for production). */
+    * a throwaway checkpoint (fine for tests, never for production).
+    *
+    * Every `maintainEvery` batches the stream runs the index's full
+    * maintenance pass FROM ITS OWN single-writer window: first
+    * [[Compaction.maintainLog]] folds the postings log's committed
+    * files once any `list_id=` partition exceeds
+    * `maxFilesPerPartition` (the appends grow one file per partition
+    * per wave forever otherwise), then [[IvfIndex.maintainIndex]]
+    * checks centroid drift (one aggregate row) and trains-and-promotes
+    * a fresh generation when a list's share exceeds
+    * `maxShareFactor / nlist` — so the retrain trigger is exercised by
+    * the very stream that causes the drift. `maintainEvery = 0`
+    * disables in-stream maintenance (run it from a separate scheduled
+    * window instead). */
   def appendStream(newVectors: DataFrame, dir: String,
                    idCol: String, embCol: String,
-                   checkpointDir: Option[String] = None): StreamingQuery = {
+                   checkpointDir: Option[String] = None,
+                   maintainEvery: Int = 4,
+                   maxFilesPerPartition: Int = 16,
+                   maxShareFactor: Double = 3.0): StreamingQuery = {
     val ns = checkpointNamespace(checkpointDir)
     val writer = newVectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        IvfIndex.appendBatch(batch.sparkSession, dir, batch, idCol, embCol,
+        val spark = batch.sparkSession
+        IvfIndex.appendBatch(spark, dir, batch, idCol, embCol,
           batchId, namespace = ns)
+        if (cadenceHit(batchId, maintainEvery)) {
+          Compaction.maintainLog(spark, s"$dir/postings", dir, "list_id",
+            maxFilesPerPartition)
+          IvfIndex.maintainIndex(spark, dir, maxShareFactor)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -104,7 +134,9 @@ object IndexMaintenance {
     * [[graft.operators.TextSearch.refreshTermIndexStats]], after which
     * search equals a fresh build over everything appended. */
   def appendTermStream(newDocs: DataFrame, dir: String,
-                       checkpointDir: Option[String] = None): StreamingQuery = {
+                       checkpointDir: Option[String] = None,
+                       maintainEvery: Int = 4,
+                       maxFilesPerPartition: Int = 16): StreamingQuery = {
     val ns = checkpointNamespace(checkpointDir)
     // bucket count is immutable for the life of the index — resolve it
     // once here, not once per micro-batch
@@ -116,6 +148,14 @@ object IndexMaintenance {
         graft.operators.TextSearch.appendTermBatch(
           batch.sparkSession, dir, batch, batchId, namespace = ns,
           nBuckets = nBuckets)
+        // postings-log compaction on the append cadence, from the same
+        // single-writer window the appends run in: committed posting
+        // files fold to one per bucket once any bucket's count exceeds
+        // the bound — search results are bit-identical around the fold
+        // (CompactionSpec), so the stream only ever changes file counts
+        if (cadenceHit(batchId, maintainEvery))
+          Compaction.maintainLog(batch.sparkSession, s"$dir/postings", dir,
+            "bucket", maxFilesPerPartition)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -188,7 +228,9 @@ object IndexMaintenance {
   def dedupStream(newDocs: DataFrame, dir: String,
                   onMatches: (DataFrame, Long) => Unit,
                   minJaccard: Double = 0.8,
-                  checkpointDir: Option[String] = None): StreamingQuery = {
+                  checkpointDir: Option[String] = None,
+                  maintainEvery: Int = 4,
+                  maxFilesPerPartition: Int = 16): StreamingQuery = {
     val ns = checkpointNamespace(checkpointDir)
     val writer = newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -209,6 +251,16 @@ object IndexMaintenance {
           onMatches(verdicts, batchId)
           graft.operators.MinhashIndex.appendBatch(spark, dir, batch, batchId,
             namespace = ns)
+        }
+        // both additive logs compact on the append cadence (probe
+        // verdicts are bit-identical around a fold — CompactionSpec);
+        // runs OUTSIDE the commit gate so a replayed committed batch
+        // still honors the cadence
+        if (cadenceHit(batchId, maintainEvery)) {
+          Compaction.maintainLog(spark, s"$dir/bands", dir, "bucket",
+            maxFilesPerPartition)
+          Compaction.maintainLog(spark, s"$dir/docs", dir, "bucket",
+            maxFilesPerPartition)
         }
         ()
       }

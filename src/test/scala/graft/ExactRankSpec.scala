@@ -76,6 +76,34 @@ class ExactRankSpec extends SparkSpec {
     check(Seq((1L, 3.0), (2L, 1.0), (3L, 2.0), (4L, 2.0)), 3)
   }
 
+  test("multi-rank selection batches its jobs (one bracket + one count pass per round)") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1L to 5000L).map(i => (i, rnd.nextDouble() * 100))
+    val df = rows.toDF("id", "v").repartition(4).cache()
+    try {
+      val n = df.count()
+      // 4 cuts, accuracy 50: the loop iterates before flooring. The
+      // one-rank-at-a-time path paid ~5 jobs PER cut (bracket, counts,
+      // floor collect, tied count, id collect ≈ 20 total); batched,
+      // every round is one bracket agg + one count agg SHARED by all
+      // live ranks and the whole-frame floor collect is shared, so the
+      // job count stays far below the per-cut regime and grows with
+      // ROUNDS, not ranks. Counted via a job group (the status tracker
+      // records submissions synchronously — no listener-bus race).
+      spark.sparkContext.setJobGroup("exact-rank-batch", "job-count probe",
+        interruptOnCancel = false)
+      try {
+        val cuts = ExactRank.cutsAt(df, "v", "id",
+          ExactRank.ntileCutRanks(n, 5), accuracy = 50, nKnown = Some(n))
+        assert(cuts.size === 4)
+        val observed = spark.sparkContext.statusTracker
+          .getJobIdsForGroup("exact-rank-batch").length
+        assert(observed > 0 && observed <= 16,
+          s"multi-rank selection ran $observed jobs — batching regressed")
+      } finally spark.sparkContext.clearJobGroup()
+    } finally df.unpersist()
+  }
+
   test("selectAt returns the exact element and below-count on longs") {
     val df = Seq(10L, 20L, 20L, 20L, 30L, 40L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")

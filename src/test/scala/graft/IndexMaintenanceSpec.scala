@@ -163,6 +163,76 @@ class IndexMaintenanceSpec extends SparkSpec {
       "restart must not re-append already-committed files")
   }
 
+  test("appendStream maintenance cadence: drift crossing the share bound promotes a new generation mid-stream") {
+    import spark.implicits._
+    val dim = 4
+    def vec(base: Float, i: Int): Array[Float] =
+      Array(base + (i % 7) * 0.05f, base - (i % 5) * 0.04f,
+        (i % 3) * 0.03f, (i % 11) * 0.02f)
+    // balanced 2-cluster seed corpus: 20 near 0, 20 near 10
+    val seedRows =
+      (0 until 20).map(i => (i.toLong, vec(0f, i))) ++
+      (20 until 40).map(i => (i.toLong, vec(10f, i)))
+    val dir = tmpDir("ivf-drift-")
+    val idx = IvfIndex.build(seedRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nlist = 2)
+    IvfIndex.save(idx, dir)
+    idx.postings.unpersist(blocking = false)
+    val before = IvfIndex.load(spark, dir)
+      .centroidArrays.map(_._2.toSeq).toSet
+    // three waves, ALL near cluster 0: after wave 2 that list holds
+    // 100/120 = 0.83 > 1.5/2 = 0.75 — the cadence (every batch) must
+    // observe the drift and promote a retrained generation DURING the
+    // stream, with wave 3 appending against whatever generation is live
+    val landing = tmpDir("ivf-drift-landing-")
+    val ckpt = tmpDir("ivf-drift-ckpt-")
+    def stage(lo: Int, hi: Int, name: String): Unit = {
+      val tmp = tmpDir("ivf-drift-stage-")
+      (lo until hi).map(i => (100L + i, vec(0.5f, i)))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    stage(0, 40, "w0"); stage(40, 80, "w1"); stage(80, 120, "w2")
+    val schema = seedRows.toDF("vec_id", "embedding").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    IndexMaintenance.appendStream(stream, dir, "vec_id", "embedding",
+      checkpointDir = Some(ckpt),
+      maintainEvery = 1, maxFilesPerPartition = 4, maxShareFactor = 1.5)
+      .awaitTermination()
+    val promoted = IvfIndex.load(spark, dir)
+    // the generation changed: retrained centroids replaced the seed's
+    assert(promoted.centroidArrays.map(_._2.toSeq).toSet != before,
+      "drift crossing the bound must promote a retrained generation")
+    // no row lost or duplicated across append → compact → retrain → append
+    assert(promoted.postings.count() == 160)
+    assert(promoted.postings.select("id").distinct().count() == 160)
+    // a batch committed BEFORE the promotion replays as a no-op against
+    // the promoted generation (markers were carried forward)
+    val ns = IndexMaintenance.checkpointNamespace(Some(ckpt))
+    val w0 = (0 until 40).map(i => (100L + i, vec(0.5f, i)))
+      .toDF("vec_id", "embedding")
+    assert(IvfIndex.appendBatch(spark, dir, w0, "vec_id", "embedding",
+      0L, namespace = ns) == 0L,
+      "pre-promotion committed batch must replay as a no-op")
+    assert(IvfIndex.load(spark, dir).postings.count() == 160)
+    // IVFFlat invariant holds across the promotion: full-probe search
+    // over the new generation ≡ brute force over all 160 vectors
+    val all = seedRows ++ (0 until 120).map(i => (100L + i, vec(0.5f, i)))
+    val (qid, q) = all(57)
+    val fromIdx = IvfIndex.search(promoted, q, k = 10, nprobe = 2,
+        excludeId = Some(qid))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = all.filter(_._1 != qid)
+      .map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    assert(fromIdx == brute)
+  }
+
   test("appendBatch: replay of a committed batch is a no-op; a crash before the marker repairs") {
     val dir = savedHalfIndex()
     val rest = Tables.embeddings(spark, sfSmall).filter(col("vec_id") >= 250)

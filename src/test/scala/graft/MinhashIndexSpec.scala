@@ -168,6 +168,70 @@ class MinhashIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/docs").where("id = 10").count() == 1L)
   }
 
+  test("dedupStream compacts both logs on its cadence; verdicts and markers survive the fold") {
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val s2 = "one two three four five six seven eight nine"
+    val dir = tmpDir("mh-compact-idx")
+    val landing = tmpDir("mh-compact-landing")
+    val ckpt = tmpDir("mh-compact-ckpt")
+    MinhashIndex.save(corpus(0L -> s1, 1L -> filler('x', 10)), dir)
+    val schema = corpus(0L -> "x").schema
+    def stage(name: String, rows: (Long, String)*): Unit = {
+      val tmp = tmpDir("mh-compact-stage")
+      corpus(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try files.filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+      finally files.close()
+    }
+    // 4 waves → 4 micro-batches; cadence fires every batch with a
+    // 1-file bound, so both logs fold repeatedly DURING the stream
+    stage("w1", 11L -> s1, 12L -> filler('a', 10))
+    stage("w2", 21L -> filler('b', 10))
+    stage("w3", 31L -> s2)
+    stage("w4", 41L -> s2)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    graft.streaming.IndexMaintenance.dedupStream(stream, dir,
+      (m, _) => seen ++= m.collect().map(r => (r.getLong(0), r.getLong(1))),
+      checkpointDir = Some(ckpt),
+      maintainEvery = 1, maxFilesPerPartition = 1).awaitTermination()
+    // wave-over-wave probes behaved exactly as without compaction:
+    // w1 matched the original, w4 matched w3's novel doc
+    assert(seen.toSet == Set((11L, 0L), (41L, 31L)), seen.toString)
+    def maxFiles(sub: String): Int = {
+      val root = java.nio.file.Paths.get(s"$dir/$sub")
+      graft.operators.BatchFs.children(root)
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("bucket="))
+        .map(d => graft.operators.BatchFs.children(d)
+          .count(_.getFileName.toString.endsWith(".parquet")))
+        .foldLeft(0)(math.max)
+    }
+    // base + 4 waves = 5 files in a hot bucket without compaction; the
+    // per-batch fold keeps it at the bound plus the last wave
+    assert(maxFiles("bands") <= 2, s"bands log not compacted: ${maxFiles("bands")}")
+    assert(maxFiles("docs") <= 2, s"docs log not compacted: ${maxFiles("docs")}")
+    // a committed batch replays as a no-op against the compacted index
+    val ns = graft.streaming.IndexMaintenance.checkpointNamespace(Some(ckpt))
+    assert(MinhashIndex.appendBatch(spark, dir,
+      corpus(11L -> s1, 12L -> filler('a', 10)), 0L, ns) == 0L,
+      "committed batch must no-op after compaction (marker survived)")
+    // the compacted index probes bit-identically to a fresh build over
+    // everything admitted
+    val admitted = corpus(0L -> s1, 1L -> filler('x', 10), 11L -> s1,
+      12L -> filler('a', 10), 21L -> filler('b', 10), 31L -> s2, 41L -> s2)
+    val fresh = tmpDir("mh-compact-fresh")
+    MinhashIndex.save(admitted, fresh)
+    val probeDf = corpus(99L -> s2)
+    assert(pairs(MinhashIndex.probe(spark, dir, probeDf)) ==
+      pairs(MinhashIndex.probe(spark, fresh, probeDf)))
+    assert(spark.read.parquet(s"$dir/docs").count() ==
+      spark.read.parquet(s"$dir/docs").select("id").distinct().count())
+  }
+
   test("registered even/odd surface is consistent with its construction on sf0.001") {
     val out = MinhashIndex.minhashProbeFor(spark, sfSmall).collect()
     // orientation: probes odd, index even; verified at >= 0.8

@@ -189,6 +189,64 @@ class TextSearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("appendTermStream compacts its postings log on the in-stream cadence") {
+    import graft.sources.Ingest
+    import graft.streaming.IndexMaintenance
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("term-compact-stream-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 250)), dir)
+    val landing = tmpDir("term-compact-landing-")
+    val ckpt = tmpDir("term-compact-ckpt-")
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = tmpDir("term-compact-stage-")
+      corpus.filter(col("id") >= lo && col("id") < hi)
+        .select("id", "sentence").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    // 5 waves, one micro-batch each (maxFilesPerTrigger=1); the cadence
+    // fires every batch and folds once any bucket exceeds 2 files
+    (0 until 5).foreach(i => stage(250 + i * 50, 300 + i * 50, s"w$i"))
+    val stream = spark.readStream.schema("id LONG, sentence STRING")
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    IndexMaintenance.appendTermStream(stream, dir, Some(ckpt),
+      maintainEvery = 1, maxFilesPerPartition = 2).awaitTermination()
+    def maxBucketFiles(): Int = {
+      val root = java.nio.file.Paths.get(s"$dir/postings")
+      graft.operators.BatchFs.children(root)
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("bucket="))
+        .map(d => graft.operators.BatchFs.children(d)
+          .count(_.getFileName.toString.endsWith(".parquet")))
+        .foldLeft(0)(math.max)
+    }
+    // without compaction a hot bucket carries base + 5 wave files = 6;
+    // the cadence folds it back under the bound plus at most the waves
+    // landed since the last fold
+    assert(maxBucketFiles() <= 3,
+      s"stream cadence failed to compact: ${maxBucketFiles()} files in a bucket")
+    // a committed batch replayed against the COMPACTED log still no-ops
+    // (markers survive the fold)
+    val ns = IndexMaintenance.checkpointNamespace(Some(ckpt))
+    val w0 = corpus.filter(col("id") >= 250 && col("id") < 300)
+      .select("id", "sentence")
+    assert(TextSearch.appendTermBatch(spark, dir, w0, 0L, ns) == 0L,
+      "committed batch must replay as a no-op after compaction")
+    // results bit-identical to a fresh build over the union
+    TextSearch.refreshTermIndexStats(spark, dir)
+    val got = TextSearch.bm25Index(spark, TextSearch.loadTermIndex(spark, dir),
+        TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextSearch.bm25Index(spark, TextSearch.buildTermIndex(corpus),
+        TextSearch.DefaultQuery)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "compacted streamed index must rank identically")
+  }
+
   test("persisted term index: missing directory fails like the reference") {
     intercept[java.io.FileNotFoundException] {
       TextSearch.loadTermIndex(spark, "/root/repo/target/nonexistent-term-index")
