@@ -494,6 +494,12 @@ object SparkEntry {
     // standalone operator's exact value, so the oracle composes the
     // standalone oracles' SQL and the whole table stays hash-exact
     "curation_scorecard" -> ((s, d) => CurationScorecard.scorecard(s, d)),
+    // incremental cadence: every 5th doc scored as a "new wave" against
+    // the persisted additive model logs (LM counts, NB sufficient
+    // stats, span window counts, exact-dup min-ids, stored tercile
+    // cuts) — touches only the wave; ScorecardIndexSpec pins
+    // bit-equality with the batch scorecard restricted to the wave
+    "scorecard_wave" -> ((s, d) => ScorecardIndex.scorecardWaveFor(s, d)),
     // --- pipeline hygiene (north star): reproducible splits +
     // benchmark decontamination ---
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
@@ -539,6 +545,97 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Batch curation-scorecard CTE chain (LM + NB + span-dup +
+    * quality/canonical), optionally filtered on the verdict rows —
+    * the wave surface reuses the IDENTICAL chain with a wave
+    * predicate, which is exactly what makes `scorecard_wave`
+    * hash-exact against incremental scoring. */
+  private def scorecardSql(filter: String): String =
+    s"""WITH $sqlLmScored,
+         |agg AS (
+         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
+         |  FROM sc GROUP BY id),
+         |lmq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
+         |lmb AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS ppl_bucket FROM lmq),
+         |qual AS (
+         |  SELECT id,
+         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |     AND len(toks) >= 5 AND len(toks) <= 100000
+         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
+         |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept
+         |  FROM corpus),
+         |lab AS (
+         |  SELECT id, toks,
+         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |     AND len(toks) >= 5 AND len(toks) <= 100000
+         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |         / greatest(len(toks), 1) > 0.0) AS label
+         |  FROM corpus),
+         |ex AS (SELECT id, label, unnest(toks) AS w FROM lab),
+         |voc AS (
+         |  SELECT w,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
+         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
+         |  FROM ex GROUP BY w),
+         |nbtot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
+         |                 count(*)::BIGINT AS v FROM voc),
+         |wt AS (
+         |  SELECT w,
+         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
+         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
+         |         AS DECIMAL(18,6)) AS wgt
+         |  FROM voc CROSS JOIN nbtot),
+         |pri AS (
+         |  SELECT CAST(round(log10(
+         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
+         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
+         |    AS DECIMAL(18,6)) AS prior
+         |  FROM lab),
+         |tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM ex GROUP BY id, w),
+         |docsum AS (
+         |  SELECT tf.id, sum(tf.tf * wt.wgt) AS s
+         |  FROM tf JOIN wt USING (w) GROUP BY tf.id),
+         |nbq AS (
+         |  SELECT l.id, (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep
+         |  FROM lab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p),
+         |stok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
+         |swin AS (
+         |  SELECT id, p - 1 AS pos,
+         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
+         |  FROM stok, unnest(range(1, len(toks) - 6)) AS u(p)),
+         |sdup AS (SELECT wtext FROM swin GROUP BY wtext HAVING count(*) >= 2),
+         |smarked AS (SELECT w.id, w.pos FROM swin w JOIN sdup USING (wtext)),
+         |sisl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
+         |      (PARTITION BY id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM smarked),
+         |sisl2 AS (SELECT id, pos,
+         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
+         |  FROM sisl),
+         |sst AS (
+         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
+         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
+         |        FROM sisl2 GROUP BY id, island) GROUP BY id),
+         |spanq AS (
+         |  SELECT c.id,
+         |    CASE WHEN len(c.toks) = 0 THEN 0.0
+         |         ELSE coalesce(sst.dup_tokens, 0) / len(c.toks) END AS dup_fraction
+         |  FROM corpus c LEFT JOIN sst ON c.id = sst.id)
+         |SELECT q.id, q.keep_quality, n.nb_keep, q.dedup_kept,
+         |  b.ppl, b.ppl_bucket::BIGINT AS ppl_bucket, s.dup_fraction,
+         |  (q.keep_quality AND n.nb_keep AND q.dedup_kept
+         |   AND s.dup_fraction < 1.0/3.0
+         |   AND coalesce(b.ppl_bucket < 3, FALSE)) AS final_keep
+         |FROM qual q
+         |JOIN nbq n ON q.id = n.id
+         |LEFT JOIN lmb b ON q.id = b.id
+         |JOIN spanq s ON q.id = s.id
+         |${filter}ORDER BY q.id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1285,91 +1382,12 @@ object SparkEntry {
     // (nbtot avoids the `tot` collision) + span-dup chain + quality/
     // canonical window, equi-joined on id; 1/3 dup-fraction threshold
     // and tercile cutoff restated literally
-    "curation_scorecard" ->
-      s"""WITH $sqlLmScored,
-         |agg AS (
-         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
-         |  FROM sc GROUP BY id),
-         |lmq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
-         |lmb AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS ppl_bucket FROM lmq),
-         |qual AS (
-         |  SELECT id,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
-         |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept
-         |  FROM corpus),
-         |lab AS (
-         |  SELECT id, toks,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS label
-         |  FROM corpus),
-         |ex AS (SELECT id, label, unnest(toks) AS w FROM lab),
-         |voc AS (
-         |  SELECT w,
-         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
-         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
-         |  FROM ex GROUP BY w),
-         |nbtot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
-         |                 count(*)::BIGINT AS v FROM voc),
-         |wt AS (
-         |  SELECT w,
-         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
-         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
-         |         AS DECIMAL(18,6)) AS wgt
-         |  FROM voc CROSS JOIN nbtot),
-         |pri AS (
-         |  SELECT CAST(round(log10(
-         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
-         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
-         |    AS DECIMAL(18,6)) AS prior
-         |  FROM lab),
-         |tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM ex GROUP BY id, w),
-         |docsum AS (
-         |  SELECT tf.id, sum(tf.tf * wt.wgt) AS s
-         |  FROM tf JOIN wt USING (w) GROUP BY tf.id),
-         |nbq AS (
-         |  SELECT l.id, (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep
-         |  FROM lab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p),
-         |stok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
-         |swin AS (
-         |  SELECT id, p - 1 AS pos,
-         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
-         |  FROM stok, unnest(range(1, len(toks) - 6)) AS u(p)),
-         |sdup AS (SELECT wtext FROM swin GROUP BY wtext HAVING count(*) >= 2),
-         |smarked AS (SELECT w.id, w.pos FROM swin w JOIN sdup USING (wtext)),
-         |sisl AS (
-         |  SELECT id, pos,
-         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
-         |      (PARTITION BY id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS new_island
-         |  FROM smarked),
-         |sisl2 AS (SELECT id, pos,
-         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
-         |  FROM sisl),
-         |sst AS (
-         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
-         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
-         |        FROM sisl2 GROUP BY id, island) GROUP BY id),
-         |spanq AS (
-         |  SELECT c.id,
-         |    CASE WHEN len(c.toks) = 0 THEN 0.0
-         |         ELSE coalesce(sst.dup_tokens, 0) / len(c.toks) END AS dup_fraction
-         |  FROM corpus c LEFT JOIN sst ON c.id = sst.id)
-         |SELECT q.id, q.keep_quality, n.nb_keep, q.dedup_kept,
-         |  b.ppl, b.ppl_bucket::BIGINT AS ppl_bucket, s.dup_fraction,
-         |  (q.keep_quality AND n.nb_keep AND q.dedup_kept
-         |   AND s.dup_fraction < 1.0/3.0
-         |   AND coalesce(b.ppl_bucket < 3, FALSE)) AS final_keep
-         |FROM qual q
-         |JOIN nbq n ON q.id = n.id
-         |LEFT JOIN lmb b ON q.id = b.id
-         |JOIN spanq s ON q.id = s.id
-         |ORDER BY q.id""".stripMargin,
+    "curation_scorecard" -> scorecardSql(""),
+    // incremental wave surface: the SAME chain restricted to the wave
+    // ids (every 5th doc) — the engine side scores ONLY the wave
+    // against the persisted additive logs, so equality here proves
+    // incremental scoring == batch scoring restricted to the wave
+    "scorecard_wave" -> scorecardSql("WHERE q.id % 5 = 0 "),
     // persisted-model path: identical counts after the per-key log
     // sums, so the lm_score oracle applies verbatim
     "lm_persisted_score" ->

@@ -88,6 +88,96 @@ object NbClassifier {
       .drop("toks", "s", "odds", "prior")
   }
 
+  // ---- persisted additive model (maintenance twin) -------------------
+  //
+  // What persists is NOT the derived weights but the SUFFICIENT
+  // STATISTICS — per-term (cpos, cneg) and the (dpos, dneg) document
+  // counts — because those are exact integers and ADDITIVE: an ingest
+  // wave appends its own counts as delta rows (the NgramLm/SpanDedup
+  // log discipline) and a reader's per-key sums equal a fresh train()
+  // over the union, so the derived weights are BIT-identical to
+  // retraining from scratch (test-pinned). Persisting weights instead
+  // would freeze the denominator (N_pos + V) and break additivity.
+
+  private def bucketOf(c: Column, nBuckets: Int): Column =
+    pmod(crc32(c), lit(nBuckets)).cast("int")
+
+  /** The two sufficient-statistic frames of a labeled (id, toks,
+    * label) wave: per-term class counts and the 1-row doc counts. */
+  private def stats(labeled: DataFrame): (DataFrame, DataFrame) = {
+    val ex = labeled.select(col("label"), explode(col("toks")).as("w"))
+    val terms = ex.groupBy(col("w")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("cneg"))
+    val docs = labeled.agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("dpos"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("dneg"))
+    (terms, docs)
+  }
+
+  private def writeStats(terms: DataFrame, docs: DataFrame, dir: String,
+                         nBuckets: Int, mode: String): Unit = {
+    terms.select(bucketOf(col("w"), nBuckets).as("bucket"), col("w"),
+        col("cpos"), col("cneg"))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/terms")
+    // the doc-count log shares the bucketed layout (a single bucket —
+    // it is one delta row per wave) so the compaction machinery
+    // applies to it unchanged
+    docs.select(lit(0).as("bucket"), col("dpos"), col("dneg"))
+      .coalesce(1)
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/docs")
+  }
+
+  /** Persist a labeled corpus's NB sufficient statistics under `dir`
+    * (overwrites). */
+  def saveModel(labeled: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    val (terms, docs) = stats(labeled)
+    writeStats(terms, docs, dir, nBuckets, "overwrite")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append an ingest wave's statistics as delta rows (additive log —
+    * no existing file touched; readers sum). NOT crash-idempotent
+    * alone; at-least-once callers wrap it in the BatchFs marker
+    * protocol like the other additive logs. */
+  def appendModel(spark: SparkSession, dir: String,
+                  labeledWave: DataFrame): Unit = {
+    val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
+    val cached = labeledWave
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (terms, docs) = stats(cached)
+      writeStats(terms, docs, dir, nBuckets, "append")
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Load the persisted model: per-key sums over the additive logs,
+    * then the same weight/prior derivation as [[train]] — so scoring
+    * against a loaded model is bit-identical to scoring against a
+    * fresh train() over the union of all appended waves. */
+  def loadModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val voc = spark.read.parquet(s"$dir/terms")
+      .groupBy(col("w")).agg(sum(col("cpos")).as("cpos"),
+        sum(col("cneg")).as("cneg"))
+    val tot = voc.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
+      count(lit(1)).as("v"))
+    val weights = voc.crossJoin(broadcast(tot))
+      .select(col("w"),
+        wgt(col("cpos"), col("cneg"), col("npos"), col("nneg"), col("v")).as("wgt"))
+    val priors = spark.read.parquet(s"$dir/docs")
+      .agg(sum(col("dpos")).as("dpos"), sum(col("dneg")).as("dneg"))
+      .crossJoin(broadcast(tot))
+      .select(
+        round(log10(col("dpos").cast("double") / col("dneg").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("prior"),
+        wgt(lit(0L), lit(0L), col("npos"), col("nneg"), col("v")).as("w_unseen"))
+    (weights, priors)
+  }
+
   /** Registered surface: train on the quality-heuristic weak labels,
     * self-score the corpus, and audit the distillation fit per doc. */
   def nbQuality(spark: SparkSession, sfDir: String): DataFrame = {

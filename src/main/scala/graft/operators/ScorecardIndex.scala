@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Incremental (wave-scoped) curation scoring — the operator a real
+  * 100 TB pipeline runs DAILY: score only a NEW ingest wave against
+  * persisted model state, never re-deriving anything from the standing
+  * corpus. [[CurationScorecard.scorecard]] is the batch anchor (the
+  * whole corpus through every signal); this index is its maintenance
+  * twin, bundling every signal's persisted, ADDITIVE state under one
+  * directory:
+  *
+  *  - `lm/`    — n-gram count logs ([[NgramLm.saveModel]] layout);
+  *  - `nb/`    — NB sufficient-statistic logs ([[NbClassifier.saveModel]]);
+  *  - `spans/` — window-count log ([[SpanDedup.saveWindowIndex]]);
+  *  - `mins/`  — exact-duplicate min-id log: (sentence → min doc id),
+  *    additive under min-merge, so `dedup_kept` for a wave doc needs
+  *    only its own sentence's log row;
+  *  - `cuts/`  — the corpus NTILE(3) perplexity cut points
+  *    ([[ExactRank.Cut]] rows), refreshed on schedule like BM25's
+  *    df/avgdl and IVF centroids (cut DRIFT is tolerated between
+  *    refreshes; a refresh restores exact-NTILE semantics).
+  *
+  * Contract (test-pinned): after `build(admitted)` + `appendWave(w)` +
+  * `refreshCuts(admitted ∪ w)`, `scoreWave(w)` is BIT-IDENTICAL to the
+  * batch scorecard over the full corpus restricted to the wave's ids —
+  * every log is exact-integer additive, so per-key sums equal a fresh
+  * derivation, and the LM/NB arithmetic is the decimal-rounded chain
+  * the batch path uses.
+  *
+  * 100 TB posture: `appendWave` touches only the wave (one narrow
+  * derivation + its count shuffles per log, no standing-corpus
+  * recompute); `scoreWave` is the wave's own maps plus equi-joins into
+  * the logs (the n-gram/term/sentence join keys prune to the wave's
+  * own keys); only `refreshCuts` scans corpus-wide — which is why it
+  * is a scheduled maintenance step, not part of the wave cadence. */
+object ScorecardIndex {
+
+  private val DedupBuckets = 64
+
+  /** (id, sentence, toks, label) — the shared per-doc derivation every
+    * signal consumes (label = the quality heuristic's weak label). */
+  private def labeled(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("sentence"),
+      TextAnalytics.tokens(col("sentence")).as("toks"),
+      TextAnalytics.qualityKeep(col("sentence")).as("label"))
+
+  private def minsDelta(docs: DataFrame): DataFrame =
+    docs.groupBy(col("sentence")).agg(min(col("id")).as("min_id"))
+      .select(pmod(crc32(col("sentence")), lit(DedupBuckets)).cast("int").as("bucket"),
+        col("sentence"), col("min_id"))
+
+  /** Build the index from the admitted corpus (overwrites `dir`),
+    * including an initial cut refresh. */
+  def build(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
+    val lab = labeled(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      NgramLm.saveModel(
+        NgramLm.train(lab.select(col("id"), col("toks"))
+          .filter(size(col("toks")) > 0)), s"$dir/lm")
+      NbClassifier.saveModel(lab.select(col("id"), col("toks"), col("label")),
+        s"$dir/nb")
+      SpanDedup.saveWindowIndex(corpus, s"$dir/spans")
+      minsDelta(corpus).repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/mins")
+      refreshCuts(spark, dir, corpus)
+    } finally lab.unpersist(blocking = false)
+  }
+
+  /** Append an ingest wave to every additive log — touches ONLY the
+    * wave. Cut points deliberately stay stale until the next
+    * [[refreshCuts]] (the df/avgdl discipline). Like the other
+    * additive appends this is not crash-idempotent alone;
+    * at-least-once callers wrap it in the BatchFs marker protocol. */
+  def appendWave(spark: SparkSession, dir: String, wave: DataFrame): Unit = {
+    val lab = labeled(wave)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      NgramLm.appendModel(spark, s"$dir/lm",
+        lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0))
+      NbClassifier.appendModel(spark, s"$dir/nb",
+        lab.select(col("id"), col("toks"), col("label")))
+      SpanDedup.appendWindowIndex(spark, s"$dir/spans", wave)
+      minsDelta(wave).repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dir/mins")
+    } finally lab.unpersist(blocking = false)
+  }
+
+  /** Recompute the exact NTILE(3) perplexity cuts over the CURRENT
+    * corpus (scored through the persisted LM logs — bit-identical to
+    * scoring through a fresh train, the lm_persisted_score contract)
+    * and store them. The only corpus-wide pass in this object; run it
+    * on the retrain schedule, not per wave. */
+  def refreshCuts(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
+    val docs = corpus
+      .select(col("id"), TextAnalytics.tokens(col("sentence")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val scored = NgramLm.score(NgramLm.loadModel(spark, s"$dir/lm"), docs)
+      .select(col("id"), col("ppl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = scored.count()
+      val cuts = ExactRank.cutsAt(scored, "ppl", "id",
+        ExactRank.ntileCutRanks(n, 3), nKnown = Some(n))
+      import spark.implicits._
+      cuts.map(c => (c.rank, c.value, c.id)).toDF("rank", "value", "id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/cuts")
+    } finally scored.unpersist(blocking = false)
+  }
+
+  private def loadCuts(spark: SparkSession, dir: String): Seq[ExactRank.Cut] =
+    spark.read.parquet(s"$dir/cuts").collect()
+      .map(r => ExactRank.Cut(r.getLong(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("value")), r.getLong(r.fieldIndex("id"))))
+      .sortBy(_.rank).toSeq
+
+  /** Score a wave against the persisted state. The index must COVER
+    * the wave (append it first — the [[SpanDedup.dupSpansWithIndex]]
+    * corpus-membership contract): every signal then equals the batch
+    * scorecard's value for those ids. Output schema and semantics are
+    * exactly [[CurationScorecard.scorecard]]'s. */
+  def scoreWave(spark: SparkSession, dir: String, wave: DataFrame): DataFrame = {
+    val lab = labeled(wave)
+    val quality = lab.select(col("id"), col("label").as("keep_quality"))
+
+    val nb = NbClassifier.score(NbClassifier.loadModel(spark, s"$dir/nb"), lab)
+      .select(col("id"), col("nb_keep"))
+
+    val scored = NgramLm.score(NgramLm.loadModel(spark, s"$dir/lm"),
+        lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0))
+      .select(col("id"), col("ppl"))
+    val lm = scored.withColumn("ppl_bucket",
+        ExactRank.bucketCol(col("ppl"), col("id"),
+          loadCuts(spark, dir)))
+      .select(col("id"), col("ppl"), col("ppl_bucket"))
+
+    // min over the additive log rows = min over the full corpus; the
+    // wave doc is the canonical copy iff it IS that minimum
+    val mins = spark.read.parquet(s"$dir/mins")
+      .groupBy(col("sentence")).agg(min(col("min_id")).as("min_id"))
+    val dedup = wave.select(col("id"), col("sentence"))
+      .join(mins, Seq("sentence"), "left")
+      .select(col("id"), (col("id") === col("min_id")).as("dedup_kept"))
+
+    val spans = SpanDedup.dupStatsWithIndex(spark, s"$dir/spans", wave)
+      .select(col("id"), col("dup_fraction"))
+
+    wave.select(col("id"))
+      .join(quality, Seq("id"))
+      .join(nb, Seq("id"))
+      .join(lm, Seq("id"), "left") // zero-token docs have no LM row
+      .join(dedup, Seq("id"))
+      .join(spans, Seq("id"))
+      .withColumn("final_keep",
+        col("keep_quality") && col("nb_keep") && col("dedup_kept") &&
+          col("dup_fraction") < lit(1.0 / 3.0) &&
+          coalesce(col("ppl_bucket") < 3, lit(false)))
+      .select(col("id"), col("keep_quality"), col("nb_keep"), col("dedup_kept"),
+        col("ppl"), col("ppl_bucket"), col("dup_fraction"), col("final_keep"))
+      .orderBy(col("id").asc)
+  }
+
+  // Registered surface: the index over the sf corpus is built once per
+  // JVM (a persisted artifact — the persistedTermIndexFor discipline),
+  // then the wave (every 5th document) is scored against it. The wave
+  // is a subset of the indexed corpus, so the batch scorecard oracle
+  // filtered to the wave ids restates this EXACTLY.
+  private val indexCache = JvmCaches.map[String, String]()
+
+  def scorecardWaveFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Ingest.corpusFromDocuments(spark, sfDir)
+    val dir = indexCache.getOrElseUpdate(sfDir, {
+      val d = "/root/repo/target/scorecard-index/" + new java.io.File(sfDir).getName
+      build(spark, d, corpus)
+      d
+    })
+    scoreWave(spark, dir, corpus.filter(pmod(col("id"), lit(5L)) === 0L))
+  }
+}

@@ -92,8 +92,21 @@ object SpanDedup {
   /** Per-document duplication summary — the curation signal (fraction
     * of tokens inside a duplicated span): (id, n_tokens, dup_tokens,
     * dup_fraction). Documents with no duplicated span report 0. */
-  def dupStats(corpus: DataFrame, w: Int = 8): DataFrame = {
-    val spans = dupSpans(corpus, w)
+  def dupStats(corpus: DataFrame, w: Int = 8): DataFrame =
+    statsFromSpans(corpus, dupSpans(corpus, w))
+
+  /** Per-document duplication summary for `docs` against the PERSISTED
+    * window-count index (which must cover them — the corpus-membership
+    * contract [[dupSpansWithIndex]] states): the incremental-scoring
+    * twin of [[dupStats]], touching only `docs`' own windows plus the
+    * count log. With `docs` ⊆ the indexed corpus the fractions equal
+    * the batch pass exactly. */
+  def dupStatsWithIndex(spark: SparkSession, dir: String,
+                        docs: DataFrame): DataFrame =
+    statsFromSpans(docs, dupSpansWithIndex(spark, dir, docs))
+
+  private def statsFromSpans(corpus: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("id"))
       .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
     corpus.select(col("id"), size(TextAnalytics.tokens(col("sentence"))).cast("long").as("n_tokens"))

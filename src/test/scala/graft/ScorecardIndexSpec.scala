@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationScorecard, NbClassifier, ScorecardIndex, TextAnalytics}
+import graft.sources.Ingest
+
+/** Incremental wave scoring must equal the batch scorecard restricted
+  * to the wave: every persisted log is exact-integer additive, so
+  * build(admitted) + appendWave(wave) + refreshCuts(full) reconstructs
+  * the full-corpus model state bit-for-bit. */
+class ScorecardIndexSpec extends SparkSpec {
+
+  private def corpus: DataFrame = Ingest.corpusFromDocuments(spark, sfSmall)
+
+  private def labeled(df: DataFrame): DataFrame =
+    df.select(col("id"),
+      TextAnalytics.tokens(col("sentence")).as("toks"),
+      TextAnalytics.qualityKeep(col("sentence")).as("label"))
+
+  test("NB model: save + additive append + load equals a fresh train over the union") {
+    val dir = tmpDir("nb-model-")
+    val admitted = labeled(corpus.filter(col("id") % 5 =!= 0))
+    val wave = labeled(corpus.filter(col("id") % 5 === 0))
+    NbClassifier.saveModel(admitted, dir)
+    NbClassifier.appendModel(spark, dir, wave)
+    val loaded = NbClassifier.loadModel(spark, dir)
+    val fresh = NbClassifier.train(labeled(corpus))
+    // weights: identical (w, wgt) sets — decimal, so equality is exact
+    def wset(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSet
+    assert(wset(loaded._1) == wset(fresh._1))
+    def prow(df: DataFrame) = df.collect()
+      .map(r => (r.getDecimal(0).toPlainString, r.getDecimal(1).toPlainString)).toSeq
+    assert(prow(loaded._2) == prow(fresh._2))
+    // and the scored verdicts agree on every document
+    val a = NbClassifier.score(loaded, labeled(corpus))
+      .select(col("id"), col("log_odds"), col("nb_keep")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val b = NbClassifier.score(fresh, labeled(corpus))
+      .select(col("id"), col("log_odds"), col("nb_keep")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+
+  private def rows(df: DataFrame) = df.collect().map(r => (
+    r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+    if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+    if (r.isNullAt(5)) None else Some(r.getLong(5)),
+    r.getDouble(6), r.getBoolean(7))).toSeq
+
+  test("wave scoring through the appended index equals full-corpus scoring restricted to the wave") {
+    val dir = tmpDir("scorecard-idx-")
+    val admitted = corpus.filter(col("id") % 5 =!= 0)
+    val wave = corpus.filter(col("id") % 5 === 0)
+    // production cadence: build on the standing corpus, append the new
+    // wave's deltas (touches only the wave), refresh cuts on schedule
+    ScorecardIndex.build(spark, dir, admitted)
+    ScorecardIndex.appendWave(spark, dir, wave)
+    ScorecardIndex.refreshCuts(spark, dir, corpus)
+    val incremental = rows(ScorecardIndex.scoreWave(spark, dir, wave))
+    val batch = rows(CurationScorecard.scorecard(spark, sfSmall)
+      .filter(col("id") % 5 === 0))
+    assert(incremental.size == batch.size && incremental.nonEmpty)
+    incremental.zip(batch).foreach { case (i, b) =>
+      assert(i == b, s"wave row $i != batch row $b")
+    }
+  }
+
+  test("registered wave surface scores every 5th doc against the full-corpus index") {
+    val out = ScorecardIndex.scorecardWaveFor(spark, sfSmall)
+    val got = rows(out)
+    assert(got.nonEmpty && got.forall(_._1 % 5 == 0))
+    val batch = rows(CurationScorecard.scorecard(spark, sfSmall)
+      .filter(col("id") % 5 === 0))
+    assert(got == batch)
+  }
+}
