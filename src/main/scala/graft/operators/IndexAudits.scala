@@ -274,10 +274,22 @@ object IndexAudits {
     * deterministic 1-in-`sampleMod` anchor sample (population mean
     * 0.90 / 0.92 at the gate scales; floor 0.75 — the sampling
     * rationale is [[batchIvfAudit]]'s). */
+  /** The memoized LSH hard-negative mine (the audit references it
+    * THREE times — per-anchor flags, the verify join, and the recall
+    * join — and each reference of an unpersisted frame replays the
+    * whole sketch → band join → cosine-verify lineage; measured as the
+    * dominant cost of the registered query's median). Built once per
+    * (sfDir, k), persisted, shared — a Bench warm entry carries the
+    * build cost visibly. */
+  private[graft] def hardNegativesMine(spark: SparkSession, sfDir: String,
+                                       k: Int = 5): DataFrame =
+    memoizedTwin(spark, s"hn-lsh-mine:$sfDir:$k")(
+      VectorSearchOps.hardNegativesLsh(spark, sfDir, k))
+
   def hardNegativesLshAudit(spark: SparkSession, sfDir: String,
                             k: Int = 5, sampleMod: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val lsh = VectorSearchOps.hardNegativesLsh(spark, sfDir, k)
+    val lsh = hardNegativesMine(spark, sfDir, k)
     val re = lsh
       .join(emb.select(col("vec_id").as("anchor_id"), col("label").as("al"),
         col("embedding").as("ae")), Seq("anchor_id"))

@@ -170,13 +170,18 @@ object ScorecardIndex {
   // filtered to the wave ids restates this EXACTLY.
   private val indexCache = JvmCaches.map[String, String]()
 
-  def scorecardWaveFor(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = Ingest.corpusFromDocuments(spark, sfDir)
-    val dir = indexCache.getOrElseUpdate(sfDir, {
+  /** Build-or-fetch the persisted index over the sf corpus (the Bench
+    * warm entry, so the one-time build cost is individually timed and
+    * the registered query's median measures WAVE scoring only). */
+  private[graft] def indexFor(spark: SparkSession, sfDir: String): String =
+    indexCache.getOrElseUpdate(sfDir, {
       val d = "/root/repo/target/scorecard-index/" + new java.io.File(sfDir).getName
-      build(spark, d, corpus)
+      build(spark, d, Ingest.corpusFromDocuments(spark, sfDir))
       d
     })
-    scoreWave(spark, dir, corpus.filter(pmod(col("id"), lit(5L)) === 0L))
-  }
+
+  def scorecardWaveFor(spark: SparkSession, sfDir: String): DataFrame =
+    scoreWave(spark, indexFor(spark, sfDir),
+      Ingest.corpusFromDocuments(spark, sfDir)
+        .filter(pmod(col("id"), lit(5L)) === 0L))
 }
