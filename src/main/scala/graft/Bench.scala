@@ -91,7 +91,8 @@ object Bench {
     // r10 warm entries: the LSH hard-negative mine (was the dominant
     // triple-replayed cost inside the registered query's median) and
     // the scorecard-index build (LM+NB+span+min-id logs + cuts)
-    "hard_negatives_mine" -> 6.0, "scorecard_index" -> 20.0
+    "hard_negatives_mine" -> 6.0, "scorecard_index" -> 20.0,
+    "batch_ivf_search" -> 5.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -275,6 +276,7 @@ object Bench {
       // r10: the LSH hard-negative mine the audit references three
       // times, and the wave-scorecard's persisted index build
       "hard_negatives_mine" -> (() => { IndexAudits.hardNegativesMine(spark, sfDir).count(); () }),
+      "batch_ivf_search" -> (() => { IndexAudits.batchIvfSearch(spark, sfDir).count(); () }),
       "scorecard_index" -> (() => { ScorecardIndex.indexFor(spark, sfDir); () }),
     )
     val warm = warmups.map { case (name, fn) =>

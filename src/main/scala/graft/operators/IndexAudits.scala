@@ -202,11 +202,23 @@ object IndexAudits {
     * all-pairs cost to sampleMod⁻¹ of the corpus — the flags that are
     * deterministic stay exhaustive, only the probabilistic floor
     * samples. */
+  /** The memoized batch IVF self-search (the audit references it twice
+    * — the distance recompute and the recall join — and each reference
+    * of an unpersisted frame replays the whole probed-list searchAll
+    * lineage; the same triple-replay shape the hard-negative mine
+    * had). Built once per (sfDir, nlist, nprobe, k), persisted, with a
+    * Bench warm entry carrying the build cost. */
+  private[graft] def batchIvfSearch(spark: SparkSession, sfDir: String,
+                                    nlist: Int = 4, nprobe: Int = 2,
+                                    k: Int = 5): DataFrame =
+    memoizedTwin(spark, s"batch-ivf-search:$sfDir:$nlist:$nprobe:$k")(
+      IvfIndex.searchAll(IvfIndex.forEmbeddings(spark, sfDir, nlist),
+        embeddings(spark, sfDir), "vec_id", "embedding", k, nprobe))
+
   def batchIvfAudit(spark: SparkSession, sfDir: String, nlist: Int = 4,
                     nprobe: Int = 2, k: Int = 5, sampleMod: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
-    val ivf = IvfIndex.searchAll(idx, emb, "vec_id", "embedding", k, nprobe)
+    val ivf = batchIvfSearch(spark, sfDir, nlist, nprobe, k)
     val re = ivf
       .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("se")), Seq("src_id"))
       .join(emb.select(col("vec_id").as("dst_id"), col("embedding").as("de")), Seq("dst_id"))

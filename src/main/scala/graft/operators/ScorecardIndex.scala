@@ -111,6 +111,26 @@ object ScorecardIndex {
     } finally scored.unpersist(blocking = false)
   }
 
+  /** Compaction cadence for the index's seven additive logs (the
+    * [[Compaction.maintainLog]] discipline): each wave append adds one
+    * file per touched partition per log, so a daily cadence without
+    * this grows open-file overhead without bound. Waves here append
+    * WITHOUT batch markers (single-writer, exactly-once callers), so
+    * every parquet file counts as committed and folds. Returns true if
+    * any log compacted. Call on the wave cadence, from the same
+    * single-writer window the appends run in. */
+  def maintain(spark: SparkSession, dir: String,
+               maxFilesPerPartition: Int = 16): Boolean =
+    Seq(
+      (s"$dir/lm/uni", s"$dir/lm"), (s"$dir/lm/bi", s"$dir/lm"),
+      (s"$dir/lm/tri", s"$dir/lm"),
+      (s"$dir/nb/terms", s"$dir/nb"), (s"$dir/nb/docs", s"$dir/nb"),
+      (s"$dir/spans/counts", s"$dir/spans"), (s"$dir/mins", dir))
+      .map { case (data, markerRoot) =>
+        Compaction.maintainLog(spark, data, markerRoot, "bucket",
+          maxFilesPerPartition)._1
+      }.exists(identity)
+
   private def loadCuts(spark: SparkSession, dir: String): Seq[ExactRank.Cut] =
     spark.read.parquet(s"$dir/cuts").collect()
       .map(r => ExactRank.Cut(r.getLong(r.fieldIndex("rank")),

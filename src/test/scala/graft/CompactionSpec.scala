@@ -83,6 +83,64 @@ class CompactionSpec extends SparkSpec {
     assert(!did3 && max3 == 1, s"($did3, $max3)")
   }
 
+  test("batch tags parse at the LAST -part- boundary: dashed namespaces never truncate") {
+    // a namespace that itself contains "-part-" must still round-trip:
+    // splitting at the FIRST occurrence would extract "ns" and
+    // misclassify the file as belonging to a tag no marker can match
+    assert(Compaction.batchTagOf("bns-part-x-7-part-00000-abc.parquet")
+      === Some("ns-part-x-7"))
+    assert(Compaction.batchTagOf("bc-7-part-00000-abc.parquet") === Some("c-7"))
+    assert(Compaction.batchTagOf("part-00000-abc.parquet") === None)
+    assert(Compaction.batchTagOf("b-part-00000.parquet") === None)
+  }
+
+  test("maintainLog triggers on committed files only: crashed orphans cannot cause rewrite churn") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("compact-orphan-trigger-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 200), nBuckets = 4), dir)
+    // pile marker-less batch files into one bucket, past the bound
+    val bucket0 = Paths.get(s"$dir/postings/bucket=0")
+    val base = graft.operators.BatchFs.children(bucket0)
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    (1 to 5).foreach(i =>
+      Files.copy(base, bucket0.resolve(s"b9-$i-part-0000$i-orphan.parquet")))
+    // 6 raw files but only 1 committed: compaction could never reduce
+    // the count, so the trigger must NOT fire (the pre-fix behavior was
+    // a full rewrite every cadence, forever)
+    val (did, maxFiles) = Compaction.maintainLog(spark, s"$dir/postings", dir, "bucket", 3)
+    assert(!did && maxFiles == 1, s"($did, $maxFiles)")
+    // the orphans are still there, untouched
+    assert(graft.operators.BatchFs.children(bucket0)
+      .count(_.getFileName.toString.startsWith("b9-")) == 5)
+  }
+
+  test("non-canonical live partition names abort the swap loudly instead of losing rows") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("compact-noncanon-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 200), nBuckets = 4), dir)
+    // a non-Spark writer lands committed rows under a NON-CANONICAL
+    // partition dir: Spark reads bucket=07 as value 7 and stages it as
+    // bucket=7 — name-based promotion would silently drop the rows
+    // (the pre-fix behavior promoted an empty staged dir over them)
+    val alien = Paths.get(s"$dir/postings/bucket=07")
+    Files.createDirectories(alien)
+    val base = graft.operators.BatchFs.children(Paths.get(s"$dir/postings/bucket=0"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    Files.copy(base, alien.resolve(base.getFileName))
+    val rowsBefore = spark.read.parquet(s"$dir/postings").count()
+    val e = intercept[IllegalArgumentException](
+      Compaction.compactTermIndex(spark, dir))
+    assert(e.getMessage.contains("round-trip"), e.getMessage)
+    // nothing was renamed or dropped: every committed row still reads
+    assert(spark.read.parquet(s"$dir/postings").count() == rowsBefore)
+    assert(graft.operators.BatchFs.children(Paths.get(s"$dir/postings"))
+      .forall(!_.getFileName.toString.startsWith("_old-")))
+  }
+
   test("a crash between rename-aside and promote loses nothing on the next pass") {
     import java.nio.file.{Files, Paths}
     val corpus = Ingest.corpusFromDocuments(spark, sfSmall)

@@ -67,6 +67,24 @@ class ScorecardIndexSpec extends SparkSpec {
     }
   }
 
+  test("log compaction on the wave cadence leaves wave scoring bit-identical") {
+    val dir = tmpDir("scorecard-compact-")
+    ScorecardIndex.build(spark, dir, corpus.filter(col("id") % 5 === 1))
+    // three more waves pile one file per partition per log
+    (2 to 4).foreach(r =>
+      ScorecardIndex.appendWave(spark, dir, corpus.filter(col("id") % 5 === r)))
+    ScorecardIndex.appendWave(spark, dir, corpus.filter(col("id") % 5 === 0))
+    ScorecardIndex.refreshCuts(spark, dir, corpus)
+    val wave = corpus.filter(col("id") % 5 === 0)
+    val before = rows(ScorecardIndex.scoreWave(spark, dir, wave))
+    assert(ScorecardIndex.maintain(spark, dir, maxFilesPerPartition = 2),
+      "five appended waves must cross a 2-file bound somewhere")
+    val after = rows(ScorecardIndex.scoreWave(spark, dir, wave))
+    assert(before == after, "compaction changed wave scores")
+    // settled: a second cadence pass stands pat
+    assert(!ScorecardIndex.maintain(spark, dir, maxFilesPerPartition = 2))
+  }
+
   test("registered wave surface scores every 5th doc against the full-corpus index") {
     val out = ScorecardIndex.scorecardWaveFor(spark, sfSmall)
     val got = rows(out)
