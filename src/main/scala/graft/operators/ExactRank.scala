@@ -91,11 +91,16 @@ object ExactRank {
     case d: Double => d.toLong
   }
 
-  /** Exact value at global 1-based rank `r` of column `c`'s ascending
-    * order over `df` (duplicates: the value v with
-    * count(< v) < r ≤ count(≤ v)). Returns (value, exact global
-    * count of rows strictly below value) — the below-count is what an
-    * id tiebreak inside a duplicated value rebases on.
+  /** SINGLE-RANK REFERENCE implementation: exact value at global
+    * 1-based rank `r` of column `c`'s ascending order over `df`
+    * (duplicates: the value v with count(< v) < r ≤ count(≤ v)).
+    * Returns (value, exact global count of rows strictly below
+    * value) — the below-count is what an id tiebreak inside a
+    * duplicated value rebases on. The batched [[cutsAt]] applies
+    * these EXACT decision rules to many ranks per aggregate pass;
+    * this one-rank form is kept as the independently-tested oracle
+    * the spec holds the batch against (and the readable statement of
+    * the algorithm).
     *
     * `n` must be df.count(). Driver state: O(max(accuracy, 1024))
     * collected cells in the floor step; everything before is

@@ -104,6 +104,27 @@ class ExactRankSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("batched cutsAt agrees with the single-rank reference selectAt on every cut") {
+    val rnd = new scala.util.Random(31)
+    // duplicate-heavy values force both the boundary-hit and the
+    // id-tiebreak paths through the batch machinery
+    val rows = (1L to 3000L).map(i => (i, (rnd.nextInt(23) / 5.0)))
+    val df = rows.toDF("id", "v").repartition(4).cache()
+    try {
+      val n = df.count()
+      val ranks = ExactRank.ntileCutRanks(n, 7)
+      val batched = ExactRank.cutsAt(df, "v", "id", ranks, accuracy = 100,
+        nKnown = Some(n))
+      ranks.zip(batched).foreach { case (r, cut) =>
+        val (v, lt) = ExactRank.selectAt(df, "v", n, r, 100)
+        val tied = df.filter(col("v") === lit(v))
+        val (idv, _) = ExactRank.selectAt(tied, "id", tied.count(), r - lt, 100)
+        assert(cut.value === v.asInstanceOf[Double] && cut.id === idv.asInstanceOf[Long],
+          s"rank $r: batched (${cut.value}, ${cut.id}) != reference ($v, $idv)")
+      }
+    } finally df.unpersist()
+  }
+
   test("selectAt returns the exact element and below-count on longs") {
     val df = Seq(10L, 20L, 20L, 20L, 30L, 40L).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
