@@ -92,7 +92,7 @@ object Bench {
     // triple-replayed cost inside the registered query's median) and
     // the scorecard-index build (LM+NB+span+min-id logs + cuts)
     "hard_negatives_mine" -> 6.0, "scorecard_index" -> 20.0,
-    "batch_ivf_search" -> 5.0
+    "batch_ivf_search" -> 5.0, "scorecard_index_admitted" -> 20.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -278,6 +278,7 @@ object Bench {
       "hard_negatives_mine" -> (() => { IndexAudits.hardNegativesMine(spark, sfDir).count(); () }),
       "batch_ivf_search" -> (() => { IndexAudits.batchIvfSearch(spark, sfDir).count(); () }),
       "scorecard_index" -> (() => { ScorecardIndex.indexFor(spark, sfDir); () }),
+      "scorecard_index_admitted" -> (() => { ScorecardIndex.admittedIndexFor(spark, sfDir); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

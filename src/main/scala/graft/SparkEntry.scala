@@ -500,6 +500,12 @@ object SparkEntry {
     // cuts) — touches only the wave; ScorecardIndexSpec pins
     // bit-equality with the batch scorecard restricted to the wave
     "scorecard_wave" -> ((s, d) => ScorecardIndex.scorecardWaveFor(s, d)),
+    // admission-time semantics: the index covers only the ADMITTED
+    // corpus (id % 5 != 0); the wave scores against LAGGING models and
+    // stored cuts while dedup/span signals fold the wave in virtually —
+    // the daily "filter the incoming wave" operator, streamed by
+    // IndexMaintenance.scorecardStream
+    "scorecard_incoming" -> ((s, d) => ScorecardIndex.scorecardIncomingFor(s, d)),
     // --- pipeline hygiene (north star): reproducible splits +
     // benchmark decontamination ---
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
@@ -1388,6 +1394,200 @@ object SparkEntry {
     // against the persisted additive logs, so equality here proves
     // incremental scoring == batch scoring restricted to the wave
     "scorecard_wave" -> scorecardSql("WHERE q.id % 5 = 0 "),
+    // split-trained incoming oracle: LM/NB counts from the ADMITTED
+    // half only, wave positions scored against them (OOV legal), the
+    // tercile cut ROWS re-derived as the admitted order's NTILE
+    // boundary elements, and dedup/span signals over the FULL corpus
+    // (virtual union ≡ full since admitted ∪ wave = corpus)
+    "scorecard_incoming" ->
+      s"""WITH $sqlCorpusToks,
+         |docs AS (SELECT id, toks FROM corpus WHERE len(toks) > 0 AND id % 5 <> 0),
+         |uni AS (
+         |  SELECT w, count(*)::BIGINT AS c1
+         |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+         |tot AS (SELECT sum(c1)::BIGINT AS n_total FROM uni),
+         |bi AS (
+         |  SELECT k, count(*)::BIGINT AS c2
+         |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i+1])) AS k
+         |        FROM docs WHERE len(toks) >= 2) GROUP BY k),
+         |tri AS (
+         |  SELECT k, count(*)::BIGINT AS c3
+         |  FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS k
+         |        FROM docs WHERE len(toks) >= 3) GROUP BY k),
+         |sdocs AS (SELECT id, toks FROM corpus WHERE len(toks) > 0 AND id % 5 = 0),
+         |pos AS (
+         |  SELECT id, i, toks[i] AS w,
+         |    CASE WHEN i >= 2 THEN toks[i-1] END AS u,
+         |    CASE WHEN i >= 3 THEN toks[i-2] END AS v
+         |  FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS i FROM sdocs)),
+         |keyed AS (
+         |  SELECT id, w, u, v,
+         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u || ' ' || w END AS k3,
+         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u END AS kc2,
+         |    CASE WHEN u IS NOT NULL THEN u || ' ' || w END AS k2
+         |  FROM pos),
+         |sc AS (
+         |  SELECT kd.id,
+         |    CAST(round(log10(CASE
+         |      WHEN kd.v IS NOT NULL AND t3.c3 IS NOT NULL
+         |        THEN t3.c3::DOUBLE / bc.c2::DOUBLE
+         |      WHEN kd.u IS NOT NULL AND b2.c2 IS NOT NULL
+         |        THEN (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
+         |             * b2.c2::DOUBLE / uc.c1::DOUBLE
+         |      ELSE (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
+         |                 WHEN kd.u IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
+         |           * uw.c1::DOUBLE / tot.n_total::DOUBLE END), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM keyed kd
+         |  LEFT JOIN tri t3 ON kd.k3 = t3.k
+         |  LEFT JOIN bi bc ON kd.kc2 = bc.k
+         |  LEFT JOIN bi b2 ON kd.k2 = b2.k
+         |  LEFT JOIN uni uc ON kd.u = uc.w
+         |  LEFT JOIN uni uw ON kd.w = uw.w
+         |  CROSS JOIN tot),
+         |agg AS (
+         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
+         |  FROM sc GROUP BY id),
+         |lmq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
+         |apos AS (
+         |  SELECT id, i, toks[i] AS w,
+         |    CASE WHEN i >= 2 THEN toks[i-1] END AS u,
+         |    CASE WHEN i >= 3 THEN toks[i-2] END AS v
+         |  FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS i FROM docs)),
+         |akeyed AS (
+         |  SELECT id, w, u, v,
+         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u || ' ' || w END AS k3,
+         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u END AS kc2,
+         |    CASE WHEN u IS NOT NULL THEN u || ' ' || w END AS k2
+         |  FROM apos),
+         |asc2 AS (
+         |  SELECT kd.id,
+         |    CAST(round(log10(CASE
+         |      WHEN kd.v IS NOT NULL AND t3.c3 IS NOT NULL
+         |        THEN t3.c3::DOUBLE / bc.c2::DOUBLE
+         |      WHEN kd.u IS NOT NULL AND b2.c2 IS NOT NULL
+         |        THEN (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
+         |             * b2.c2::DOUBLE / uc.c1::DOUBLE
+         |      ELSE (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
+         |                 WHEN kd.u IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
+         |           * uw.c1::DOUBLE / tot.n_total::DOUBLE END), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM akeyed kd
+         |  LEFT JOIN tri t3 ON kd.k3 = t3.k
+         |  LEFT JOIN bi bc ON kd.kc2 = bc.k
+         |  LEFT JOIN bi b2 ON kd.k2 = b2.k
+         |  LEFT JOIN uni uc ON kd.u = uc.w
+         |  LEFT JOIN uni uw ON kd.w = uw.w
+         |  CROSS JOIN tot),
+         |aagg AS (
+         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
+         |  FROM asc2 GROUP BY id),
+         |almq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM aagg),
+         |an AS (SELECT count(*)::BIGINT AS n FROM almq),
+         |crk AS (SELECT 1*(n//3) + LEAST(1::BIGINT, n%3) AS s1,
+         |               2*(n//3) + LEAST(2::BIGINT, n%3) AS s2 FROM an),
+         |aord AS (SELECT ppl, id, row_number() OVER (ORDER BY ppl, id) AS rn FROM almq),
+         |cut1 AS (SELECT a.ppl AS p1, a.id AS i1 FROM aord a, crk WHERE a.rn = crk.s1),
+         |cut2 AS (SELECT a.ppl AS p2, a.id AS i2 FROM aord a, crk WHERE a.rn = crk.s2),
+         |lmb AS (
+         |  SELECT q.id, q.ppl,
+         |    CASE WHEN q.ppl IS NOT NULL THEN
+         |      (1 + (CASE WHEN q.ppl > c1.p1 OR (q.ppl = c1.p1 AND q.id > c1.i1) THEN 1 ELSE 0 END)
+         |         + (CASE WHEN q.ppl > c2.p2 OR (q.ppl = c2.p2 AND q.id > c2.i2) THEN 1 ELSE 0 END))::BIGINT
+         |    END AS ppl_bucket
+         |  FROM lmq q CROSS JOIN cut1 c1 CROSS JOIN cut2 c2),
+         |qual AS (
+         |  SELECT id,
+         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |     AND len(toks) >= 5 AND len(toks) <= 100000
+         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
+         |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept
+         |  FROM corpus),
+         |alab AS (
+         |  SELECT id, toks,
+         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |     AND len(toks) >= 5 AND len(toks) <= 100000
+         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |         / greatest(len(toks), 1) > 0.0) AS label
+         |  FROM corpus WHERE id % 5 <> 0),
+         |wlab AS (
+         |  SELECT id, toks,
+         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
+         |     AND len(toks) >= 5 AND len(toks) <= 100000
+         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+         |         / greatest(len(toks), 1) > 0.0) AS label
+         |  FROM corpus WHERE id % 5 = 0),
+         |aex AS (SELECT id, label, unnest(toks) AS w FROM alab),
+         |voc AS (
+         |  SELECT w,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
+         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
+         |  FROM aex GROUP BY w),
+         |nbtot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
+         |                 count(*)::BIGINT AS v FROM voc),
+         |wt AS (
+         |  SELECT w,
+         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
+         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
+         |         AS DECIMAL(18,6)) AS wgt
+         |  FROM voc CROSS JOIN nbtot),
+         |wun AS (
+         |  SELECT CAST(round(log10(1::DOUBLE / (npos + v)::DOUBLE)
+         |            - log10(1::DOUBLE / (nneg + v)::DOUBLE), 6)
+         |        AS DECIMAL(18,6)) AS wu
+         |  FROM nbtot),
+         |pri AS (
+         |  SELECT CAST(round(log10(
+         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
+         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
+         |    AS DECIMAL(18,6)) AS prior
+         |  FROM alab),
+         |wtf AS (SELECT id, w, count(*)::BIGINT AS tf
+         |        FROM (SELECT id, unnest(toks) AS w FROM wlab) GROUP BY id, w),
+         |docsum AS (
+         |  SELECT t.id, sum(t.tf * coalesce(wt.wgt, u.wu)) AS s
+         |  FROM wtf t LEFT JOIN wt USING (w) CROSS JOIN wun u GROUP BY t.id),
+         |nbq AS (
+         |  SELECT l.id, (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep
+         |  FROM wlab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p),
+         |stok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
+         |swin AS (
+         |  SELECT id, p - 1 AS pos,
+         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
+         |  FROM stok, unnest(range(1, len(toks) - 6)) AS u(p)),
+         |sdup AS (SELECT wtext FROM swin GROUP BY wtext HAVING count(*) >= 2),
+         |smarked AS (SELECT w.id, w.pos FROM swin w JOIN sdup USING (wtext)),
+         |sisl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
+         |      (PARTITION BY id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM smarked),
+         |sisl2 AS (SELECT id, pos,
+         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
+         |  FROM sisl),
+         |sst AS (
+         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
+         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
+         |        FROM sisl2 GROUP BY id, island) GROUP BY id),
+         |spanq AS (
+         |  SELECT c.id,
+         |    CASE WHEN len(c.toks) = 0 THEN 0.0
+         |         ELSE coalesce(sst.dup_tokens, 0) / len(c.toks) END AS dup_fraction
+         |  FROM corpus c LEFT JOIN sst ON c.id = sst.id)
+         |SELECT q.id, q.keep_quality, n.nb_keep, q.dedup_kept,
+         |  b.ppl, b.ppl_bucket, s.dup_fraction,
+         |  (q.keep_quality AND n.nb_keep AND q.dedup_kept
+         |   AND s.dup_fraction < 1.0/3.0
+         |   AND coalesce(b.ppl_bucket < 3, FALSE)) AS final_keep
+         |FROM qual q
+         |JOIN nbq n ON q.id = n.id
+         |LEFT JOIN lmb b ON q.id = b.id
+         |JOIN spanq s ON q.id = s.id
+         |WHERE q.id % 5 = 0
+         |ORDER BY q.id""".stripMargin,
     // persisted-model path: identical counts after the per-key log
     // sums, so the lm_score oracle applies verbatim
     "lm_persisted_score" ->

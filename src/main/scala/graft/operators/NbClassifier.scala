@@ -142,8 +142,7 @@ object NbClassifier {
 
   /** Append an ingest wave's statistics as delta rows (additive log —
     * no existing file touched; readers sum). NOT crash-idempotent
-    * alone; at-least-once callers wrap it in the BatchFs marker
-    * protocol like the other additive logs. */
+    * alone; at-least-once callers use [[appendModelBatch]]. */
   def appendModel(spark: SparkSession, dir: String,
                   labeledWave: DataFrame): Unit = {
     val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
@@ -152,6 +151,38 @@ object NbClassifier {
     try {
       val (terms, docs) = stats(cached)
       writeStats(terms, docs, dir, nBuckets, "append")
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Idempotent per-batch append for at-least-once replay — the NB
+    * twin of [[NgramLm.appendModelBatch]]: stage the wave's two stat
+    * logs, move them in under the `b<tag>-` prefix (clearing a crashed
+    * attempt's files first), marker written last. Returns the wave's
+    * labeled-doc count (0 for a replay). */
+  def appendModelBatch(spark: SparkSession, dir: String,
+                       labeledWave: DataFrame, batchId: Long,
+                       namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
+    val cached = labeledWave
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+      val (terms, docs) = stats(cached)
+      val staging = s"$dir/_staging/stats-batch-$tag"
+      writeStats(terms, docs, staging, nBuckets, "overwrite")
+      Seq("terms", "docs").foreach { sub =>
+        val live = Paths.get(s"$dir/$sub")
+        BatchFs.clearBatch(live, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(s"$staging/$sub"), live, "bucket=", tag)
+      }
+      BatchFs.deleteRecursively(Paths.get(staging))
+      BatchFs.writeMarker(marker, n.toString)
+      n
     } finally cached.unpersist(blocking = false)
   }
 

@@ -111,6 +111,137 @@ object ScorecardIndex {
     } finally scored.unpersist(blocking = false)
   }
 
+  /** Idempotent per-batch wave admission for at-least-once replay (the
+    * streaming cadence): each component log commits through its OWN
+    * BatchFs marker (LM under `lm/`, NB under `nb/`, spans under
+    * `spans/`, the min-id log under the index root), all keyed by the
+    * same (batchId, namespace) — a crash between components is
+    * repaired on replay, where already-committed components no-op and
+    * the rest finish. Returns the wave row count (0 when every
+    * component had already committed). */
+  def appendWaveBatch(spark: SparkSession, dir: String, wave: DataFrame,
+                      batchId: Long, namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val lab = labeled(wave)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = lab.count()
+      NgramLm.appendModelBatch(spark, s"$dir/lm",
+        lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0),
+        batchId, namespace)
+      NbClassifier.appendModelBatch(spark, s"$dir/nb",
+        lab.select(col("id"), col("toks"), col("label")), batchId, namespace)
+      SpanDedup.appendWindowIndexBatch(spark, s"$dir/spans", wave,
+        batchId, namespace)
+      // min-id log: same staged-commit protocol, marker under the root
+      val tag = BatchFs.batchTag(batchId, namespace)
+      val marker = BatchFs.markerFor(dir, batchId, namespace)
+      if (Files.exists(marker)) return 0L
+      val staging = s"$dir/_staging/mins-batch-$tag"
+      minsDelta(wave).repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      val live = Paths.get(s"$dir/mins")
+      BatchFs.clearBatch(live, "bucket=", tag)
+      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+      BatchFs.deleteRecursively(Paths.get(staging))
+      BatchFs.writeMarker(marker, n.toString)
+      n
+    } finally lab.unpersist(blocking = false)
+  }
+
+  /** Has this (batchId, namespace) wave fully committed? True once the
+    * LAST component marker ([[appendWaveBatch]]'s root marker) exists —
+    * the streaming skip gate, mirroring dedupStream's. */
+  private[graft] def waveCommitted(dir: String, batchId: Long,
+                                   namespace: String): Boolean =
+    java.nio.file.Files.exists(BatchFs.markerFor(dir, batchId, namespace))
+
+  /** Score an INCOMING wave that is NOT yet admitted — the
+    * admission-time filter a daily pipeline actually runs. Contract:
+    *
+    *  - `keep_quality` is the per-doc heuristic (identical to batch);
+    *  - `nb_keep` / `ppl` / `ppl_bucket` score against the LAGGING
+    *    persisted models and stored cuts (trained on everything
+    *    admitted so far — they drift like IVF centroids and BM25
+    *    df/avgdl until the next refresh; wave tokens outside the
+    *    admitted vocabulary take the smoothed-unseen/OOV paths);
+    *  - `dedup_kept` / `dup_fraction` are computed against
+    *    admitted ∪ wave VIRTUALLY (the wave's own sentence mins and
+    *    window counts fold into the log sums without writing), so
+    *    intra-wave duplication and wave-vs-corpus duplication are both
+    *    caught, exactly as a batch pass over the union would.
+    *
+    * Admit the survivors afterwards with [[appendWaveBatch]]. */
+  def scoreWaveIncoming(spark: SparkSession, dir: String,
+                        wave: DataFrame): DataFrame = {
+    val lab = labeled(wave)
+    val quality = lab.select(col("id"), col("label").as("keep_quality"))
+
+    val nb = NbClassifier.score(NbClassifier.loadModel(spark, s"$dir/nb"), lab)
+      .select(col("id"), col("nb_keep"))
+
+    // a wave doc whose every token is outside the admitted vocabulary
+    // scores no mass (all-OOV): null ppl ⇒ null bucket (no perplexity,
+    // no tercile — like a zero-token doc), never the when-chain's
+    // fall-through
+    val scored = NgramLm.score(NgramLm.loadModel(spark, s"$dir/lm"),
+        lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0))
+      .select(col("id"), col("ppl"))
+    val lm = scored.withColumn("ppl_bucket",
+        when(col("ppl").isNotNull,
+          ExactRank.bucketCol(col("ppl"), col("id"), loadCuts(spark, dir))))
+      .select(col("id"), col("ppl"), col("ppl_bucket"))
+
+    // admitted ∪ wave mins without writing: the wave's own per-sentence
+    // mins union into the log before the per-sentence min
+    val mins = spark.read.parquet(s"$dir/mins")
+      .select(col("sentence"), col("min_id"))
+      .unionByName(wave.groupBy(col("sentence"))
+        .agg(min(col("id")).as("min_id")))
+      .groupBy(col("sentence")).agg(min(col("min_id")).as("min_id"))
+    val dedup = wave.select(col("id"), col("sentence"))
+      .join(mins, Seq("sentence"), "left")
+      .select(col("id"), (col("id") === col("min_id")).as("dedup_kept"))
+
+    val spans = SpanDedup.dupStatsIncoming(spark, s"$dir/spans", wave)
+      .select(col("id"), col("dup_fraction"))
+
+    wave.select(col("id"))
+      .join(quality, Seq("id"))
+      .join(nb, Seq("id"))
+      .join(lm, Seq("id"), "left") // zero-token docs have no LM row
+      .join(dedup, Seq("id"))
+      .join(spans, Seq("id"))
+      .withColumn("final_keep",
+        col("keep_quality") && col("nb_keep") && col("dedup_kept") &&
+          col("dup_fraction") < lit(1.0 / 3.0) &&
+          coalesce(col("ppl_bucket") < 3, lit(false)))
+      .select(col("id"), col("keep_quality"), col("nb_keep"), col("dedup_kept"),
+        col("ppl"), col("ppl_bucket"), col("dup_fraction"), col("final_keep"))
+      .orderBy(col("id").asc)
+  }
+
+  // Registered incoming surface: the index is built from the ADMITTED
+  // corpus only (everything except the wave), so the model columns
+  // genuinely lag and the dedup/span columns exercise the virtual
+  // union — the admission-time semantics, deterministically restated
+  // by the oracle's split-trained CTE chain.
+  private val admittedIndexCache = JvmCaches.map[String, String]()
+
+  private[graft] def admittedIndexFor(spark: SparkSession, sfDir: String): String =
+    admittedIndexCache.getOrElseUpdate(sfDir, {
+      val d = "/root/repo/target/scorecard-index-admitted/" +
+        new java.io.File(sfDir).getName
+      build(spark, d, Ingest.corpusFromDocuments(spark, sfDir)
+        .filter(pmod(col("id"), lit(5L)) =!= 0L))
+      d
+    })
+
+  def scorecardIncomingFor(spark: SparkSession, sfDir: String): DataFrame =
+    scoreWaveIncoming(spark, admittedIndexFor(spark, sfDir),
+      Ingest.corpusFromDocuments(spark, sfDir)
+        .filter(pmod(col("id"), lit(5L)) === 0L))
+
   /** Compaction cadence for the index's seven additive logs (the
     * [[Compaction.maintainLog]] discipline): each wave append adds one
     * file per touched partition per log, so a daily cadence without

@@ -172,6 +172,59 @@ object SpanDedup {
     n
   }
 
+  /** Idempotent per-batch append for at-least-once replay — the span
+    * twin of [[graft.operators.TextSearch.appendTermBatch]]: stage the
+    * wave's window-count deltas, move them in under the `b<tag>-`
+    * prefix (clearing a crashed attempt's files first), marker written
+    * last. Returns the wave's distinct-window count (0 for a replay). */
+  def appendWindowIndexBatch(spark: SparkSession, dir: String,
+                             newDocs: DataFrame, batchId: Long,
+                             namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val (w, nBuckets) = loadMeta(spark, dir)
+    val counts = windowFrame(newDocs, w)
+      .groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
+      .select(bucketOf(col("wtext"), nBuckets).as("bucket"), col("wtext"), col("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = counts.count()
+      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+      val staging = s"$dir/_staging/counts-batch-$tag"
+      counts.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      val live = Paths.get(s"$dir/counts")
+      BatchFs.clearBatch(live, "bucket=", tag)
+      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+      BatchFs.deleteRecursively(Paths.get(staging))
+      BatchFs.writeMarker(marker, n.toString)
+      n
+    } finally counts.unpersist(blocking = false)
+  }
+
+  /** Per-document duplication summary for an INCOMING wave that is NOT
+    * yet in the index: a window is duplicated iff its summed log count
+    * PLUS the wave's own occurrences reach 2 — exactly the total-count
+    * rule a batch pass over (indexed corpus ∪ wave) would apply, so
+    * admission-time filtering sees intra-wave duplication and
+    * wave-vs-corpus duplication alike without writing anything. */
+  def dupStatsIncoming(spark: SparkSession, dir: String,
+                       wave: DataFrame): DataFrame = {
+    val (w, _) = loadMeta(spark, dir)
+    val wins = windowFrame(wave, w)
+    val waveCounts = wins.groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
+    val totals = spark.read.parquet(s"$dir/counts")
+      .select(col("wtext"), col("occ"))
+      .unionByName(waveCounts)
+      .groupBy(col("wtext")).agg(sum(col("occ")).as("occ"))
+    val dupTexts = totals.filter(col("occ") >= 2).select(col("wtext"))
+    statsFromSpans(wave, spansFromStarts(
+      wins.join(dupTexts, Seq("wtext"), "left_semi")
+        .select(col("id"), col("pos")), w))
+  }
+
   /** Duplicated spans for `docs` against the PERSISTED index, which
     * must cover them (the corpus-membership contract every index here
     * shares — BM25 stats, IVF postings): a window is duplicated iff

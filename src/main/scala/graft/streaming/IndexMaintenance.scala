@@ -225,6 +225,51 @@ object IndexMaintenance {
     * probe-visible by design; run the batch through
     * [[graft.operators.Dedup.dedupMinhashCorpus]] first if intra-wave
     * pairs matter. */
+  /** Continuous curation — the scorecard twin of [[dedupStream]]: each
+    * micro-batch of documents (`id`, `sentence`) is first SCORED as an
+    * incoming wave against everything admitted so far
+    * ([[graft.operators.ScorecardIndex.scoreWaveIncoming]]: lagging
+    * persisted models, virtual-union dedup/span signals), the verdict
+    * frame goes to `onVerdicts`, and the wave is then ADMITTED through
+    * the idempotent [[graft.operators.ScorecardIndex.appendWaveBatch]]
+    * so the NEXT batch scores against this one too.
+    *
+    * Replay semantics mirror dedupStream's: a batch whose final
+    * (root) marker exists is skipped entirely — no re-score, no
+    * re-emit — while a crash mid-admission replays with each component
+    * log repairing itself. Verdicts are materialized
+    * (localCheckpoint) BEFORE the admission so a deferred consumer
+    * never reads post-admission self-matches. Model/cut refreshes
+    * (`refreshCuts`, retrains) stay scheduled maintenance, outside the
+    * wave cadence; the additive logs compact on the same in-stream
+    * cadence as the other appenders. */
+  def scorecardStream(newDocs: DataFrame, dir: String,
+                      onVerdicts: (DataFrame, Long) => Unit,
+                      checkpointDir: Option[String] = None,
+                      maintainEvery: Int = 4,
+                      maxFilesPerPartition: Int = 16): StreamingQuery = {
+    val ns = checkpointNamespace(checkpointDir)
+    val writer = newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.operators.ScorecardIndex.waveCommitted(dir, batchId, ns)) {
+          val verdicts = graft.operators.ScorecardIndex
+            .scoreWaveIncoming(spark, dir, batch)
+            .localCheckpoint(true)
+          onVerdicts(verdicts, batchId)
+          graft.operators.ScorecardIndex.appendWaveBatch(spark, dir, batch,
+            batchId, ns)
+        }
+        if (cadenceHit(batchId, maintainEvery))
+          graft.operators.ScorecardIndex.maintain(spark, dir,
+            maxFilesPerPartition)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   def dedupStream(newDocs: DataFrame, dir: String,
                   onMatches: (DataFrame, Long) => Unit,
                   minJaccard: Double = 0.8,

@@ -85,6 +85,89 @@ class ScorecardIndexSpec extends SparkSpec {
     assert(!ScorecardIndex.maintain(spark, dir, maxFilesPerPartition = 2))
   }
 
+  test("incoming scoring: virtual-union dedup/span signals equal the batch pass over the union") {
+    val dir = tmpDir("scorecard-incoming-")
+    ScorecardIndex.build(spark, dir, corpus.filter(col("id") % 5 =!= 0))
+    val wave = corpus.filter(col("id") % 5 === 0)
+    val incoming = ScorecardIndex.scoreWaveIncoming(spark, dir, wave)
+      .select("id", "dedup_kept", "dup_fraction").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).toSeq
+    // dedup/span fold the wave in virtually, so they must equal the
+    // full-corpus batch scorecard's values for the wave ids exactly
+    val batch = CurationScorecard.scorecard(spark, sfSmall)
+      .filter(col("id") % 5 === 0)
+      .select("id", "dedup_kept", "dup_fraction").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).toSeq
+    assert(incoming == batch)
+    // the model columns LAG: nb/ppl must equal scoring with a model
+    // trained on the admitted half only
+    val admittedLab = labeled(corpus.filter(col("id") % 5 =!= 0))
+    val waveLab = labeled(wave)
+    val nbExpect = NbClassifier.score(NbClassifier.train(admittedLab), waveLab)
+      .select("id", "nb_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = ScorecardIndex.scoreWaveIncoming(spark, dir, wave)
+      .select("id", "nb_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == nbExpect)
+  }
+
+  test("scorecardStream: waves score against everything admitted, then join the corpus") {
+    import org.apache.spark.sql.DataFrame
+    val keepDoc = (i: Long, tag: String) =>
+      (i, s"the quick brown $tag fox jumps over the lazy dog near the river bank")
+    val dir = tmpDir("scorecard-stream-idx")
+    val landing = tmpDir("scorecard-stream-landing")
+    val ckpt = tmpDir("scorecard-stream-ckpt")
+    def docs(rows: (Long, String)*): DataFrame = {
+      import spark.implicits._
+      rows.toDF("id", "sentence")
+    }
+    // admitted: one quality doc + one junk doc (both NB classes present)
+    ScorecardIndex.build(spark, dir,
+      docs(keepDoc(0L, "alpha"), 1L -> "0 1 2 3 4 5 6 7 8 9"))
+    val schema = docs(0L -> "x").schema
+    def stage(name: String, rows: (Long, String)*): Unit = {
+      val tmp = tmpDir("scorecard-stream-stage")
+      docs(rows: _*).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try files.filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+      finally files.close()
+    }
+    // wave 1: a novel quality doc; wave 2: its EXACT duplicate plus a
+    // fresh doc — the duplicate is only droppable because wave 1 was
+    // admitted between the two scoring passes
+    val novel = keepDoc(10L, "beta")._2
+    stage("w1", 10L -> novel)
+    stage("w2", 20L -> novel, 21L -> keepDoc(21L, "gamma")._2)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      graft.streaming.IndexMaintenance.scorecardStream(stream, dir,
+        (v, _) => seen ++= v.select("id", "dedup_kept").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1))),
+        checkpointDir = Some(ckpt),
+        maintainEvery = 1, maxFilesPerPartition = 2).awaitTermination()
+    }
+    run()
+    val verdicts = seen.toMap
+    assert(verdicts(10L), "wave-1 novel doc must be the canonical copy")
+    assert(!verdicts(20L), "wave-2 duplicate of an ADMITTED wave-1 doc must not be kept")
+    assert(verdicts(21L), "wave-2 novel doc must be kept")
+    // replay with nothing new: committed batches skip — no re-emission
+    seen.clear(); run()
+    assert(seen.isEmpty, s"committed batches must not re-score: $seen")
+    // every doc is admitted (the wave-2 duplicate shares wave 1's
+    // sentence, so the min-id log holds 4 distinct texts)
+    import org.apache.spark.sql.functions.{col => c}
+    val mins = spark.read.parquet(s"$dir/mins")
+      .groupBy(c("sentence")).count()
+    assert(mins.count() == 4L)
+  }
+
   test("registered wave surface scores every 5th doc against the full-corpus index") {
     val out = ScorecardIndex.scorecardWaveFor(spark, sfSmall)
     val got = rows(out)
