@@ -301,7 +301,8 @@ class PlanSpec extends SparkSpec {
       }
       self + kids(p).map(singleTaskWindows).sum
     }
-    for (q <- Seq("lm_ppl_buckets", "lm_ppl_buckets_t", "curation_scorecard")) {
+    for (q <- Seq("lm_ppl_buckets", "lm_ppl_buckets_t", "curation_scorecard",
+      "scorecard_wave", "scorecard_incoming")) {
       val df = SparkEntry.queries(q)(spark, sfSmall)
       df.collect()
       val n = singleTaskWindows(df.queryExecution.executedPlan)
