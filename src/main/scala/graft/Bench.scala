@@ -311,8 +311,14 @@ object Bench {
     // (documented 50x swings on this host) deflates to the honest
     // number, while a genuinely slow entry stays high and is flagged
     // with an explicit ~remeasured note.
+    // GRAFT_BENCH_FLAG_SCALE (default 1.0) scales the quiet bounds —
+    // a tiny value forces every entry over the threshold, so the
+    // clearAll + re-run + extra-rep machinery below can be exercised
+    // end-to-end on demand instead of only on a noisy host
+    val flagScale =
+      sys.env.getOrElse("GRAFT_BENCH_FLAG_SCALE", "1.0").toDouble
     def over(entries: Seq[(String, Double)]): Seq[String] = entries.collect {
-      case (name, sec) if sec > 2.0 * quietUpper(name) => name
+      case (name, sec) if sec > 2.0 * quietUpper(name) * flagScale => name
     }
     var warmFinal = warm
     var okFinal = ok
