@@ -168,6 +168,41 @@ class ScorecardIndexSpec extends SparkSpec {
     assert(mins.count() == 4L)
   }
 
+  test("appendWaveBatch: a crash between component commits repairs on replay, no double counts") {
+    import graft.operators.{BatchFs, NbClassifier => NB, NgramLm}
+    val dir = tmpDir("scorecard-crash-")
+    val admitted = corpus.filter(col("id") % 5 =!= 0)
+    val wave = corpus.filter(col("id") % 5 === 0)
+    ScorecardIndex.build(spark, dir, admitted)
+    assert(ScorecardIndex.appendWaveBatch(spark, dir, wave, 5L, "t") > 0L)
+    val wantWeights = NB.loadModel(spark, s"$dir/nb")._1.collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSet
+    val wantUni = NgramLm.loadModel(spark, s"$dir/lm").uni.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val wantMins = spark.read.parquet(s"$dir/mins")
+      .groupBy(col("sentence")).agg(min(col("min_id")).as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // crash window: NB and mins markers lost (their commits "didn't
+    // happen" from the replayer's view), LM and spans markers kept —
+    // the replay must repair exactly the lost components (their staged
+    // b<tag>- files are REPLACED, never doubled) and no-op the rest
+    java.nio.file.Files.delete(BatchFs.markerFor(s"$dir/nb", 5L, "t"))
+    java.nio.file.Files.delete(BatchFs.markerFor(dir, 5L, "t"))
+    ScorecardIndex.appendWaveBatch(spark, dir, wave, 5L, "t")
+    val gotWeights = NB.loadModel(spark, s"$dir/nb")._1.collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSet
+    val gotUni = NgramLm.loadModel(spark, s"$dir/lm").uni.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotMins = spark.read.parquet(s"$dir/mins")
+      .groupBy(col("sentence")).agg(min(col("min_id")).as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotWeights == wantWeights, "NB stats doubled or lost across the crash replay")
+    assert(gotUni == wantUni, "LM counts changed although its marker survived")
+    assert(gotMins == wantMins, "min-id log changed across the crash replay")
+    // and a fully-committed replay is a complete no-op
+    assert(ScorecardIndex.appendWaveBatch(spark, dir, wave, 5L, "t") == 0L)
+  }
+
   test("registered wave surface scores every 5th doc against the full-corpus index") {
     val out = ScorecardIndex.scorecardWaveFor(spark, sfSmall)
     val got = rows(out)
