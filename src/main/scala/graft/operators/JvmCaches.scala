@@ -43,9 +43,12 @@ object JvmCaches {
     new SessionKeyedCache[K, V](map[(String, K), V]())
 
   /** Empty every registered cache — the bench's honest-re-measure
-    * hook. Frames cached by the live session lose only their memoized
-    * handle (re-derivable); unpersist is deliberately not forced, the
-    * rebuild overwrites the same storage. */
+    * hook. This clears only the MEMO handles: frames persisted by the
+    * builds stay in Spark's CacheManager, and a rebuilt identical plan
+    * would silently reuse them ("Asked to cache already cached data").
+    * A caller that needs the re-run to pay the true build cost must
+    * ALSO call `spark.catalog.clearCache()` (Bench's re-measure
+    * does). */
   def clearAll(): Unit = synchronized { clearers.foreach(_.apply()) }
 }
 

@@ -45,27 +45,31 @@ object NbClassifier {
       log10((cNeg + 1).cast("double") / (nNeg + v).cast("double")), 6)
       .cast(DecimalType(18, 6))
 
-  /** Trained model from an (id, toks, label) frame:
-    * (weights: (w, wgt), priors: 1-row (prior, w_unseen)). */
-  def train(labeled: DataFrame): (DataFrame, DataFrame) = {
-    val ex = labeled.select(col("label"), explode(col("toks")).as("w"))
-    val voc = ex.groupBy(col("w")).agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("cpos"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("cneg"))
+  /** The ONE weight/prior derivation, shared by [[train]] (fresh
+    * sufficient statistics) and [[loadModel]] (per-key log sums) — the
+    * bit-identity contract between the two is structural, not two
+    * hand-synchronized formula copies. `voc` is (w, cpos, cneg),
+    * `docCounts` a 1-row (dpos, dneg). */
+  private def derive(voc: DataFrame, docCounts: DataFrame): (DataFrame, DataFrame) = {
     val tot = voc.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
       count(lit(1)).as("v"))
     val weights = voc.crossJoin(broadcast(tot))
       .select(col("w"),
         wgt(col("cpos"), col("cneg"), col("npos"), col("nneg"), col("v")).as("wgt"))
-    val priors = labeled.agg(
-        sum(when(col("label"), 1L).otherwise(0L)).as("dpos"),
-        sum(when(col("label"), 0L).otherwise(1L)).as("dneg"))
+    val priors = docCounts
       .crossJoin(broadcast(tot))
       .select(
         round(log10(col("dpos").cast("double") / col("dneg").cast("double")), 6)
           .cast(DecimalType(18, 6)).as("prior"),
         wgt(lit(0L), lit(0L), col("npos"), col("nneg"), col("v")).as("w_unseen"))
     (weights, priors)
+  }
+
+  /** Trained model from an (id, toks, label) frame:
+    * (weights: (w, wgt), priors: 1-row (prior, w_unseen)). */
+  def train(labeled: DataFrame): (DataFrame, DataFrame) = {
+    val (terms, docs) = stats(labeled)
+    derive(terms, docs)
   }
 
   /** Score an (id, toks, ...) frame against a trained model: appends
@@ -194,19 +198,9 @@ object NbClassifier {
     val voc = spark.read.parquet(s"$dir/terms")
       .groupBy(col("w")).agg(sum(col("cpos")).as("cpos"),
         sum(col("cneg")).as("cneg"))
-    val tot = voc.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
-      count(lit(1)).as("v"))
-    val weights = voc.crossJoin(broadcast(tot))
-      .select(col("w"),
-        wgt(col("cpos"), col("cneg"), col("npos"), col("nneg"), col("v")).as("wgt"))
-    val priors = spark.read.parquet(s"$dir/docs")
+    val docCounts = spark.read.parquet(s"$dir/docs")
       .agg(sum(col("dpos")).as("dpos"), sum(col("dneg")).as("dneg"))
-      .crossJoin(broadcast(tot))
-      .select(
-        round(log10(col("dpos").cast("double") / col("dneg").cast("double")), 6)
-          .cast(DecimalType(18, 6)).as("prior"),
-        wgt(lit(0L), lit(0L), col("npos"), col("nneg"), col("v")).as("w_unseen"))
-    (weights, priors)
+    derive(voc, docCounts)
   }
 
   /** Registered surface: train on the quality-heuristic weak labels,

@@ -156,6 +156,19 @@ object ScorecardIndex {
                                    namespace: String): Boolean =
     java.nio.file.Files.exists(BatchFs.markerFor(dir, batchId, namespace))
 
+  /** Has ANY component of this wave committed? [[appendWaveBatch]]
+    * commits LM first, so its marker witnesses a started admission.
+    * The streaming score/emit step gates on this, not on
+    * [[waveCommitted]]: once a single component log contains the wave,
+    * an incoming-mode re-score would count the wave against itself
+    * (every ≥W-token doc suddenly "duplicated" by its own admitted
+    * windows) and re-emit corrupted verdicts — a partially-admitted
+    * replay must only FINISH the admission, never re-score. */
+  private[graft] def waveStarted(dir: String, batchId: Long,
+                                 namespace: String): Boolean =
+    java.nio.file.Files.exists(
+      BatchFs.markerFor(s"$dir/lm", batchId, namespace))
+
   /** Score an INCOMING wave that is NOT yet admitted — the
     * admission-time filter a daily pipeline actually runs. Contract:
     *
@@ -173,17 +186,28 @@ object ScorecardIndex {
     *
     * Admit the survivors afterwards with [[appendWaveBatch]]. */
   def scoreWaveIncoming(spark: SparkSession, dir: String,
-                        wave: DataFrame): DataFrame = {
+                        wave: DataFrame): DataFrame =
+    assembleVerdicts(spark, dir, wave,
+      dedup = dedupFor(spark, dir, wave, includeWave = true),
+      spans = SpanDedup.dupStatsIncoming(spark, s"$dir/spans", wave)
+        .select(col("id"), col("dup_fraction")))
+
+  /** ONE implementation of the verdict table — schema, join chain, and
+    * the final_keep formula — shared by both scoring modes, which
+    * differ only in their dedup/span input frames (covering-index vs
+    * virtual-union). The quality/NB/LM signals are mode-independent:
+    * they always score against the persisted model state. A doc whose
+    * every token is outside the model vocabulary (possible only under
+    * a lagging model) scores null ppl ⇒ null bucket — never the
+    * bucket when-chain's fall-through; with a covering index ppl is
+    * never null and the guard is a no-op. */
+  private def assembleVerdicts(spark: SparkSession, dir: String,
+                               wave: DataFrame, dedup: DataFrame,
+                               spans: DataFrame): DataFrame = {
     val lab = labeled(wave)
     val quality = lab.select(col("id"), col("label").as("keep_quality"))
-
     val nb = NbClassifier.score(NbClassifier.loadModel(spark, s"$dir/nb"), lab)
       .select(col("id"), col("nb_keep"))
-
-    // a wave doc whose every token is outside the admitted vocabulary
-    // scores no mass (all-OOV): null ppl ⇒ null bucket (no perplexity,
-    // no tercile — like a zero-token doc), never the when-chain's
-    // fall-through
     val scored = NgramLm.score(NgramLm.loadModel(spark, s"$dir/lm"),
         lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0))
       .select(col("id"), col("ppl"))
@@ -191,21 +215,6 @@ object ScorecardIndex {
         when(col("ppl").isNotNull,
           ExactRank.bucketCol(col("ppl"), col("id"), loadCuts(spark, dir))))
       .select(col("id"), col("ppl"), col("ppl_bucket"))
-
-    // admitted ∪ wave mins without writing: the wave's own per-sentence
-    // mins union into the log before the per-sentence min
-    val mins = spark.read.parquet(s"$dir/mins")
-      .select(col("sentence"), col("min_id"))
-      .unionByName(wave.groupBy(col("sentence"))
-        .agg(min(col("id")).as("min_id")))
-      .groupBy(col("sentence")).agg(min(col("min_id")).as("min_id"))
-    val dedup = wave.select(col("id"), col("sentence"))
-      .join(mins, Seq("sentence"), "left")
-      .select(col("id"), (col("id") === col("min_id")).as("dedup_kept"))
-
-    val spans = SpanDedup.dupStatsIncoming(spark, s"$dir/spans", wave)
-      .select(col("id"), col("dup_fraction"))
-
     wave.select(col("id"))
       .join(quality, Seq("id"))
       .join(nb, Seq("id"))
@@ -219,6 +228,28 @@ object ScorecardIndex {
       .select(col("id"), col("keep_quality"), col("nb_keep"), col("dedup_kept"),
         col("ppl"), col("ppl_bucket"), col("dup_fraction"), col("final_keep"))
       .orderBy(col("id").asc)
+  }
+
+  /** Exact-dup verdicts for the wave from the min-id log, PRUNED to
+    * the wave's own sentences before the per-sentence min (a wave must
+    * never pay a corpus-wide aggregate of the log — at 100 TB the log
+    * is corpus-sized, the wave is not). `includeWave` folds the wave's
+    * own per-sentence mins in virtually (incoming mode); the covering
+    * mode reads the log alone. */
+  private def dedupFor(spark: SparkSession, dir: String, wave: DataFrame,
+                       includeWave: Boolean): DataFrame = {
+    val logRows = spark.read.parquet(s"$dir/mins")
+      .select(col("sentence"), col("min_id"))
+      .join(wave.select(col("sentence")).distinct(), Seq("sentence"), "left_semi")
+    val rows =
+      if (includeWave)
+        logRows.unionByName(
+          wave.groupBy(col("sentence")).agg(min(col("id")).as("min_id")))
+      else logRows
+    val mins = rows.groupBy(col("sentence")).agg(min(col("min_id")).as("min_id"))
+    wave.select(col("id"), col("sentence"))
+      .join(mins, Seq("sentence"), "left")
+      .select(col("id"), (col("id") === col("min_id")).as("dedup_kept"))
   }
 
   // Registered incoming surface: the index is built from the ADMITTED
@@ -273,46 +304,11 @@ object ScorecardIndex {
     * corpus-membership contract): every signal then equals the batch
     * scorecard's value for those ids. Output schema and semantics are
     * exactly [[CurationScorecard.scorecard]]'s. */
-  def scoreWave(spark: SparkSession, dir: String, wave: DataFrame): DataFrame = {
-    val lab = labeled(wave)
-    val quality = lab.select(col("id"), col("label").as("keep_quality"))
-
-    val nb = NbClassifier.score(NbClassifier.loadModel(spark, s"$dir/nb"), lab)
-      .select(col("id"), col("nb_keep"))
-
-    val scored = NgramLm.score(NgramLm.loadModel(spark, s"$dir/lm"),
-        lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0))
-      .select(col("id"), col("ppl"))
-    val lm = scored.withColumn("ppl_bucket",
-        ExactRank.bucketCol(col("ppl"), col("id"),
-          loadCuts(spark, dir)))
-      .select(col("id"), col("ppl"), col("ppl_bucket"))
-
-    // min over the additive log rows = min over the full corpus; the
-    // wave doc is the canonical copy iff it IS that minimum
-    val mins = spark.read.parquet(s"$dir/mins")
-      .groupBy(col("sentence")).agg(min(col("min_id")).as("min_id"))
-    val dedup = wave.select(col("id"), col("sentence"))
-      .join(mins, Seq("sentence"), "left")
-      .select(col("id"), (col("id") === col("min_id")).as("dedup_kept"))
-
-    val spans = SpanDedup.dupStatsWithIndex(spark, s"$dir/spans", wave)
-      .select(col("id"), col("dup_fraction"))
-
-    wave.select(col("id"))
-      .join(quality, Seq("id"))
-      .join(nb, Seq("id"))
-      .join(lm, Seq("id"), "left") // zero-token docs have no LM row
-      .join(dedup, Seq("id"))
-      .join(spans, Seq("id"))
-      .withColumn("final_keep",
-        col("keep_quality") && col("nb_keep") && col("dedup_kept") &&
-          col("dup_fraction") < lit(1.0 / 3.0) &&
-          coalesce(col("ppl_bucket") < 3, lit(false)))
-      .select(col("id"), col("keep_quality"), col("nb_keep"), col("dedup_kept"),
-        col("ppl"), col("ppl_bucket"), col("dup_fraction"), col("final_keep"))
-      .orderBy(col("id").asc)
-  }
+  def scoreWave(spark: SparkSession, dir: String, wave: DataFrame): DataFrame =
+    assembleVerdicts(spark, dir, wave,
+      dedup = dedupFor(spark, dir, wave, includeWave = false),
+      spans = SpanDedup.dupStatsWithIndex(spark, s"$dir/spans", wave)
+        .select(col("id"), col("dup_fraction")))
 
   // Registered surface: the index over the sf corpus is built once per
   // JVM (a persisted artifact — the persistedTermIndexFor discipline),

@@ -215,8 +215,13 @@ object SpanDedup {
     val (w, _) = loadMeta(spark, dir)
     val wins = windowFrame(wave, w)
     val waveCounts = wins.groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
+    // only the wave's OWN windows can mark its spans, so the log is
+    // pruned to them before the count aggregation — a wave never pays
+    // a corpus-wide pass over the window log (at 100 TB the log is
+    // corpus-sized, the wave is not)
     val totals = spark.read.parquet(s"$dir/counts")
       .select(col("wtext"), col("occ"))
+      .join(waveCounts.select(col("wtext")), Seq("wtext"), "left_semi")
       .unionByName(waveCounts)
       .groupBy(col("wtext")).agg(sum(col("occ")).as("occ"))
     val dupTexts = totals.filter(col("occ") >= 2).select(col("wtext"))
@@ -234,7 +239,11 @@ object SpanDedup {
                         docs: DataFrame): DataFrame = {
     val (w, _) = loadMeta(spark, dir)
     val wins = windowFrame(docs, w)
+    // prune the log to the queried docs' own windows BEFORE the count
+    // aggregation: only those windows can mark spans in `docs`, and a
+    // per-wave query must not pay a corpus-wide pass over the log
     val dupTexts = spark.read.parquet(s"$dir/counts")
+      .join(wins.select(col("wtext")).distinct(), Seq("wtext"), "left_semi")
       .groupBy(col("wtext")).agg(sum(col("occ")).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("wtext"))

@@ -234,10 +234,16 @@ object IndexMaintenance {
     * the idempotent [[graft.operators.ScorecardIndex.appendWaveBatch]]
     * so the NEXT batch scores against this one too.
     *
-    * Replay semantics mirror dedupStream's: a batch whose final
-    * (root) marker exists is skipped entirely — no re-score, no
-    * re-emit — while a crash mid-admission replays with each component
-    * log repairing itself. Verdicts are materialized
+    * Replay semantics mirror dedupStream's, with one extra guard: a
+    * batch whose final (root) marker exists is skipped entirely, and a
+    * batch whose admission merely STARTED (any component marker
+    * present — the LM commits first) is not re-scored either, only its
+    * admission is finished: once one component log contains the wave,
+    * an incoming-mode re-score would count the wave against itself and
+    * emit corrupted verdicts (every doc a "duplicate" of its own
+    * admitted windows). So verdicts are at-least-once only across the
+    * score-then-crash-before-any-commit window — consumers dedupe on
+    * batchId — and never wrong. Verdicts are materialized
     * (localCheckpoint) BEFORE the admission so a deferred consumer
     * never reads post-admission self-matches. Model/cut refreshes
     * (`refreshCuts`, retrains) stay scheduled maintenance, outside the
@@ -253,10 +259,12 @@ object IndexMaintenance {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!graft.operators.ScorecardIndex.waveCommitted(dir, batchId, ns)) {
-          val verdicts = graft.operators.ScorecardIndex
-            .scoreWaveIncoming(spark, dir, batch)
-            .localCheckpoint(true)
-          onVerdicts(verdicts, batchId)
+          if (!graft.operators.ScorecardIndex.waveStarted(dir, batchId, ns)) {
+            val verdicts = graft.operators.ScorecardIndex
+              .scoreWaveIncoming(spark, dir, batch)
+              .localCheckpoint(true)
+            onVerdicts(verdicts, batchId)
+          }
           graft.operators.ScorecardIndex.appendWaveBatch(spark, dir, batch,
             batchId, ns)
         }

@@ -168,6 +168,48 @@ class ScorecardIndexSpec extends SparkSpec {
     assert(mins.count() == 4L)
   }
 
+  test("scorecardStream: a partially-admitted wave is finished, never re-scored") {
+    import org.apache.spark.sql.DataFrame
+    val dir = tmpDir("scorecard-partial-idx")
+    val landing = tmpDir("scorecard-partial-landing")
+    val ckpt = tmpDir("scorecard-partial-ckpt")
+    def docs(rows: (Long, String)*): DataFrame = {
+      import spark.implicits._
+      rows.toDF("id", "sentence")
+    }
+    ScorecardIndex.build(spark, dir,
+      docs(0L -> "the quick brown alpha fox jumps over the lazy dog by the river",
+        1L -> "0 1 2 3 4 5 6 7 8 9"))
+    val wave = docs(10L -> "the quick brown beta fox jumps over the lazy dog by the river")
+    val tmp = tmpDir("scorecard-partial-stage")
+    wave.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    try fs.filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.move(p,
+        java.nio.file.Paths.get(s"$landing/w1.parquet")))
+    finally fs.close()
+    // simulate the crash window: the wave's admission STARTED (all
+    // component commits landed) but the root marker was lost — the
+    // replay must not re-score (the span log already holds the wave's
+    // windows; a re-score would flag every doc as its own duplicate)
+    // and must finish the admission idempotently
+    val ns = graft.streaming.IndexMaintenance.checkpointNamespace(Some(ckpt))
+    ScorecardIndex.appendWaveBatch(spark, dir, wave, 0L, ns)
+    java.nio.file.Files.delete(graft.operators.BatchFs.markerFor(dir, 0L, ns))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.streaming.IndexMaintenance.scorecardStream(
+      spark.readStream.schema(docs(0L -> "x").schema).parquet(landing), dir,
+      (v, _) => seen ++= v.select("id").collect().map(_.getLong(0)),
+      checkpointDir = Some(ckpt)).awaitTermination()
+    assert(seen.isEmpty,
+      s"partially-admitted wave must not re-score/re-emit: $seen")
+    assert(ScorecardIndex.appendWaveBatch(spark, dir, wave, 0L, ns) == 0L,
+      "the stream replay must have finished the admission (root marker restored)")
+    // the wave landed exactly once in the min-id log
+    assert(spark.read.parquet(s"$dir/mins")
+      .filter(col("min_id") === 10L).count() == 1L)
+  }
+
   test("appendWaveBatch: a crash between component commits repairs on replay, no double counts") {
     import graft.operators.{BatchFs, NbClassifier => NB, NgramLm}
     val dir = tmpDir("scorecard-crash-")
