@@ -168,6 +168,28 @@ class CompactionSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$dir/postings.compact-staging")))
   }
 
+  test("a crash after rename-aside with staging lost restores the set-aside partition") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("compact-restore-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 250), nBuckets = 4), dir)
+    TextSearch.appendTermBatch(spark, dir,
+      corpus.filter(col("id") >= 250), 1L, "r")
+    val expected = spark.read.parquet(s"$dir/postings")
+      .orderBy(col("term"), col("id")).collect()
+    // crash window: live renamed aside, but the staged replacement is
+    // GONE (e.g. the staging delete raced the crash) — recovery's only
+    // safe move is restoring the set-aside dir verbatim
+    val live = Paths.get(s"$dir/postings/bucket=2")
+    Files.move(live, Paths.get(s"$dir/postings/_old-bucket=2"))
+    Compaction.compactTermIndex(spark, dir)
+    val got = spark.read.parquet(s"$dir/postings")
+      .orderBy(col("term"), col("id")).collect()
+    assert(expected.sameElements(got), "rows lost across the restore-unwind recovery")
+    assert(!Files.exists(Paths.get(s"$dir/postings/_old-bucket=2")))
+  }
+
   test("an uncommitted batch file is carried over, never folded") {
     import java.nio.file.{Files, Paths}
     val corpus = Ingest.corpusFromDocuments(spark, sfSmall)

@@ -104,6 +104,18 @@ class ExactRankSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("property sweep: NTILE equivalence across seeds, duplication regimes, and bucket counts") {
+    // widen the equivalence net beyond the hand-picked shapes: three
+    // seeds × three duplication regimes × two bucket counts, all at an
+    // accuracy small enough that the bracket loop iterates
+    for (seed <- Seq(1, 17, 4242); card <- Seq(5, 200, 100000)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 1500L).map(i => (i, rnd.nextInt(card).toDouble / 3.0))
+      check(rows, 4, accuracy = 60)
+      check(rows, 10, accuracy = 60)
+    }
+  }
+
   test("batched cutsAt agrees with the single-rank reference selectAt on every cut") {
     val rnd = new scala.util.Random(31)
     // duplicate-heavy values force both the boundary-hit and the
