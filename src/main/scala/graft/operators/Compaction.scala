@@ -197,7 +197,16 @@ object Compaction {
     * decision input is a directory listing (no Spark job). Returns
     * (compacted?, max files per partition observed). Streaming
     * appenders call this on a cadence (every N batches) from the same
-    * single-writer maintenance window their appends run in. */
+    * single-writer maintenance window their appends run in.
+    *
+    * [[compactPartitions]]' canonical-name abort is CAUGHT here and
+    * reported as a skip (loud log, `false` result): every streaming
+    * appender reaches compaction through this wrapper, and a
+    * non-canonical partition name is a maintenance anomaly — failing
+    * the whole streaming query every cadence would turn it into a
+    * pipeline outage while the appends themselves are perfectly
+    * healthy. Explicit offline compaction (calling
+    * [[compactPartitions]] directly) keeps the hard failure. */
   def maintainLog(spark: SparkSession, dataDir: String, markerRoot: String,
                   partCol: String,
                   maxFilesPerPartition: Int = 16): (Boolean, Int) = {
@@ -217,7 +226,22 @@ object Compaction {
           batchTagOf(f.getFileName.toString).forall(committedTags.contains)))
       .foldLeft(0)(math.max)
     if (maxFiles <= maxFilesPerPartition) (false, maxFiles)
-    else { compactPartitions(spark, dataDir, markerRoot, partCol); (true, maxFiles) }
+    else
+      try { compactPartitions(spark, dataDir, markerRoot, partCol); (true, maxFiles) }
+      catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("compaction aborted")) =>
+          // the abort fires BEFORE any rename (compactPartitions stages
+          // first, swaps last), so the log is untouched and appends can
+          // continue; the next pass retries and re-logs until an
+          // operator rewrites the offending partition names. The staged
+          // dir is a discardable re-derivation — drop it now rather
+          // than leaving it for the next pass's recovery sweep.
+          org.slf4j.LoggerFactory.getLogger(getClass).error(
+            s"maintainLog: compaction of $dataDir skipped — ${e.getMessage}")
+          BatchFs.deleteRecursively(Paths.get(s"$dataDir.compact-staging"))
+          (false, maxFiles)
+      }
   }
 
   /** Compact every log of a persisted BM25 term index. */

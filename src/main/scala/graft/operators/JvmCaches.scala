@@ -19,8 +19,9 @@ import org.apache.spark.sql.SparkSession
   *    must not receive frames referencing a stopped or foreign
   *    SparkContext. [[SessionKeyedCache]] keys on
   *    `sparkContext.applicationId` and evicts foreign-session entries
-  *    on access (their context is gone, so the cached blocks are
-  *    already unreachable — eviction is bookkeeping, not unpersist).
+  *    on access, best-effort unpersisting Dataset values as it goes
+  *    (a no-op for stopped contexts, a real block release if the
+  *    foreign session is still live).
   */
 object JvmCaches {
   private val clearers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
@@ -28,12 +29,27 @@ object JvmCaches {
   private def register(clear: () => Unit): Unit =
     synchronized { clearers += clear }
 
+  /** Best-effort unpersist of a Dataset-valued cache entry on
+    * clear/evict: a dropped handle would otherwise leak its
+    * MEMORY_AND_DISK blocks in a still-live session (the CacheManager
+    * keeps them until clearCache or session stop). Swallows everything
+    * — the entry may belong to an already-stopped context, where the
+    * blocks are gone and unpersist can only throw. Values that EMBED
+    * frames (e.g. IVF Index handles) are not reached; their frames are
+    * small persisted postings and clearAll's sole caller pairs it with
+    * spark.catalog.clearCache(), which drops those too. */
+  private[operators] def releaseValue(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      try ds.unpersist(blocking = false) catch { case _: Throwable => () }
+    case _ => ()
+  }
+
   /** A TrieMap cache wired into [[clearAll]]. Use for values that
     * outlive a SparkSession (paths of persisted artifacts, driver-side
     * model arrays, merge tables). */
   def map[K, V](): TrieMap[K, V] = {
     val m = TrieMap.empty[K, V]
-    register(() => m.clear())
+    register(() => { m.values.foreach(releaseValue); m.clear() })
     m
   }
 
@@ -43,12 +59,13 @@ object JvmCaches {
     new SessionKeyedCache[K, V](map[(String, K), V]())
 
   /** Empty every registered cache — the bench's honest-re-measure
-    * hook. This clears only the MEMO handles: frames persisted by the
-    * builds stay in Spark's CacheManager, and a rebuilt identical plan
-    * would silently reuse them ("Asked to cache already cached data").
-    * A caller that needs the re-run to pay the true build cost must
-    * ALSO call `spark.catalog.clearCache()` (Bench's re-measure
-    * does). */
+    * hook. Dataset-valued entries are best-effort unpersisted as they
+    * go, but frames persisted INSIDE builds (or embedded in value
+    * structs) stay in Spark's CacheManager, and a rebuilt identical
+    * plan would silently reuse them ("Asked to cache already cached
+    * data") — a caller that needs the re-run to pay the true build
+    * cost must ALSO call `spark.catalog.clearCache()` (Bench's
+    * re-measure does). */
   def clearAll(): Unit = synchronized { clearers.foreach(_.apply()) }
 }
 
@@ -59,7 +76,13 @@ final class SessionKeyedCache[K, V] private[operators] (
     underlying: TrieMap[(String, K), V]) {
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V = {
     val app = spark.sparkContext.applicationId
-    underlying.keySet.filter(_._1 != app).foreach(underlying.remove)
+    // foreign-session entries usually belong to a STOPPED context
+    // (their blocks are already unreachable), but a second live session
+    // in one JVM is possible — best-effort unpersist either way, so a
+    // live foreign session doesn't leak executor cache blocks
+    underlying.keySet.filter(_._1 != app).foreach { k =>
+      underlying.remove(k).foreach(JvmCaches.releaseValue)
+    }
     underlying.getOrElseUpdate((app, key), build)
   }
 }

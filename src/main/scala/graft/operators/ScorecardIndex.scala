@@ -126,6 +126,15 @@ object ScorecardIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = lab.count()
+      // started sentinel FIRST, before any component's data can land:
+      // NgramLm.appendModelBatch commits its uni/bi/tri data files
+      // before writing the lm marker, so a crash inside that window
+      // leaves wave counts in the log with no marker to witness them —
+      // [[waveStarted]] would read false and an incoming-mode replay
+      // would re-score the wave against a log already containing part
+      // of the wave's own LM counts. The sentinel closes the window:
+      // any partially-landed data is preceded by it.
+      BatchFs.writeMarker(startedSentinel(dir, batchId, namespace), "")
       NgramLm.appendModelBatch(spark, s"$dir/lm",
         lab.select(col("id"), col("toks")).filter(size(col("toks")) > 0),
         batchId, namespace)
@@ -156,18 +165,33 @@ object ScorecardIndex {
                                    namespace: String): Boolean =
     java.nio.file.Files.exists(BatchFs.markerFor(dir, batchId, namespace))
 
-  /** Has ANY component of this wave committed? [[appendWaveBatch]]
-    * commits LM first, so its marker witnesses a started admission.
-    * The streaming score/emit step gates on this, not on
-    * [[waveCommitted]]: once a single component log contains the wave,
-    * an incoming-mode re-score would count the wave against itself
-    * (every ≥W-token doc suddenly "duplicated" by its own admitted
-    * windows) and re-emit corrupted verdicts — a partially-admitted
-    * replay must only FINISH the admission, never re-score. */
+  /** Path of the started sentinel [[appendWaveBatch]] writes BEFORE
+    * its first component commit (underscore-prefixed: invisible to
+    * Spark's file listing, same convention as the marker dirs). */
+  private[graft] def startedSentinel(dir: String, batchId: Long,
+                                     namespace: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      s"$dir/_started/${BatchFs.MarkerSchemeVersion}/" +
+        BatchFs.batchTag(batchId, namespace))
+
+  /** Has this wave's admission STARTED — i.e. could ANY component log
+    * already contain wave data? True once [[appendWaveBatch]]'s
+    * started sentinel exists (written before the first component
+    * commit, so every crash point with partially-landed data is
+    * covered — including mid-LM-append, where uni/bi/tri data files
+    * commit before the lm marker). The streaming score/emit step gates
+    * on this, not on [[waveCommitted]]: once a single component log
+    * contains the wave, an incoming-mode re-score would count the wave
+    * against itself (every ≥W-token doc suddenly "duplicated" by its
+    * own admitted windows) and re-emit corrupted verdicts — a
+    * partially-admitted replay must only FINISH the admission, never
+    * re-score. The lm-marker check remains for indexes whose waves
+    * were admitted before the sentinel existed. */
   private[graft] def waveStarted(dir: String, batchId: Long,
                                  namespace: String): Boolean =
-    java.nio.file.Files.exists(
-      BatchFs.markerFor(s"$dir/lm", batchId, namespace))
+    java.nio.file.Files.exists(startedSentinel(dir, batchId, namespace)) ||
+      java.nio.file.Files.exists(
+        BatchFs.markerFor(s"$dir/lm", batchId, namespace))
 
   /** Score an INCOMING wave that is NOT yet admitted — the
     * admission-time filter a daily pipeline actually runs. Contract:

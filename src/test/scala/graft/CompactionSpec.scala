@@ -141,6 +141,34 @@ class CompactionSpec extends SparkSpec {
       .forall(!_.getFileName.toString.startsWith("_old-")))
   }
 
+  test("maintainLog survives the canonical-name abort: skip + untouched log, never a thrown cadence") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("compact-maintain-skip-")
+    TextSearch.saveTermIndex(
+      TextSearch.buildTermIndex(corpus.filter(col("id") < 200), nBuckets = 4), dir)
+    (1 to 3).foreach(i => TextSearch.appendTermBatch(spark, dir,
+      corpus.filter(col("id") >= 200 + 100 * (i - 1) && col("id") < 200 + 100 * i),
+      i.toLong, "s"))
+    // same non-canonical alien partition as the compactPartitions abort
+    // test — but the streaming cadence reaches compaction through
+    // maintainLog, where an abort must degrade to a logged SKIP: a
+    // thrown require would fail the whole streaming query every cadence
+    val alien = Paths.get(s"$dir/postings/bucket=07")
+    Files.createDirectories(alien)
+    val base = graft.operators.BatchFs.children(Paths.get(s"$dir/postings/bucket=0"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    Files.copy(base, alien.resolve(base.getFileName))
+    val rowsBefore = spark.read.parquet(s"$dir/postings").count()
+    val (did, maxFiles) = Compaction.maintainLog(spark, s"$dir/postings", dir, "bucket", 3)
+    assert(!did && maxFiles == 4, s"($did, $maxFiles)")
+    // the log is untouched and the staged re-derivation was cleaned up
+    assert(spark.read.parquet(s"$dir/postings").count() == rowsBefore)
+    assert(!Files.exists(Paths.get(s"$dir/postings.compact-staging")))
+    // the offline entry point keeps the hard failure
+    intercept[IllegalArgumentException](Compaction.compactTermIndex(spark, dir))
+  }
+
   test("a crash between rename-aside and promote loses nothing on the next pass") {
     import java.nio.file.{Files, Paths}
     val corpus = Ingest.corpusFromDocuments(spark, sfSmall)

@@ -210,6 +210,58 @@ class ScorecardIndexSpec extends SparkSpec {
       .filter(col("min_id") === 10L).count() == 1L)
   }
 
+  test("scorecardStream: a crash MID-LM-append (data landed, no lm marker) still suppresses re-scoring") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{BatchFs, NgramLm, TextAnalytics => TA}
+    val dir = tmpDir("scorecard-midlm-idx")
+    val landing = tmpDir("scorecard-midlm-landing")
+    val ckpt = tmpDir("scorecard-midlm-ckpt")
+    def docs(rows: (Long, String)*): DataFrame = {
+      import spark.implicits._
+      rows.toDF("id", "sentence")
+    }
+    ScorecardIndex.build(spark, dir,
+      docs(0L -> "the quick brown alpha fox jumps over the lazy dog by the river",
+        1L -> "0 1 2 3 4 5 6 7 8 9"))
+    val wave = docs(10L -> "the quick brown beta fox jumps over the lazy dog by the river")
+    val tmp = tmpDir("scorecard-midlm-stage")
+    wave.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    try fs.filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.move(p,
+        java.nio.file.Paths.get(s"$landing/w1.parquet")))
+    finally fs.close()
+    // the exact window the r10 advice flagged: appendWaveBatch wrote
+    // its started sentinel and NgramLm.appendModelBatch committed the
+    // uni/bi/tri DATA files, but the crash hit before the lm MARKER
+    // landed — the LM log now contains part of the wave's own counts
+    // with no component marker to witness it. Simulate by replaying
+    // appendWaveBatch's prefix by hand.
+    val ns = graft.streaming.IndexMaintenance.checkpointNamespace(Some(ckpt))
+    BatchFs.writeMarker(ScorecardIndex.startedSentinel(dir, 0L, ns), "")
+    NgramLm.appendModelBatch(spark, s"$dir/lm",
+      wave.select(col("id"), TA.tokens(col("sentence")).as("toks"))
+        .filter(size(col("toks")) > 0), 0L, ns)
+    java.nio.file.Files.delete(BatchFs.markerFor(s"$dir/lm", 0L, ns))
+    assert(ScorecardIndex.waveStarted(dir, 0L, ns),
+      "the started sentinel must witness the partially-landed LM data")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.streaming.IndexMaintenance.scorecardStream(
+      spark.readStream.schema(docs(0L -> "x").schema).parquet(landing), dir,
+      (v, _) => seen ++= v.select("id").collect().map(_.getLong(0)),
+      checkpointDir = Some(ckpt)).awaitTermination()
+    assert(seen.isEmpty,
+      s"a wave with partially-landed LM data must not re-score/re-emit: $seen")
+    // the replay FINISHED the admission: every component committed, and
+    // the LM log holds the wave's counts exactly once (the replaced
+    // b<tag>- files were never doubled)
+    assert(ScorecardIndex.appendWaveBatch(spark, dir, wave, 0L, ns) == 0L)
+    val uniCount = NgramLm.loadModel(spark, s"$dir/lm").uni
+      .filter(col("w") === "beta").collect()
+    assert(uniCount.length == 1 && uniCount.head.getLong(1) == 1L,
+      s"wave LM counts must land exactly once: ${uniCount.mkString(",")}")
+  }
+
   test("appendWaveBatch: a crash between component commits repairs on replay, no double counts") {
     import graft.operators.{BatchFs, NbClassifier => NB, NgramLm}
     val dir = tmpDir("scorecard-crash-")
