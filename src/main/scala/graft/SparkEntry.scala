@@ -509,6 +509,10 @@ object SparkEntry {
     // --- pipeline hygiene (north star): reproducible splits +
     // benchmark decontamination ---
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
+    // split keyed on the near-dup cluster canonical id, so a duplicate
+    // pair can never straddle train/test (the leakage guard per-doc
+    // hash splits lack)
+    "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
     "contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // --- multimodal plumbing (north star; payload stays narrow) ---
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),
@@ -2029,6 +2033,39 @@ object SparkEntry {
          |SELECT src AS id, MIN(node) AS canonical_id,
          |  src = MIN(node) AS kept
          |FROM reach GROUP BY src
+         |ORDER BY id""".stripMargin,
+    // leakage-safe split: the minhash_clusters CC chain, with the
+    // train/val/test assignment hashed on the CANONICAL id — DuckDB
+    // reproduces both the clustering and the md5 hex-threshold split
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $sqlMinhashSig,
+         |bands AS (
+         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id FROM cand c
+         |  JOIN tokenized ta ON ta.id = c.a_id
+         |  JOIN tokenized tb ON tb.id = c.b_id
+         |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
+         |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT id, id FROM tokenized
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         |clusters AS (
+         |  SELECT src AS id, MIN(node) AS canonical_id FROM reach GROUP BY src)
+         |SELECT id, canonical_id,
+         |  CASE WHEN substr(md5('graft' || canonical_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+         |       WHEN substr(md5('graft' || canonical_id::VARCHAR), 1, 2) < 'e7' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clusters
          |ORDER BY id""".stripMargin,
     // persisted-index probe ≡ the direct LSH join between the two
     // corpus halves (band keys from the same md5 signatures; the

@@ -174,7 +174,15 @@ object NgramLm {
     * logs bucketed by crc32(key) % nBuckets. The token total is NOT
     * stored — it is definitionally Σc1 over the unigram log, so
     * deriving it at load time keeps the persisted state fully additive
-    * with no separately-consistent scalar to crash out of sync. */
+    * with no separately-consistent scalar to crash out of sync.
+    *
+    * The three writes stay SEQUENTIAL by design: the uni/bi/tri frames
+    * share one unpersisted parent plan, and concurrent actions over
+    * plans sharing live Catalyst subtrees produced wrong counts under
+    * suite-level concurrency (observed: a unigram count migrating
+    * between adjacent words). Concurrency is safe one level up, where
+    * the shared input is persisted and materialized before forking —
+    * the [[Pq.train]] / [[ScorecardIndex.build]] discipline. */
   def saveModel(model: Model, dir: String, nBuckets: Int = 64): Unit = {
     writeCounts(model.uni, "w", "c1", s"$dir/uni", nBuckets, "overwrite")
     writeCounts(model.bi, "k", "c2", s"$dir/bi", nBuckets, "overwrite")

@@ -39,6 +39,36 @@ object Sampling {
       .select(col("id"), col("split"))
       .orderBy(col("id").asc)
 
+  /** LEAKAGE-SAFE train/val/test split: the split key is the
+    * document's near-dup CLUSTER canonical id ([[Dedup.minhashClusters]]),
+    * not its own id — so a near-duplicate pair can never straddle
+    * train and test. Per-doc hash splits ([[sampleSplit]]) silently
+    * leak: with ~80/10/10 odds a duplicated eval document has a ~17%
+    * chance of a training-set twin, and at web scale (30-50% near-dup
+    * rates before dedup) that contaminates a measurable fraction of
+    * every held-out set. Hashing the canonical id keeps every member
+    * of a duplicate group together while staying deterministic,
+    * rerun-stable, and engine-reproducible (same md5 hex-threshold
+    * device as [[sampleSplit]]).
+    *
+    * Scale = exactly [[Dedup.minhashClusters]] (banded LSH equi-join +
+    * CC) plus a narrow map; the split step itself adds no shuffle. A
+    * production pipeline runs the clustering ONCE for dedup and reuses
+    * the same canonical ids here — assignment drift only happens when
+    * the clustering is re-run, the same trade BM25's df/avgdl and the
+    * IVF centroids make. */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String,
+                       salt: String = "graft"): DataFrame =
+    Dedup.minhashClusters(spark, sfDir)
+      .withColumn("hx",
+        substring(md5(concat(lit(salt), col("canonical_id").cast("string"))), 1, 2))
+      .withColumn("split",
+        when(col("hx") < "cd", "train")
+          .when(col("hx") < "e7", "val")
+          .otherwise("test"))
+      .select(col("id"), col("canonical_id"), col("split"))
+      .orderBy(col("id").asc)
+
   /** Per-source sampling rates for the mixture (hex thresholds over
     * the first two md5 chars, same mechanism as sampleSplit):
     * src0 keeps ~80%, src1 ~50%, src2 ~25%, everything else ~10%. */

@@ -53,20 +53,33 @@ object ScorecardIndex {
         col("sentence"), col("min_id"))
 
   /** Build the index from the admitted corpus (overwrites `dir`),
-    * including an initial cut refresh. */
+    * including an initial cut refresh. The four component logs are
+    * independent (distinct paths, own shuffles), and each is a chain
+    * of small driver-synchronized jobs — sequential building is
+    * latency-bound, not compute-bound, so the chains run concurrently
+    * (the Pq.train discipline; results are bit-identical either way).
+    * The LM chain carries the cut refresh, which needs the LM logs on
+    * disk first; `lab` is materialized BEFORE forking so concurrent
+    * first-touch readers don't compute the shared frame twice. */
   def build(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
     val lab = labeled(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      NgramLm.saveModel(
-        NgramLm.train(lab.select(col("id"), col("toks"))
-          .filter(size(col("toks")) > 0)), s"$dir/lm")
-      NbClassifier.saveModel(lab.select(col("id"), col("toks"), col("label")),
-        s"$dir/nb")
-      SpanDedup.saveWindowIndex(corpus, s"$dir/spans")
-      minsDelta(corpus).repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/mins")
-      refreshCuts(spark, dir, corpus)
+      lab.count()
+      import scala.collection.parallel.CollectionConverters._
+      Seq(
+        () => {
+          NgramLm.saveModel(
+            NgramLm.train(lab.select(col("id"), col("toks"))
+              .filter(size(col("toks")) > 0)), s"$dir/lm")
+          refreshCuts(spark, dir, corpus)
+        },
+        () => NbClassifier.saveModel(
+          lab.select(col("id"), col("toks"), col("label")), s"$dir/nb"),
+        () => SpanDedup.saveWindowIndex(corpus, s"$dir/spans"),
+        () => minsDelta(corpus).repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/mins")
+      ).par.foreach(_.apply())
     } finally lab.unpersist(blocking = false)
   }
 

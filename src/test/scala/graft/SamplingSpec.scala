@@ -27,6 +27,40 @@ class SamplingSpec extends SparkSpec {
     assert(sub(0L) == full(0L) && sub(7L) == full(7L))
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle splits; assignment is cluster-constant") {
+    val rows = Sampling.leakageSafeSplit(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500, "every signature-bearing doc gets a split")
+    // the leakage guarantee, definitionally: one split per cluster
+    val perCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(perCluster.values.forall(_.length == 1),
+      s"clusters with mixed splits: ${perCluster.filter(_._2.length > 1).keys.take(5)}")
+    // and through the ACTUAL near-dup pairs: both ends always agree
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val pairs = Dedup.dedupMinhash(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"leak: pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // per-doc hash splits DO leak on this fixture — the guard is not
+    // vacuous: at least one near-dup pair straddles sampleSplit's
+    // assignment (80/10/10 odds make a 500-doc dup-heavy fixture
+    // straddle with near-certainty; pinned by the fixed salt)
+    val naive = Sampling.sampleSplit(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture no longer demonstrates the leak the operator exists to prevent")
+    // proportions stay usable (clusters shift mass, but the corpus is
+    // mostly singletons)
+    val frac = rows.groupBy(_._3).view.mapValues(_.length / 500.0).toMap
+    assert(frac("train") > 0.65 && frac("train") < 0.95, s"$frac")
+    // determinism
+    val again = Sampling.leakageSafeSplit(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("contaminationSets: shared phrases detected, common shingles df-capped out") {
     val bench = Seq(
       (1000L, "the capital of france is paris and it sits on the seine"))
