@@ -27,6 +27,23 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Shared oracle CTE: 64-bit sign-bit signatures over the embeddings
+    * table (bit b = 1 iff embedding[b] > 0; dim is 64 at every oracle
+    * scale). Packing mirrors dedup_simhash's: HUGEINT accumulation,
+    * then two's-complement conversion to a signed BIGINT so
+    * bit_count(xor(...)) runs on the same 64-bit lanes as the engine. */
+  private val sqlBinarySig: String =
+    """usig AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64), b ->
+      |      CASE WHEN embedding[b+1] > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)),
+      |      (a, x) -> a + x) AS u
+      |  FROM embeddings),
+      |bsig AS (
+      |  SELECT vec_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS sig
+      |  FROM usig)""".stripMargin
+
   /** Shared oracle CTE: the tokenized corpus — mirrors
     * Ingest.corpusFromDocuments + TextAnalytics.tokens exactly. */
   private val sqlCorpusToks: String =
@@ -225,6 +242,12 @@ object SparkEntry {
     "quantize_stats" -> ((s, d) => Quantization.quantizeStats(s, d)),
     "knn_quantized" -> ((s, d) => Quantization.knnQuantized(s, d)),
     "ivf_search_quantized" -> ((s, d) => IndexAudits.ivfQuantAudit(s, d)),
+    // binary (1-bit) quantization: sign-bit signatures + Hamming scan
+    // (FAISS IndexBinaryFlat) and its exact-L2 refine — seedless, so
+    // both are hash-exact oracled (DuckDB re-derives the identical
+    // signatures; the knnQuantized precedent)
+    "knn_binary" -> ((s, d) => Quantization.knnBinary(s, d)),
+    "knn_binary_rerank" -> ((s, d) => Quantization.knnBinaryRerank(s, d)),
     // product quantization (IVF-PQ shape): codebooks are learned, so
     // the raw outputs are engine-specific — each registered surface is
     // the deterministic self-audit (mass/range invariants, exact-
@@ -1856,6 +1879,29 @@ object SparkEntry {
         |  CASE WHEN norm_a = 0 OR norm_b = 0 THEN 0.0
         |       ELSE dot_qq::DOUBLE / (sqrt(norm_a::DOUBLE) * sqrt(norm_b::DOUBLE)) END AS sim
         |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // binary signatures are seedless sign bits — DuckDB re-derives them
+    // with the dedup_simhash HUGEINT packing and replays the Hamming
+    // ranking exactly
+    "knn_binary" ->
+      s"""WITH $sqlBinarySig
+         |SELECT b.vec_id AS vec_id, bit_count(xor(q.sig, b.sig))::INT AS hamming
+         |FROM bsig b, (SELECT sig FROM bsig WHERE vec_id = 0) q
+         |WHERE b.vec_id <> 0
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // binary shortlist (Hamming top-50) -> exact squared-L2 re-rank of
+    // only the shortlist rows — the refine pattern, fully restatable
+    "knn_binary_rerank" ->
+      s"""WITH $sqlBinarySig,
+         |short AS (
+         |  SELECT b.vec_id
+         |  FROM bsig b, (SELECT sig FROM bsig WHERE vec_id = 0) q
+         |  WHERE b.vec_id <> 0
+         |  ORDER BY bit_count(xor(q.sig, b.sig)) ASC, b.vec_id ASC LIMIT 50)
+         |SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS dist
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id = 0
+         |  AND b.vec_id IN (SELECT vec_id FROM short)
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
     "quantize_stats" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

@@ -105,4 +105,90 @@ object Quantization {
       .collect().map(_.getLong(0)).toSet
     exact.intersect(quant).size.toDouble / k
   }
+
+  // ---- binary (1-bit) quantization: FAISS IndexBinaryFlat ---------------
+  //
+  // The extreme end of the compression ladder (float32 -> int8 -> PQ ->
+  // 1 bit/dim): each vector becomes ceil(dim/64) longs of SIGN BITS,
+  // distance becomes Hamming (one xor + popcount per word). 32x smaller
+  // than float32 and the cheapest possible scan kernel — the standard
+  // first-pass filter in billion-scale retrieval, usually followed by
+  // an exact re-rank of a short candidate list (the refine pattern,
+  // same as [[Pq.searchPq]]'s rerank). Seedless and exactly
+  // reproducible in any engine: the DuckDB oracle re-derives identical
+  // signatures, so knn_binary is hash-exact oracled (like
+  // [[knnQuantized]], unlike the learned-codebook PQ family).
+
+  /** Sign-bit signature: word w, bit b = 1 iff embedding[w*64+b] > 0.
+    * A narrow all-builtin map (HOF loops over the tiny dim range). */
+  private def binarySigExpr(dim: Int): org.apache.spark.sql.Column = {
+    val nWords = (dim + 63) / 64
+    expr(
+      s"""transform(sequence(0, ${nWords - 1}), w ->
+         |  aggregate(sequence(0, 63), 0L, (acc, b) ->
+         |    IF(w * 64 + b < $dim AND embedding[w * 64 + b] > 0.0D,
+         |       acc | shiftleft(1L, b), acc)))""".stripMargin)
+  }
+
+  private def sigsFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    emb.select(col("vec_id"), binarySigExpr(dim).as("sig"))
+  }
+
+  private val hammingExpr =
+    expr("aggregate(zip_with(sig, q_sig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)")
+
+  /** Top-k by Hamming distance over the sign-bit signatures
+    * (ascending, vec_id tie-break — Hamming ties are the norm at 64
+    * bits, so the deterministic tie order is load-bearing). Scan cost
+    * is 8 bytes + one xor/popcount per 64 dims per row; top-k is
+    * TakeOrdered — no shuffle beyond the final exchange. */
+  def knnBinary(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10): DataFrame = {
+    val sigs = sigsFor(spark, sfDir)
+    val q = sigs.filter(col("vec_id") === queryId).select(col("sig").as("q_sig"))
+    sigs.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("hamming", hammingExpr)
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("hamming"))
+  }
+
+  /** Binary shortlist + exact re-rank (FAISS IndexBinaryFlat +
+    * refine): the Hamming pass keeps a `rerank`-sized shortlist over
+    * the 1-bit scan, then ONLY the shortlist's float vectors are
+    * fetched (broadcast semi-join) and scored with exact squared L2.
+    * At 100 TB the float read is bounded by `rerank` rows per query —
+    * the corpus is only ever touched through its sign bits. */
+  def knnBinaryRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      k: Int = 10, rerank: Int = 50): DataFrame = {
+    val shortlist = knnBinary(spark, sfDir, queryId, math.max(rerank, k))
+      .select(col("vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .join(broadcast(qRow))
+      .select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), col("q_embedding")).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Recall@k of the binary paths against exact L2 — the probe a user
+    * runs before turning 1-bit compression on (raw Hamming degrades
+    * hard on dense low-dim data; the re-rank is what makes it
+    * usable). */
+  def binaryRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                   k: Int = 10, rerank: Int = 0): Double = {
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, queryId, k)
+      .collect().map(_.getLong(0)).toSet
+    val approx =
+      (if (rerank > 0) knnBinaryRerank(spark, sfDir, queryId, k, rerank)
+       else knnBinary(spark, sfDir, queryId, k))
+        .collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / k
+  }
 }

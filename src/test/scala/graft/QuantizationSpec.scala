@@ -82,6 +82,44 @@ class QuantizationSpec extends SparkSpec {
     assert(pruned.length == 10)
   }
 
+  test("binary signatures match a driver-side sign-bit reference; Hamming ranking is exact") {
+    // driver reference over the raw embeddings
+    val emb = graft.Tables.embeddings(spark, sfSmall).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sigOf(v: Array[Float]): Long = {
+      var s = 0L
+      var b = 0
+      while (b < v.length) { if (v(b) > 0f) s |= (1L << b); b += 1 }
+      s
+    }
+    val q = sigOf(emb(0L))
+    val expect = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, java.lang.Long.bitCount(sigOf(v) ^ q)) }
+      .sortBy { case (id, h) => (h, id) }
+      .take(10)
+    val got = Quantization.knnBinary(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
+
+  test("binary rerank equals exact L2 restricted to the Hamming shortlist; recall never drops") {
+    val short = Quantization.knnBinary(spark, sfSmall, 0L, 50).collect()
+      .map(_.getLong(0)).toSet
+    val exactAll = graft.operators.VectorSearchOps
+      .knnExactL2(spark, sfSmall, 0L, 500).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = exactAll.filter(p => short.contains(p._1)).take(10).toSeq
+    val got = Quantization.knnBinaryRerank(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    // the refine exists because raw Hamming is weak here: re-ranked
+    // recall must be at least the raw binary recall
+    val raw = Quantization.binaryRecall(spark, sfSmall)
+    val refined = Quantization.binaryRecall(spark, sfSmall, rerank = 50)
+    assert(refined >= raw, s"refine degraded recall: $raw -> $refined")
+    assert(refined >= 0.3, s"shortlist-50 re-rank recall floor: $refined")
+  }
+
   test("quant functions register for SQL") {
     graft.functions.registerVectorFunctions(spark)
     val r = spark.sql(
