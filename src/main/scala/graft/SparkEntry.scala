@@ -248,6 +248,11 @@ object SparkEntry {
     // signatures; the knnQuantized precedent)
     "knn_binary" -> ((s, d) => Quantization.knnBinary(s, d)),
     "knn_binary_rerank" -> ((s, d) => Quantization.knnBinaryRerank(s, d)),
+    // IVF-binary (IndexBinaryIVF shape): list membership is k-means-
+    // dependent, so the registered surface is the deterministic
+    // self-audit (probed-membership/bounds/recall flags) — the
+    // ivf_search_quantized pattern; raw rows via ivfSearchBinary
+    "ivf_search_binary" -> ((s, d) => IndexAudits.ivfBinaryAudit(s, d)),
     // product quantization (IVF-PQ shape): codebooks are learned, so
     // the raw outputs are engine-specific — each registered surface is
     // the deterministic self-audit (mass/range invariants, exact-
@@ -1277,6 +1282,9 @@ object SparkEntry {
     "ivf_search_quantized" ->
       """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
         |  TRUE AS sims_bounded_ok, TRUE AS recall_vs_flat_ok""".stripMargin,
+    "ivf_search_binary" ->
+      """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
+        |  TRUE AS hamming_bounded_ok, TRUE AS recall_vs_flat_ok""".stripMargin,
     "doc_dedup" ->
       """SELECT doc_id, TRUE AS canon_min_ok, TRUE AS one_kept_ok,
         |  TRUE AS dup_merged_ok

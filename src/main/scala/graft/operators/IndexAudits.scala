@@ -432,6 +432,33 @@ object IndexAudits {
         (col("n_hit") >= minHits).as("recall_vs_flat_ok"))
   }
 
+  /** Audit of IVF-binary search (registered `ivf_search_binary`) —
+    * the [[ivfQuantAudit]] shape for the 1-bit family: every hit sits
+    * in a probed list, Hamming distances stay inside [0, dim], and the
+    * probed search recalls at least `minHits` of the flat binary
+    * top-k. List membership is k-means-dependent, so the flags (not
+    * the raw rows) are the deterministic surface; the oracle states
+    * them literal TRUE. */
+  def ivfBinaryAudit(spark: SparkSession, sfDir: String, nlist: Int = 4,
+                     nprobe: Int = 2, k: Int = 10, minHits: Int = 5): DataFrame = {
+    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val q = queryVec(spark, sfDir, 0L)
+    val probed = IvfIndex.probeLists(idx, q, nprobe)
+    val dim = embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    val res = Quantization.ivfSearchBinary(spark, sfDir) // (vec_id, hamming)
+    val member = res
+      .join(idx.postings.select(col("id").as("vec_id"), col("list_id")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(col("list_id").isin(probed: _*)).as("hits_in_probed_ok"),
+        forall(col("hamming") >= 0 && col("hamming") <= dim).as("hamming_bounded_ok"))
+    val flat = Quantization.knnBinary(spark, sfDir).select(col("vec_id"))
+    val hit = res.join(flat, Seq("vec_id"), "left_semi").agg(count(lit(1)).as("n_hit"))
+    member.crossJoin(broadcast(hit))
+      .select(col("n_hits"), col("hits_in_probed_ok"), col("hamming_bounded_ok"),
+        (col("n_hit") >= minHits).as("recall_vs_flat_ok"))
+  }
+
   // ---- document pipeline ----------------------------------------------
 
   /** Audit of embed→IVF→CC document dedup (registered `doc_dedup`) —

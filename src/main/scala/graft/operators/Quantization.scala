@@ -177,6 +177,33 @@ object Quantization {
       .limit(k)
   }
 
+  /** IVF + binary codes (FAISS IndexBinaryIVF): float-centroid list
+    * probing (the [[IvfIndex]] coarse quantizer, small) + Hamming
+    * scoring over sign-bit signatures of ONLY the probed lists' rows —
+    * at 100 TB the probed scan reads 8 bytes per 64 dims per candidate
+    * and nothing else. With nprobe = nlist this equals [[knnBinary]]
+    * exactly (test-pinned; the ivfSearchQuantized contract). */
+  def ivfSearchBinary(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      k: Int = 10, nlist: Int = 4, nprobe: Int = 2): DataFrame = {
+    val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val probed = IvfIndex.probeLists(index, q, nprobe)
+    val qSig = emb.filter(col("vec_id") === queryId)
+      .select(binarySigExpr(dim).as("q_sig"))
+    index.postings
+      .filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"), binarySigExpr(dim).as("sig"))
+      .join(broadcast(qSig))
+      .withColumn("hamming", hammingExpr)
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("hamming"))
+  }
+
   /** Recall@k of the binary paths against exact L2 — the probe a user
     * runs before turning 1-bit compression on (raw Hamming degrades
     * hard on dense low-dim data; the re-rank is what makes it

@@ -120,6 +120,18 @@ class QuantizationSpec extends SparkSpec {
     assert(refined >= 0.3, s"shortlist-50 re-rank recall floor: $refined")
   }
 
+  test("IVF-binary with nprobe = nlist equals the flat Hamming scan; audit flags hold") {
+    val flat = Quantization.knnBinary(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val full = Quantization.ivfSearchBinary(spark, sfSmall, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(full == flat, "full-probe IVF-binary must equal the flat scan exactly")
+    val audit = graft.operators.IndexAudits.ivfBinaryAudit(spark, sfSmall).collect().head
+    assert(audit.getLong(0) == 10L)
+    assert(audit.getBoolean(1) && audit.getBoolean(2) && audit.getBoolean(3),
+      s"audit flags: $audit")
+  }
+
   test("quant functions register for SQL") {
     graft.functions.registerVectorFunctions(spark)
     val r = spark.sql(
