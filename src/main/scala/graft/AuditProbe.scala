@@ -135,6 +135,19 @@ object AuditProbe {
       .count()
     p("doc_dedup identical-text split pairs", viol)
 
+    // --- PCA pre-transform recall -----------------------------------
+    for (d <- Seq(8, 16, 24); r <- Seq(50, 100, 200))
+      p(s"knn_pca_rerank recall@10 (r=$r,d=$d)",
+        Pca.pcaRecall(spark, sfDir, rerank = r, dOut = d))
+    val m = Pca.train(spark, sfDir, 16)
+    p("pca explained ratio (d=16)", m.eigvals.sum / m.trace)
+
+    // --- MMR determinism smoke --------------------------------------
+    val mmr1 = Mmr.mmrRerank(spark, sfDir).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val mmr2 = Mmr.mmrRerank(spark, sfDir).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    p("mmr_rerank deterministic", mmr1.sameElements(mmr2))
+    p("mmr_rerank head", mmr1.take(3).mkString(", "))
+
     spark.stop()
   }
 }

@@ -279,6 +279,9 @@ object Bench {
       // times, and the wave-scorecard's persisted index build
       "hard_negatives_mine" -> (() => { IndexAudits.hardNegativesMine(spark, sfDir).count(); () }),
       "batch_ivf_search" -> (() => { IndexAudits.batchIvfSearch(spark, sfDir).count(); () }),
+      // r11: the PCA moment pass + eigensolve shared by pca_stats and
+      // knn_pca_rerank (one corpus scan, O(dim²) driver state)
+      "pca_model" -> (() => { Pca.train(spark, sfDir); () }),
       "scorecard_index" -> (() => { ScorecardIndex.indexFor(spark, sfDir); () }),
       "scorecard_index_admitted" -> (() => { ScorecardIndex.admittedIndexFor(spark, sfDir); () }),
     )

@@ -259,6 +259,18 @@ object SparkEntry {
     // recompute refine distances, persisted ≡ memory equality, measured
     // recall floors stated literal TRUE); raw search paths stay on
     // Pq.searchPq / ivfSearchPq / persistedSearchPq / pqStats
+    // PCA pre-transform (FAISS PCAMatrix / IndexPreTransform): the
+    // covariance means/variances are order-proof decimal sums (hash-
+    // exact oracle); the eigensolve is engine-side, so its invariants
+    // ride as replayable flags, and the search path registers the
+    // deterministic self-audit (exact-recompute re-rank distances +
+    // measured recall floor)
+    "pca_stats" -> ((s, d) => Pca.pcaStats(s, d)),
+    "knn_pca_rerank" -> ((s, d) => IndexAudits.pcaRerankAudit(s, d)),
+    // MMR diversity re-rank: every number is a fixed-order double
+    // computation over the exact-cosine shortlist, so the DuckDB
+    // oracle replays the whole greedy as a recursive CTE — hash-exact
+    "mmr_rerank" -> ((s, d) => Mmr.mmrRerank(s, d)),
     "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
     "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
     "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
@@ -1269,6 +1281,68 @@ object SparkEntry {
     "hard_negatives_lsh" ->
       """SELECT TRUE AS pairs_nonempty, TRUE AS cross_label_ok,
         |  TRUE AS sims_match_ok, TRUE AS ranks_ok, TRUE AS recall_ok""".stripMargin,
+    // per-dimension mean/variance through the label_centroids decimal
+    // route (per-row x·x is an exact double; double → shortest string
+    // → DECIMAL(28,10) HALF_UP is engine-identical; decimal sums are
+    // associative, so any shuffle order hash-matches); the eigensolve
+    // invariants are replayable engine flags stated literal TRUE
+    "pca_stats" ->
+      """WITH pp AS (
+        |  SELECT t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |agg AS (
+        |  SELECT pos,
+        |    CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |      / COUNT(*) AS mean,
+        |    CAST(SUM(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |      / COUNT(*) -
+        |      (CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |        / COUNT(*)) *
+        |      (CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |        / COUNT(*)) AS var_pop
+        |  FROM pp GROUP BY pos)
+        |SELECT pos, mean, var_pop, TRUE AS mean_match_ok,
+        |  TRUE AS eigen_residual_ok, TRUE AS orthonormal_ok,
+        |  TRUE AS eigvals_ok, TRUE AS trace_matches_ok
+        |FROM agg ORDER BY pos""".stripMargin,
+    "knn_pca_rerank" ->
+      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
+        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
+    // full greedy MMR replay: the recursive CTE carries the selected
+    // set, re-ranks the remaining shortlist by
+    // 0.7·sim(q,d) − 0.3·max_sim(d, selected) each step, and picks the
+    // (score DESC, vec_id ASC) head — every double is the same
+    // fixed-order IEEE sequence the engine computes, so the result
+    // hash-matches bit-for-bit (coefficients are literals on both
+    // sides; 1 − 0.7 would differ from 0.3 in the last ulp)
+    "mmr_rerank" ->
+      s"""WITH RECURSIVE short AS (
+         |  SELECT b.vec_id, b.embedding,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS simq
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
+         |  ORDER BY simq DESC, b.vec_id ASC LIMIT 30),
+         |pick(rank, vec_id, mmr_score, sel) AS (
+         |  (SELECT 1, vec_id, 0.7 * simq - 0.3 * 0.0, [vec_id] FROM short
+         |   ORDER BY 0.7 * simq - 0.3 * 0.0 DESC, vec_id ASC LIMIT 1)
+         |  UNION ALL
+         |  (SELECT p.rank + 1, c.vec_id,
+         |     0.7 * c.simq - 0.3 * max(${sqlDot("c.embedding", "s.embedding")} /
+         |       (sqrt(${sqlDot("c.embedding", "c.embedding")}) * sqrt(${sqlDot("s.embedding", "s.embedding")}))),
+         |     list_append(p.sel, c.vec_id)
+         |   FROM pick p
+         |   JOIN short c ON NOT list_contains(p.sel, c.vec_id)
+         |   JOIN short s ON list_contains(p.sel, s.vec_id)
+         |   WHERE p.rank < 10
+         |   GROUP BY p.rank, p.sel, c.vec_id, c.simq
+         |   ORDER BY 0.7 * c.simq - 0.3 * max(${sqlDot("c.embedding", "s.embedding")} /
+         |       (sqrt(${sqlDot("c.embedding", "c.embedding")}) * sqrt(${sqlDot("s.embedding", "s.embedding")}))) DESC,
+         |     c.vec_id ASC
+         |   LIMIT 1)
+         |)
+         |SELECT rank::BIGINT AS rank, vec_id, mmr_score FROM pick
+         |ORDER BY rank""".stripMargin,
     "knn_pq" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
         |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,

@@ -351,6 +351,32 @@ object IndexAudits {
         (col("n_hit") >= minHits).as("recall_ok"))
   }
 
+  /** Audit of the PCA shortlist + exact re-rank (registered
+    * `knn_pca_rerank`): exactly k hits, never the query row, result
+    * distances recompute bit-identically from the raw vectors (the
+    * re-rank really is exact full-dim L2), and recall@k against the
+    * exact global scan clears the measured floor (AuditProbe: 1.0 at
+    * sf0.01, 0.9 at sf0.1 for r=200, d=24; floor 6/10 ≈ 1.4× margin —
+    * the test embeddings are near-isotropic, so PCA keeps 24 of 64
+    * dims; variance-concentrated real embeddings compress far
+    * harder). */
+  def pcaRerankAudit(spark: SparkSession, sfDir: String, k: Int = 10,
+                     rerank: Int = 200, dOut: Int = 24, minHits: Int = 6): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val q = queryVec(spark, sfDir, 0L)
+    val res = Pca.knnPcaRerank(spark, sfDir, 0L, k, rerank, dOut) // (vec_id, dist)
+    val dmatch = res
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(col("dist") === l2sq(col("embedding"), typedlit(q))).as("dists_match_ok"),
+        forall(col("vec_id") =!= 0L).as("not_self_ok"))
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, 0L, k).select(col("vec_id"))
+    val hit = res.join(exact, Seq("vec_id"), "left_semi").agg(count(lit(1)).as("n_hit"))
+    dmatch.crossJoin(broadcast(hit))
+      .select(col("n_hits"), col("dists_match_ok"), col("not_self_ok"),
+        (col("n_hit") >= minHits).as("recall_ok"))
+  }
+
   /** Audit of residual IVF-PQ ADC search (registered `ivf_search_pq`,
     * rerank = 0 — the pure compressed-domain ranking): hits come only
     * from the probed lists, never the query row, exactly k of them;

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.{l2sq, mat_vec, CovMoments}
+
+/** PCA pre-transform over the `embeddings` table — the dimensionality
+  * half of the compression ladder (FAISS `PCAMatrix` inside an
+  * `IndexPreTransform`; the reference searches raw 384-dim floats,
+  * app.py:48-55). Training is one distributed moment pass
+  * ([[graft.functions.CovMoments]]: the shuffle carries one
+  * O(dim²) buffer per partition, never rows) plus a driver-side
+  * Jacobi eigensolve of the dim×dim covariance — 64×64 here, well
+  * under a millisecond, and bounded by `dim`, not by corpus size, at
+  * any scale.
+  *
+  * Search in PCA space skips the mean shift on purpose: for L2
+  * ranking, `|P(x−μ) − P(y−μ)| = |Px − Py|`, so the projection is a
+  * pure [[graft.functions.MatVec]] narrow map (codegen'd, no shuffle)
+  * and the shortlist scan reads `dOut` floats per row instead of
+  * `dim` — a dim/dOut-cheaper first pass (64→24 on the near-isotropic test embeddings; far fewer on real, variance-concentrated ones) that the exact
+  * re-rank then repairs, same refine shape as
+  * [[Quantization.knnBinaryRerank]].
+  *
+  * Eigensolve = classic cyclic Jacobi (Golub & Van Loan §8.5):
+  * deterministic for a fixed input matrix, eigenpairs sorted by
+  * descending eigenvalue, each eigenvector's sign fixed so its
+  * largest-magnitude component is positive — so the trained model is
+  * a pure function of the data and the audit flags are replayable.
+  */
+object Pca {
+
+  /** Driver-side trained model: arrays only, O(dim²) bytes. */
+  final case class Model(n: Long, mean: Array[Double], eigvals: Array[Double],
+                         comps: Array[Array[Float]], trace: Double)
+
+  private val modelCache = JvmCaches.map[(String, Int), Model]()
+  private val momentCache = JvmCaches.map[String, (Long, Array[Double], Array[Array[Double]])]()
+
+  /** One moment pass → (n, mean, population covariance). Memoized per
+    * sfDir so `train` and the audit's residual check share a single
+    * scan. */
+  private def moments(spark: SparkSession, sfDir: String): (Long, Array[Double], Array[Array[Double]]) =
+    momentCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val (n, sums, prods) = Tables.embeddings(spark, sfDir)
+        .select(col("embedding")).as[Array[Float]]
+        .select(CovMoments.toColumn).head()
+      require(n > 1, s"pca: need > 1 vectors, got $n")
+      val dim = sums.length
+      val mean = sums.map(_ / n)
+      val c = Array.ofDim[Double](dim, dim)
+      var i = 0; var t = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val v = prods(t) / n - mean(i) * mean(j)
+          c(i)(j) = v; c(j)(i) = v
+          j += 1; t += 1
+        }
+        i += 1
+      }
+      (n, mean, c)
+    })
+
+  /** Train the PCA model: one moment pass + driver eigensolve.
+    * Memoized per (sfDir, dOut) — the model is driver-side arrays, so
+    * it safely outlives any SparkSession. */
+  def train(spark: SparkSession, sfDir: String, dOut: Int = 24): Model =
+    modelCache.getOrElseUpdate((sfDir, dOut), {
+      val (n, mean, c) = moments(spark, sfDir)
+      val dim = mean.length
+      require(dOut >= 1 && dOut <= dim, s"pca: dOut $dOut out of range 1..$dim")
+      val trace = (0 until dim).map(k => c(k)(k)).sum
+      val (evals, evecs) = jacobiEigen(c)
+      // sort desc by eigenvalue (index asc on ties), fix signs
+      val order = (0 until dim).sortBy(k => (-evals(k), k))
+      val top = order.take(dOut)
+      val comps = top.map { k =>
+        val v = Array.tabulate(dim)(r => evecs(r)(k))
+        val m = v.indices.maxBy(r => (math.abs(v(r)), -r))
+        val s = if (v(m) < 0) -1.0 else 1.0
+        v.map(x => (x * s).toFloat)
+      }.toArray
+      Model(n, mean, top.map(evals).toArray, comps, trace)
+    })
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector columns). Deterministic sweep order;
+    * converges quadratically (≤ ~8 sweeps at dim = 64). */
+  private[graft] def jacobiEigen(c: Array[Array[Double]],
+                                     maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = c.length
+    val a = Array.tabulate(n, n)((i, j) => c(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offDiag() > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tTan =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val cRot = 1.0 / math.sqrt(tTan * tTan + 1.0)
+            val sRot = tTan * cRot
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cRot * akp - sRot * akq
+              a(k)(q) = sRot * akp + cRot * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cRot * apk - sRot * aqk
+              a(q)(k) = sRot * apk + cRot * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = cRot * vkp - sRot * vkq
+              v(k)(q) = sRot * vkp + cRot * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Registered `pca_stats`: per-dimension mean and population
+    * variance through order-proof decimal sums (the `label_centroids`
+    * float→double→string→DECIMAL(28,10) route — per-row x² is an
+    * exact double, the decimal sum is associative, so the DuckDB
+    * oracle hash-matches across any shuffle order), joined with the
+    * trained model's replayable invariants: the aggregator-path mean
+    * matches the decimal mean per dimension, every kept eigenpair
+    * satisfies C·v = λ·v, the components are orthonormal, eigenvalues
+    * are sorted and the explained-variance ratio is in (0, 1], and
+    * the model's trace matches the decimal variances' sum. */
+  def pcaStats(spark: SparkSession, sfDir: String, dOut: Int = 24): DataFrame = {
+    val m = train(spark, sfDir, dOut)
+    val dim = m.mean.length
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast("string").cast(DecimalType(28, 10))
+    val perPos = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos").cast("long").as("pos"), col("vf").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(
+        (sum(dec(col("v"))).cast("double") / count(lit(1))).as("mean"),
+        ((sum(dec(col("v") * col("v"))).cast("double") / count(lit(1))) -
+          (sum(dec(col("v"))).cast("double") / count(lit(1))) *
+            (sum(dec(col("v"))).cast("double") / count(lit(1)))).as("var_pop"))
+    // driver-verified flags (all O(dim²) arithmetic on the model)
+    val cov = moments(spark, sfDir)._3
+    val eigenOk = m.comps.indices.forall { r =>
+      val vArr = m.comps(r).map(_.toDouble)
+      val lam = m.eigvals(r)
+      (0 until dim).forall { i =>
+        val cv = (0 until dim).map(j => cov(i)(j) * vArr(j)).sum
+        math.abs(cv - lam * vArr(i)) <= 1e-6
+      }
+    }
+    val orthoOk = m.comps.indices.forall { a =>
+      m.comps.indices.forall { b =>
+        val d = (0 until dim).map(j => m.comps(a)(j).toDouble * m.comps(b)(j).toDouble).sum
+        math.abs(d - (if (a == b) 1.0 else 0.0)) <= 1e-5
+      }
+    }
+    val sortedOk = m.eigvals.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12) &&
+      m.eigvals.forall(_ >= -1e-9)
+    val explained = m.eigvals.sum / m.trace
+    val explainedOk = explained > 0.0 && explained <= 1.0 + 1e-12
+    val traceFlag = perPos.agg(
+      (abs(sum(col("var_pop")) - lit(m.trace)) <= lit(1e-6 * math.max(1.0, m.trace)))
+        .as("trace_matches_ok"))
+    perPos
+      .withColumn("mean_match_ok",
+        abs(element_at(typedlit(m.mean), (col("pos") + 1).cast("int")) - col("mean")) <= lit(1e-9))
+      .crossJoin(broadcast(traceFlag))
+      .select(col("pos"), col("mean"), col("var_pop"), col("mean_match_ok"),
+        lit(eigenOk).as("eigen_residual_ok"), lit(orthoOk).as("orthonormal_ok"),
+        lit(sortedOk && explainedOk).as("eigvals_ok"), col("trace_matches_ok"))
+      .orderBy(col("pos").asc)
+  }
+
+  /** Corpus projected to PCA space: (vec_id, p) — a narrow codegen'd
+    * map, `dOut` floats per row out. */
+  def projected(spark: SparkSession, sfDir: String, dOut: Int = 24): DataFrame = {
+    val m = train(spark, sfDir, dOut)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), mat_vec(col("embedding"), m.comps).as("p"))
+  }
+
+  /** PCA shortlist + exact re-rank (registered through
+    * [[IndexAudits.pcaRerankAudit]]): rank in `dOut`-dim PCA space
+    * (squared L2 — the mean shift cancels, see object scaladoc), keep
+    * a `rerank`-sized shortlist, then score ONLY the shortlist's full
+    * vectors with exact squared L2. The full-dim corpus is touched
+    * through `rerank` rows per query; everything else reads `dOut`
+    * floats per row. The projected query comes from the SAME
+    * `mat_vec` kernel as the corpus side (one single-row job), so
+    * coarse distances are bit-reproducible. */
+  def knnPcaRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                   k: Int = 10, rerank: Int = 200, dOut: Int = 24): DataFrame = {
+    val m = train(spark, sfDir, dOut)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qp = emb.filter(col("vec_id") === queryId)
+      .select(mat_vec(col("embedding"), m.comps).as("p"))
+      .head().getSeq[Float](0).toArray
+    val shortlist = projected(spark, sfDir, dOut)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), l2sq(col("p"), typedlit(qp)).as("pdist"))
+      .orderBy(col("pdist").asc, col("vec_id").asc)
+      .limit(math.max(rerank, k))
+      .select(col("vec_id"))
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .join(broadcast(qRow))
+      .select(col("vec_id"), l2sq(col("embedding"), col("q_embedding")).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Recall@k of the PCA re-rank path against exact L2 — the quality
+    * probe a user runs before turning the pre-transform on. */
+  def pcaRecall(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10, rerank: Int = 200, dOut: Int = 24): Double = {
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, queryId, k)
+      .collect().map(_.getLong(0)).toSet
+    val approx = knnPcaRerank(spark, sfDir, queryId, k, rerank, dOut)
+      .collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / k
+  }
+}

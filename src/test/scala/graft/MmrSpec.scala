@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Mmr, VectorSearchOps}
+import org.apache.spark.sql.functions._
+
+/** MMR diversity re-rank: greedy contract, determinism, and the
+  * diversity behavior itself on a constructed corpus. */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic across runs; ranks are 1..k; ids distinct") {
+    val a = Mmr.mmrRerank(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Mmr.mmrRerank(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+    assert(a.map(_._1).toSeq == (1L to 10L))
+    assert(a.map(_._2).distinct.length == 10)
+  }
+
+  test("first pick is the cosine top-1 and scores 0.7·sim") {
+    val top = VectorSearchOps.knnExactCosine(spark, sfSmall, 0L, 1).collect().head
+    val first = Mmr.mmrRerank(spark, sfSmall).collect().head
+    assert(first.getLong(1) == top.getLong(0))
+    assert(first.getDouble(2) == 0.7 * top.getDouble(1) - 0.3 * 0.0)
+  }
+
+  test("every selection comes from the top-c shortlist") {
+    val short = VectorSearchOps.knnExactCosine(spark, sfSmall, 0L, 30)
+      .collect().map(_.getLong(0)).toSet
+    val sel = Mmr.mmrRerank(spark, sfSmall).collect().map(_.getLong(1))
+    assert(sel.forall(short.contains))
+  }
+
+  test("k capped by shortlist size") {
+    val res = Mmr.mmrRerank(spark, sfSmall, k = 10, c = 6).collect()
+    assert(res.length == 6)
+  }
+
+  test("diversity: a near-duplicate of the first pick is deferred below a distinct result") {
+    // query q; a ≈ a' both very similar to q; b distinct but relevant.
+    // Plain top-2 = {a, a'}; MMR's second pick must be b.
+    val dir = tmpDir("mmr")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),          // query
+      (1L, Array(0.99f, 0.10f, 0.0f, 0.0f)),        // a
+      (2L, Array(0.99f, 0.11f, 0.0f, 0.0f)),        // a' ~ duplicate of a
+      (3L, Array(0.80f, 0.0f, 0.60f, 0.0f)),        // b: relevant, distinct
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f)))          // irrelevant
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val plain = VectorSearchOps.knnExactCosine(spark, dir, 0L, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L))
+    val mmr = Mmr.mmrRerank(spark, dir, 0L, k = 3, c = 4, lam = 0.5, lamC = 0.5)
+      .collect().map(_.getLong(1))
+    assert(mmr(0) == 1L || mmr(0) == 2L)
+    assert(mmr(1) == 3L, s"second pick should be the distinct result, got ${mmr.toSeq}")
+  }
+
+  test("lam + lamC must sum to 1") {
+    intercept[IllegalArgumentException] {
+      Mmr.mmrRerank(spark, sfSmall, lam = 0.7, lamC = 0.4)
+    }
+  }
+}

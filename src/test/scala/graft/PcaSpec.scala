@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{IndexAudits, Pca, VectorSearchOps}
+import org.apache.spark.sql.functions._
+
+/** PCA pre-transform: eigensolver correctness, model invariants, and
+  * the shortlist + exact re-rank search contract. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobiEigen recovers a known 2x2 spectrum") {
+    // [[2,1],[1,2]] has eigenvalues 3 (v=(1,1)/√2) and 1 (v=(1,-1)/√2)
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12 && math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector columns satisfy A·v = λ·v
+    for (k <- 0 until 2) {
+      val v = Array(vecs(0)(k), vecs(1)(k))
+      val av = Array(2 * v(0) + v(1), v(0) + 2 * v(1))
+      assert(math.abs(av(0) - vals(k) * v(0)) < 1e-12)
+      assert(math.abs(av(1) - vals(k) * v(1)) < 1e-12)
+    }
+  }
+
+  test("jacobiEigen on a random symmetric matrix: residual and orthogonality") {
+    val rnd = new scala.util.Random(7)
+    val n = 12
+    val c = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i until n) {
+      val v = rnd.nextGaussian(); c(i)(j) = v; c(j)(i) = v
+    }
+    val (vals, vecs) = Pca.jacobiEigen(c)
+    // A·v = λ·v per column
+    for (k <- 0 until n; i <- 0 until n) {
+      val av = (0 until n).map(j => c(i)(j) * vecs(j)(k)).sum
+      assert(math.abs(av - vals(k) * vecs(i)(k)) < 1e-9, s"residual at ($i,$k)")
+    }
+    // V orthonormal
+    for (a <- 0 until n; b <- 0 until n) {
+      val d = (0 until n).map(i => vecs(i)(a) * vecs(i)(b)).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-10)
+    }
+    // trace preserved
+    val trace = (0 until n).map(i => c(i)(i)).sum
+    assert(math.abs(vals.sum - trace) < 1e-9)
+  }
+
+  test("trained model: orthonormal components, sorted eigenvalues, bounded explained ratio") {
+    val m = Pca.train(spark, sfSmall, dOut = 8)
+    val dim = m.mean.length
+    assert(m.comps.length == 8 && m.comps.forall(_.length == dim))
+    for (a <- m.comps.indices; b <- m.comps.indices) {
+      val d = (0 until dim).map(j => m.comps(a)(j).toDouble * m.comps(b)(j).toDouble).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-5)
+    }
+    assert(m.eigvals.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12))
+    val explained = m.eigvals.sum / m.trace
+    assert(explained > 0.0 && explained <= 1.0 + 1e-12)
+    // sign convention: largest-|component| entry is positive
+    m.comps.foreach { v =>
+      val mx = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      assert(v(mx) >= 0f)
+    }
+  }
+
+  test("full-rank projection preserves pairwise squared L2 (orthogonal invariance)") {
+    val m = Pca.train(spark, sfSmall, dOut = 64)
+    val rows = Tables.embeddings(spark, sfSmall).limit(5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def proj(x: Array[Float]): Array[Double] =
+      m.comps.map(row => row.zip(x).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val orig = l2(rows(i).map(_.toDouble), rows(j).map(_.toDouble))
+      val pr = l2(proj(rows(i)), proj(rows(j)))
+      assert(math.abs(orig - pr) < 1e-3 * math.max(1.0, orig),
+        s"distance not preserved: $orig vs $pr")
+    }
+  }
+
+  test("pca_stats flags are all true and decimal means match a direct computation") {
+    val rows = Pca.pcaStats(spark, sfSmall).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5) &&
+        r.getBoolean(6) && r.getBoolean(7), s"flag false at pos ${r.getLong(0)}")
+    }
+    val naive = Tables.embeddings(spark, sfSmall)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+      .collect().map(r => r.getInt(0).toLong -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - naive(r.getLong(0))) < 1e-9)
+    }
+  }
+
+  test("knnPcaRerank returns k rows with exact re-rank distances, query excluded") {
+    val res = Pca.knnPcaRerank(spark, sfSmall, 0L, k = 10).collect()
+    assert(res.length == 10)
+    assert(res.forall(_.getLong(0) != 0L))
+    val emb = Tables.embeddings(spark, sfSmall)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0).toArray
+    val byId = emb.filter(col("vec_id").isin(res.map(_.getLong(0)): _*))
+      .select(col("vec_id"), graft.functions.l2sq(col("embedding"), typedlit(q)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.foreach(r => assert(r.getDouble(1) == byId(r.getLong(0)), "re-rank dist must be the exact L2"))
+    // distances ascend
+    assert(res.map(_.getDouble(1)).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("rerank = corpus size degrades to the exact top-k") {
+    val n = Tables.embeddings(spark, sfSmall).count().toInt
+    val full = Pca.knnPcaRerank(spark, sfSmall, 0L, k = 10, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = VectorSearchOps.knnExactL2(spark, sfSmall, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
+  test("pcaRerankAudit flags hold at the smallest scale") {
+    val r = IndexAudits.pcaRerankAudit(spark, sfSmall, minHits = 4).collect().head
+    assert(r.getLong(0) == 10L)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("dOut bounds are enforced") {
+    intercept[IllegalArgumentException] { Pca.train(spark, sfSmall, 0) }
+    intercept[IllegalArgumentException] { Pca.train(spark, sfSmall, 65) }
+  }
+}
