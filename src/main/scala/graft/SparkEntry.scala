@@ -267,10 +267,16 @@ object SparkEntry {
     // measured recall floor)
     "pca_stats" -> ((s, d) => Pca.pcaStats(s, d)),
     "knn_pca_rerank" -> ((s, d) => IndexAudits.pcaRerankAudit(s, d)),
+    // additive moment log: wave appends + retrain-from-log ≡ one-pass
+    "pca_persisted" -> ((s, d) => IndexAudits.pcaPersistedAudit(s, d)),
     // MMR diversity re-rank: every number is a fixed-order double
     // computation over the exact-cosine shortlist, so the DuckDB
     // oracle replays the whole greedy as a recursive CTE — hash-exact
     "mmr_rerank" -> ((s, d) => Mmr.mmrRerank(s, d)),
+    // batch MMR: per-query greedy on the executors (flatMapGroups over
+    // the knn_batch shortlist shape) — same fixed-order doubles, so
+    // the oracle replays all greedies in one recursive CTE
+    "mmr_batch" -> ((s, d) => Mmr.mmrBatch(s, d)),
     "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
     "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
     "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
@@ -1308,6 +1314,12 @@ object SparkEntry {
     "knn_pca_rerank" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
         |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
+    "pca_persisted" ->
+      """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+        |  2::BIGINT AS n_waves, TRUE AS counts_match_ok,
+        |  TRUE AS means_match_ok, TRUE AS trace_match_ok,
+        |  TRUE AS eigvals_match_ok, TRUE AS orthonormal_ok,
+        |  TRUE AS replay_noop_ok""".stripMargin,
     // full greedy MMR replay: the recursive CTE carries the selected
     // set, re-ranks the remaining shortlist by
     // 0.7·sim(q,d) − 0.3·max_sim(d, selected) each step, and picks the
@@ -1343,6 +1355,41 @@ object SparkEntry {
          |)
          |SELECT rank::BIGINT AS rank, vec_id, mmr_score FROM pick
          |ORDER BY rank""".stripMargin,
+    // batch form: one recursive CTE advances EVERY query's greedy one
+    // step per iteration — per-qid argmax via a row_number window
+    // (QUALIFY), selected-set list state per qid; same fixed-order
+    // doubles as the engine's per-group greedy, so it hash-matches
+    "mmr_batch" ->
+      s"""WITH RECURSIVE short AS (
+         |  SELECT a.vec_id AS qid, b.vec_id, b.embedding,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS simq
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) DESC,
+         |      b.vec_id ASC) <= 20),
+         |pick(qid, rank, vec_id, mmr_score, sel) AS (
+         |  (SELECT qid, 1, vec_id, 0.7 * simq - 0.3 * 0.0, [vec_id] FROM short
+         |   QUALIFY row_number() OVER (PARTITION BY qid
+         |     ORDER BY 0.7 * simq - 0.3 * 0.0 DESC, vec_id ASC) = 1)
+         |  UNION ALL
+         |  (SELECT * FROM (
+         |     SELECT c.qid, p.rank + 1 AS rank, c.vec_id,
+         |       0.7 * c.simq - 0.3 * max(${sqlDot("c.embedding", "s.embedding")} /
+         |         (sqrt(${sqlDot("c.embedding", "c.embedding")}) * sqrt(${sqlDot("s.embedding", "s.embedding")}))) AS mmr_score,
+         |       list_append(p.sel, c.vec_id) AS sel
+         |     FROM pick p
+         |     JOIN short c ON c.qid = p.qid AND NOT list_contains(p.sel, c.vec_id)
+         |     JOIN short s ON s.qid = p.qid AND list_contains(p.sel, s.vec_id)
+         |     WHERE p.rank < 5
+         |     GROUP BY c.qid, p.rank, p.sel, c.vec_id, c.simq)
+         |   QUALIFY row_number() OVER (PARTITION BY qid, rank
+         |     ORDER BY mmr_score DESC, vec_id ASC) = 1)
+         |)
+         |SELECT qid, rank::BIGINT AS rank, vec_id, mmr_score FROM pick
+         |ORDER BY qid, rank""".stripMargin,
     "knn_pq" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
         |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,

@@ -377,6 +377,41 @@ object IndexAudits {
         (col("n_hit") >= minHits).as("recall_ok"))
   }
 
+  /** Audit of the persisted additive moment log (registered
+    * `pca_persisted`): the two-wave persisted model agrees with the
+    * one-pass in-memory model — exact row count, means within 1e-9,
+    * trace and eigenvalues within float-addition reassociation
+    * tolerance (the wave split changes double summation ORDER, never
+    * the math) — the loaded components are orthonormal, and a
+    * committed-wave replay left the model bit-identical
+    * (Pca.persistedModelFor re-appends wave 0 on every build). */
+  def pcaPersistedAudit(spark: SparkSession, sfDir: String,
+                        dOut: Int = 24): DataFrame = {
+    val mem = Pca.train(spark, sfDir, dOut)
+    val (per, perReplayed) = Pca.persistedModelFor(spark, sfDir, dOut)
+    val dim = mem.mean.length
+    val meanOk = (0 until dim).forall(i => math.abs(per.mean(i) - mem.mean(i)) <= 1e-9)
+    val traceOk = math.abs(per.trace - mem.trace) <=
+      1e-9 * math.max(1.0, math.abs(mem.trace))
+    val eigOk = (0 until dOut).forall(i =>
+      math.abs(per.eigvals(i) - mem.eigvals(i)) <=
+        1e-6 * math.max(1.0, math.abs(mem.eigvals(i))))
+    val orthoOk = per.comps.indices.forall { a =>
+      per.comps.indices.forall { b =>
+        val d = (0 until dim).map(j => per.comps(a)(j).toDouble * per.comps(b)(j).toDouble).sum
+        math.abs(d - (if (a == b) 1.0 else 0.0)) <= 1e-5
+      }
+    }
+    val replayOk = per.n == perReplayed.n &&
+      per.mean.sameElements(perReplayed.mean) &&
+      per.eigvals.sameElements(perReplayed.eigvals) &&
+      per.comps.zip(perReplayed.comps).forall { case (x, y) => x.sameElements(y) }
+    import spark.implicits._
+    Seq((mem.n, 2L, per.n == mem.n, meanOk, traceOk, eigOk, orthoOk, replayOk))
+      .toDF("n_vectors", "n_waves", "counts_match_ok", "means_match_ok",
+        "trace_match_ok", "eigvals_match_ok", "orthonormal_ok", "replay_noop_ok")
+  }
+
   /** Audit of residual IVF-PQ ADC search (registered `ivf_search_pq`,
     * rerank = 0 — the pure compressed-domain ranking): hits come only
     * from the probed lists, never the query row, exactly k of them;

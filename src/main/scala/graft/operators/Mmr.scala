@@ -46,21 +46,13 @@ object Mmr {
   private def cosine(a: Array[Float], b: Array[Float]): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
-  /** Registered `mmr_rerank`: (rank, vec_id, mmr_score) — the k
-    * diversity-selected results from the exact-cosine top-`c`
-    * shortlist of `queryId`. */
-  def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
-                k: Int = 10, c: Int = 30,
-                lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
-    require(math.abs(lam + lamC - 1.0) < 1e-9, "mmr: lam + lamC must be 1")
-    // distributed shortlist: exact cosine top-c (sim desc, vec_id asc)
-    val short = VectorSearchOps.knnExactCosine(spark, sfDir, queryId, c)
-      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
-        Seq("vec_id"))
-      .select(col("vec_id"), col("sim"), col("embedding"))
-      .collect() // bounded: c rows
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
-    // driver greedy: argmax of lam·simq − lamC·maxSimToSelected
+  /** The greedy MMR selection over one query's shortlist — shared by
+    * the single-query (driver) and batch (executor, per group) paths.
+    * Input rows in any order; picks are (score DESC, vec_id ASC)
+    * argmax per step, first step against an empty selection (max-sim
+    * literal 0.0). */
+  private[operators] def greedy(short: IndexedSeq[(Long, Double, Array[Float])],
+                                k: Int, lam: Double, lamC: Double): IndexedSeq[(Long, Double)] = {
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val chosen = scala.collection.mutable.Set.empty[Long]
@@ -88,9 +80,65 @@ object Mmr {
       chosen += bestId
       step += 1
     }
+    selected.toIndexedSeq
+  }
+
+  /** Registered `mmr_rerank`: (rank, vec_id, mmr_score) — the k
+    * diversity-selected results from the exact-cosine top-`c`
+    * shortlist of `queryId`. */
+  def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10, c: Int = 30,
+                lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
+    require(math.abs(lam + lamC - 1.0) < 1e-9, "mmr: lam + lamC must be 1")
+    // distributed shortlist: exact cosine top-c (sim desc, vec_id asc)
+    val short = VectorSearchOps.knnExactCosine(spark, sfDir, queryId, c)
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("sim"), col("embedding"))
+      .collect() // bounded: c rows
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    val selected = greedy(short.toIndexedSeq, k, lam, lamC)
     import spark.implicits._
-    selected.toSeq.zipWithIndex
+    selected.zipWithIndex
       .map { case ((vid, score), i) => ((i + 1).toLong, vid, score) }
       .toDF("rank", "vec_id", "mmr_score")
+  }
+
+  /** Registered `mmr_batch`: MMR for the first `nQueries` anchors at
+    * once — (qid, rank, vec_id, mmr_score). The shortlists come from
+    * ONE broadcast-anchors × corpus scan with a per-query rank window
+    * (the knn_batch shape), then the greedy runs PER GROUP on the
+    * executors via flatMapGroups: state is one c-row shortlist per
+    * query, queries parallelize freely, and nothing reaches the
+    * driver. This is the production MMR shape at scale — N queries ×
+    * bounded shortlists; the single-query form above is its bounded
+    * special case. Same determinism contract, so the DuckDB oracle
+    * replays ALL the greedies in one recursive CTE (per-qid argmax
+    * via a window) and hash-matches. */
+  def mmrBatch(spark: SparkSession, sfDir: String, nQueries: Int = 20,
+               k: Int = 5, c: Int = 20,
+               lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
+    require(math.abs(lam + lamC - 1.0) < 1e-9, "mmr: lam + lamC must be 1")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("simq").desc, col("vec_id").asc)
+    val short = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(anchors), col("vec_id") =!= col("qid"))
+      .withColumn("simq", graft.functions.cosine_sim(col("embedding"), col("qe")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= c)
+      .select(col("qid"), col("vec_id"), col("simq"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    short.groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val shortlist = rows.map(r => (r._2, r._3, r._4)).toIndexedSeq
+        greedy(shortlist, k, lam, lamC).zipWithIndex.iterator
+          .map { case ((vid, score), i) => (qid, (i + 1).toLong, vid, score) }
+      }
+      .toDF("qid", "rank", "vec_id", "mmr_score")
+      .orderBy(col("qid").asc, col("rank").asc)
   }
 }

@@ -39,29 +39,60 @@ object Pca {
   private val modelCache = JvmCaches.map[(String, Int), Model]()
   private val momentCache = JvmCaches.map[String, (Long, Array[Double], Array[Array[Double]])]()
 
+  /** One distributed moment pass over a frame's `embedding` column →
+    * the raw (n, Σx, upper-triangle Σ x_i·x_j). */
+  private def momentRow(spark: SparkSession,
+                        df: DataFrame): (Long, Array[Double], Array[Double]) = {
+    import spark.implicits._
+    df.select(col("embedding")).as[Array[Float]].select(CovMoments.toColumn).head()
+  }
+
+  /** Raw moments → (mean, population covariance). */
+  private def meanCov(n: Long, sums: Array[Double],
+                      prods: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+    require(n > 1, s"pca: need > 1 vectors, got $n")
+    val dim = sums.length
+    val mean = sums.map(_ / n)
+    val c = Array.ofDim[Double](dim, dim)
+    var i = 0; var t = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = prods(t) / n - mean(i) * mean(j)
+        c(i)(j) = v; c(j)(i) = v
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    (mean, c)
+  }
+
+  /** Covariance → Model: eigensolve, sort desc (index asc on ties),
+    * sign-fix each component. */
+  private def modelFrom(n: Long, mean: Array[Double], c: Array[Array[Double]],
+                        dOut: Int): Model = {
+    val dim = mean.length
+    require(dOut >= 1 && dOut <= dim, s"pca: dOut $dOut out of range 1..$dim")
+    val trace = (0 until dim).map(k => c(k)(k)).sum
+    val (evals, evecs) = jacobiEigen(c)
+    val order = (0 until dim).sortBy(k => (-evals(k), k))
+    val top = order.take(dOut)
+    val comps = top.map { k =>
+      val v = Array.tabulate(dim)(r => evecs(r)(k))
+      val m = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      val s = if (v(m) < 0) -1.0 else 1.0
+      v.map(x => (x * s).toFloat)
+    }.toArray
+    Model(n, mean, top.map(evals).toArray, comps, trace)
+  }
+
   /** One moment pass → (n, mean, population covariance). Memoized per
     * sfDir so `train` and the audit's residual check share a single
     * scan. */
   private def moments(spark: SparkSession, sfDir: String): (Long, Array[Double], Array[Array[Double]]) =
     momentCache.getOrElseUpdate(sfDir, {
-      import spark.implicits._
-      val (n, sums, prods) = Tables.embeddings(spark, sfDir)
-        .select(col("embedding")).as[Array[Float]]
-        .select(CovMoments.toColumn).head()
-      require(n > 1, s"pca: need > 1 vectors, got $n")
-      val dim = sums.length
-      val mean = sums.map(_ / n)
-      val c = Array.ofDim[Double](dim, dim)
-      var i = 0; var t = 0
-      while (i < dim) {
-        var j = i
-        while (j < dim) {
-          val v = prods(t) / n - mean(i) * mean(j)
-          c(i)(j) = v; c(j)(i) = v
-          j += 1; t += 1
-        }
-        i += 1
-      }
+      val (n, sums, prods) = momentRow(spark, Tables.embeddings(spark, sfDir))
+      val (mean, c) = meanCov(n, sums, prods)
       (n, mean, c)
     })
 
@@ -71,20 +102,7 @@ object Pca {
   def train(spark: SparkSession, sfDir: String, dOut: Int = 24): Model =
     modelCache.getOrElseUpdate((sfDir, dOut), {
       val (n, mean, c) = moments(spark, sfDir)
-      val dim = mean.length
-      require(dOut >= 1 && dOut <= dim, s"pca: dOut $dOut out of range 1..$dim")
-      val trace = (0 until dim).map(k => c(k)(k)).sum
-      val (evals, evecs) = jacobiEigen(c)
-      // sort desc by eigenvalue (index asc on ties), fix signs
-      val order = (0 until dim).sortBy(k => (-evals(k), k))
-      val top = order.take(dOut)
-      val comps = top.map { k =>
-        val v = Array.tabulate(dim)(r => evecs(r)(k))
-        val m = v.indices.maxBy(r => (math.abs(v(r)), -r))
-        val s = if (v(m) < 0) -1.0 else 1.0
-        v.map(x => (x * s).toFloat)
-      }.toArray
-      Model(n, mean, top.map(evals).toArray, comps, trace)
+      modelFrom(n, mean, c, dOut)
     })
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
@@ -237,6 +255,94 @@ object Pca {
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  // ---- persisted additive moment log ------------------------------------
+  //
+  // The incremental-training closure for PCA, mirroring the LM count
+  // logs (NgramLm.appendModelBatch): covariance moments are ADDITIVE,
+  // so a 100 TB pipeline never rescans the corpus to refresh the
+  // transform — each ingest wave appends its one (n, Σx, Σx·xᵀ) row
+  // under the BatchFs idempotent-commit protocol (b<tag>- prefix,
+  // marker last), and retraining is a driver-side sum of wave rows
+  // plus the same eigensolve. A replayed committed wave is a no-op; a
+  // crash mid-commit is repaired by the replay.
+
+  /** Idempotent per-wave moment append: stages the wave's single
+    * moment row, moves it in under the batch prefix, marker last.
+    * Returns the wave's row count (0 for a replay or an empty wave). */
+  def appendMomentsBatch(spark: SparkSession, dir: String, wave: DataFrame,
+                         batchId: Long, namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val (n, sums, prods) = momentRow(spark, wave)
+    if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+    import spark.implicits._
+    val staging = s"$dir/_staging/moments-batch-$tag"
+    Seq((n, sums.toSeq, prods.toSeq)).toDF("n", "sums", "prods")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val live = Paths.get(s"$dir/moments")
+    Files.createDirectories(live)
+    BatchFs.children(live)
+      .filter(_.getFileName.toString.startsWith(s"b$tag-"))
+      .foreach(Files.delete(_))
+    BatchFs.children(Paths.get(staging))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        Files.move(f, live.resolve(s"b$tag-${f.getFileName}"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    BatchFs.deleteRecursively(Paths.get(staging))
+    BatchFs.writeMarker(marker, n.toString)
+    n
+  }
+
+  /** Retrain from the log: sum the committed wave rows (one per wave,
+    * driver-bounded by wave count) in DETERMINISTIC file-name order —
+    * double addition is order-sensitive, and a fixed order makes the
+    * loaded model a pure function of the log's contents — then the
+    * same eigensolve as [[train]]. */
+  def trainFromLog(spark: SparkSession, dir: String, dOut: Int = 24): Model = {
+    val rows = spark.read.parquet(s"$dir/moments")
+      .select(input_file_name().as("f"), col("n"), col("sums"), col("prods"))
+      .collect()
+      .sortBy(_.getString(0))
+    require(rows.nonEmpty, s"pca: empty moment log at $dir")
+    var n = 0L
+    val sums = rows.head.getSeq[Double](2).toArray.map(_ => 0.0)
+    val prods = rows.head.getSeq[Double](3).toArray.map(_ => 0.0)
+    rows.foreach { r =>
+      n += r.getLong(1)
+      val s = r.getSeq[Double](2); val p = r.getSeq[Double](3)
+      var i = 0
+      while (i < sums.length) { sums(i) += s(i); i += 1 }
+      i = 0
+      while (i < prods.length) { prods(i) += p(i); i += 1 }
+    }
+    val (mean, c) = meanCov(n, sums, prods)
+    modelFrom(n, mean, c, dOut)
+  }
+
+  /** The two-wave persisted model over the embeddings table (waves =
+    * vec_id parity), memoized per (sfDir, dOut) — the `pca_persisted`
+    * audit's subject. Replays are exercised on every build: wave 0 is
+    * re-appended after commit and must change nothing. */
+  private val persistedCache = JvmCaches.map[(String, Int), (Model, Model)]()
+  def persistedModelFor(spark: SparkSession, sfDir: String,
+                        dOut: Int = 24): (Model, Model) =
+    persistedCache.getOrElseUpdate((sfDir, dOut), {
+      val dir = s"/root/repo/target/pca-moments/${new java.io.File(sfDir).getName}"
+      val emb = Tables.embeddings(spark, sfDir)
+      appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
+      appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L)
+      val m1 = trainFromLog(spark, dir, dOut)
+      // committed-batch replay must be a no-op: the log, and therefore
+      // the loaded model, is bit-identical
+      val replayed = appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
+      require(replayed == 0L, "pca: committed wave replay must be a no-op")
+      (m1, trainFromLog(spark, dir, dOut))
+    })
 
   /** Recall@k of the PCA re-rank path against exact L2 — the quality
     * probe a user runs before turning the pre-transform on. */

@@ -57,6 +57,26 @@ class MmrSpec extends SparkSpec {
     assert(mmr(1) == 3L, s"second pick should be the distinct result, got ${mmr.toSeq}")
   }
 
+  test("batch MMR restricted to one query equals the single-query greedy") {
+    val single = Mmr.mmrRerank(spark, sfSmall, 0L, k = 5, c = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = Mmr.mmrBatch(spark, sfSmall, nQueries = 3, k = 5, c = 20).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == single)
+  }
+
+  test("batch MMR emits k rows per query, each from its own shortlist") {
+    val res = Mmr.mmrBatch(spark, sfSmall, nQueries = 4, k = 3, c = 10).collect()
+    assert(res.length == 12)
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows.forall(_.getLong(2) != qid), "never self")
+    }
+  }
+
   test("lam + lamC must sum to 1") {
     intercept[IllegalArgumentException] {
       Mmr.mmrRerank(spark, sfSmall, lam = 0.7, lamC = 0.4)

@@ -125,6 +125,57 @@ class PcaSpec extends SparkSpec {
     assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
   }
 
+  test("moment log: three waves retrain to the one-pass model (reassociation tolerance)") {
+    val dir = tmpDir("pca-log")
+    val emb = Tables.embeddings(spark, sfSmall)
+    for (w <- 0 until 3)
+      assert(Pca.appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(3)) === w), w.toLong) > 0L)
+    val fromLog = Pca.trainFromLog(spark, dir, dOut = 8)
+    val mem = Pca.train(spark, sfSmall, dOut = 8)
+    assert(fromLog.n == mem.n)
+    fromLog.mean.zip(mem.mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(math.abs(fromLog.trace - mem.trace) < 1e-9 * math.max(1.0, mem.trace))
+    fromLog.eigvals.zip(mem.eigvals).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6 * math.max(1.0, math.abs(b)))
+    }
+  }
+
+  test("moment log: committed-wave replay is a no-op; empty wave commits a zero marker") {
+    val dir = tmpDir("pca-replay")
+    val emb = Tables.embeddings(spark, sfSmall)
+    assert(Pca.appendMomentsBatch(spark, dir, emb, 7L) > 0L)
+    val before = Pca.trainFromLog(spark, dir, dOut = 4)
+    assert(Pca.appendMomentsBatch(spark, dir, emb, 7L) == 0L)
+    val after = Pca.trainFromLog(spark, dir, dOut = 4)
+    assert(before.eigvals.sameElements(after.eigvals) &&
+      before.mean.sameElements(after.mean) && before.n == after.n)
+    // empty wave: marker lands, log is untouched
+    assert(Pca.appendMomentsBatch(spark, dir, emb.filter(lit(false)), 8L) == 0L)
+    assert(Pca.appendMomentsBatch(spark, dir, emb.filter(lit(false)), 8L) == 0L)
+    val still = Pca.trainFromLog(spark, dir, dOut = 4)
+    assert(still.eigvals.sameElements(after.eigvals))
+  }
+
+  test("moment log: a crashed attempt's stray file is cleared on the committing retry") {
+    val dir = tmpDir("pca-crash")
+    val emb = Tables.embeddings(spark, sfSmall)
+    assert(Pca.appendMomentsBatch(spark, dir, emb.filter(col("vec_id") < 100), 0L) > 0L)
+    val clean = Pca.trainFromLog(spark, dir, dOut = 4)
+    // simulate a crash: a b1- data file landed but no marker was written
+    val live = java.nio.file.Paths.get(s"$dir/moments")
+    val stray = live.resolve("b1-part-crashed.parquet")
+    val src = graft.operators.BatchFs.children(live)
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src, stray)
+    // the retry clears the stray and commits exactly once
+    assert(Pca.appendMomentsBatch(spark, dir, emb.filter(col("vec_id") >= 100), 1L) > 0L)
+    val repaired = Pca.trainFromLog(spark, dir, dOut = 4)
+    val mem = Pca.train(spark, sfSmall, dOut = 4)
+    assert(repaired.n == mem.n, "stray pre-commit file must not double-count")
+    repaired.mean.zip(mem.mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(!clean.mean.sameElements(repaired.mean) || clean.n != repaired.n)
+  }
+
   test("dOut bounds are enforced") {
     intercept[IllegalArgumentException] { Pca.train(spark, sfSmall, 0) }
     intercept[IllegalArgumentException] { Pca.train(spark, sfSmall, 65) }
