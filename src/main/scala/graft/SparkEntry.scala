@@ -72,6 +72,21 @@ object SparkEntry {
       |      h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ' ' || s)))) AS sig
       |  FROM sh)""".stripMargin
 
+  /** Unrolled exact-integer PageRank iteration CTEs for the
+    * pagerank_docs oracle: rN from rN-1 via one join + one integer
+    * sum, damping as the overflow-safe split (s//100)*85 +
+    * ((s%100)*85)//100 — mirrors GraphRank term-for-term. */
+  private def sqlPagerankIters(n: Int): String =
+    (1 to n).map { i =>
+      s"""c$i AS (
+         |  SELECT ed.dst AS id, SUM(r.rank // ed.deg) AS s
+         |  FROM r${i - 1} r JOIN ed ON r.id = ed.src GROUP BY ed.dst),
+         |r$i AS (
+         |  SELECT n.id, CAST(150000000000 + COALESCE(
+         |      (c.s // 100) * 85 + ((c.s % 100) * 85) // 100, 0) AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+    }.mkString(",\n")
+
   /** Shared oracle CTE chain for the stupid-backoff LM: exact
     * uni/bi/trigram count tables over the tokenized corpus — mirrors
     * NgramLm.train (space-joined keys, collision-free over [a-z0-9]+
@@ -227,6 +242,9 @@ object SparkEntry {
     "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
     "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
     "label_centroids" -> ((s, d) => VectorOps.centroidsByLabel(s, d)),
+    // embedding-space anomaly detection: top-k farthest-from-centroid
+    // per label (decimal-sum centroids + the l2sq sequential fold)
+    "centroid_outliers" -> ((s, d) => VectorOps.centroidOutliers(s, d)),
     "hard_negatives" -> ((s, d) => VectorSearchOps.hardNegatives(s, d)),
     // corpus-wide LSH-bucketed mining: registered surface is the
     // self-audit (cross-label/cosine/rank invariants + the measured
@@ -375,6 +393,19 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id").asc)
     }),
+    // ORC source round trip (columnar-format coverage next to the
+    // jsonl one; the oracle restates the semantics over documents)
+    "ingest_orc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      val dir = s"/root/repo/target/fixtures/orc-${new java.io.File(d).getName}"
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .coalesce(1).write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
     // F3: the reference's newline display join, capped (app.py:231-233)
     "corpus_display" -> ((s, d) =>
       graft.sources.Ingest.joinedDisplay(
@@ -409,6 +440,10 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
     "doc_chunks" -> ((s, d) => CorpusPrep.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
+    // weight-proportional sampling without replacement (Efraimidis-
+    // Spirakis top-k on u^(1/w)); LCG uniforms + rounded-key rank so
+    // the oracle replays the selection exactly
+    "weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     // exact per-stratum counts in a reproducible md5 order; the
     // thresholded 100 TB variant is test-pinned equal (SamplingSpec)
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -466,6 +501,9 @@ object SparkEntry {
     // pairs -> groups -> keep-one: CC over the LSH pairs with min-id
     // canonicals (transitive collapse; oracled via recursive CTE)
     "minhash_clusters" -> ((s, d) => Dedup.minhashClusters(s, d)),
+    // exact-integer PageRank over the symmetrized near-dup graph
+    // (5 unrolled iterations; BIGINT fixed-point, order-independent)
+    "pagerank_docs" -> ((s, d) => GraphRank.pagerankDocs(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
@@ -1163,6 +1201,31 @@ object SparkEntry {
         |      FROM embeddings, range(1, 65) t(i))
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    // per-label farthest-from-centroid outliers: decimal-sum centroids
+    // (the label_centroids device) + the sequential double dist² fold
+    // (the knn_exact_l2 device) + a rank window tiebroken on vec_id
+    "centroid_outliers" ->
+      """WITH cent AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |      / COUNT(*) AS mean
+        |  FROM (SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
+        |        FROM embeddings, range(1, 65) t(i))
+        |  GROUP BY label, pos),
+        |carr AS (SELECT label, list(mean ORDER BY pos) AS c FROM cent GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(c) + 1), i ->
+        |      (CAST(e.embedding[i] AS DOUBLE) - c[i]) *
+        |      (CAST(e.embedding[i] AS DOUBLE) - c[i]))) AS dist2
+        |  FROM embeddings e JOIN carr ON e.label = carr.label),
+        |r AS (
+        |  SELECT label, vec_id, dist2,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY dist2 DESC, vec_id ASC) AS rank
+        |  FROM d)
+        |SELECT label, rank, vec_id, dist2 FROM r
+        |WHERE rank <= 10 ORDER BY label, rank""".stripMargin,
     "knn_batch_exact" ->
       s"""SELECT src_id, dst_id, dist, rank FROM (
          |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
@@ -1833,6 +1896,9 @@ object SparkEntry {
     "ingest_jsonl" ->
       """SELECT doc_id, lang, source, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_orc" ->
+      """SELECT doc_id, lang, source, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // cogroup funnel: first-click anchoring restated as SQL aggregates;
     // exact epoch-micros arithmetic end to end
     "user_conversion" ->
@@ -2209,6 +2275,35 @@ object SparkEntry {
          |  src = MIN(node) AS kept
          |FROM reach GROUP BY src
          |ORDER BY id""".stripMargin,
+    // exact-integer PageRank over the same near-dup graph: BIGINT
+    // fixed-point (·1e12), five unrolled iterations, damping via the
+    // overflow-safe (s//100)*85 + ((s%100)*85)//100 split — integer
+    // sums are order-independent, so the match is hash-exact with no
+    // float-summation caveat
+    "pagerank_docs" ->
+      s"""WITH $sqlMinhashSig,
+         |bands AS (
+         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
+         |  FROM sig, range(0, 4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id FROM cand c
+         |  JOIN tokenized ta ON ta.id = c.a_id
+         |  JOIN tokenized tb ON tb.id = c.b_id
+         |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
+         |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+         |nodes AS (SELECT id FROM tokenized),
+         |r0 AS (SELECT id, 1000000000000::BIGINT AS rank FROM nodes),
+         |${sqlPagerankIters(5)}
+         |SELECT id, rank FROM r5 ORDER BY id""".stripMargin,
     // leakage-safe split: the minhash_clusters CC chain, with the
     // train/val/test assignment hashed on the CANONICAL id — DuckDB
     // reproduces both the clustering and the md5 hex-threshold split
@@ -2493,6 +2588,21 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // deterministic LCG uniforms (pure BIGINT, overflow-free at any
+    // id), key = ln(u)/w rounded to 9 places (absorbing ln ulps) with
+    // a doc_id tiebreak; the output carries membership only
+    "weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln(((doc_id % 2147483647) * 2654435761 % 2147483647 + 1)::DOUBLE
+        |             / 2147483648.0)
+        |          / greatest(n_chars, 1)::DOUBLE, 9) AS es_key
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, source, n_chars FROM keyed
+        |  ORDER BY es_key DESC, doc_id ASC LIMIT 200)
+        |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin,
     // n-gram contamination between the benchMod-defined benchmark
     // split and the rest: distinct 3-token shingles, df-capped, shared
     // counts per (train, bench) pair

@@ -197,6 +197,49 @@ object Sampling {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"):
+    * every doc draws a deterministic uniform u and competes on key
+    * u^(1/w) — the top-k keys are exactly a weight-proportional
+    * without-replacement sample. Rate-based mixing ([[mixtureSample]],
+    * [[temperatureMixture]]) keeps a FRACTION per group; this keeps an
+    * EXACT COUNT with per-ROW weights (here n_chars — longer docs
+    * proportionally likelier), the device for "pick 200 docs biased by
+    * length/quality score" selection steps.
+    *
+    * Determinism & oracle: u comes from a salted integer LCG on doc_id
+    * — pure BIGINT arithmetic, exact in any engine (the md5-hex device
+    * can't feed a DOUBLE without hex→int conversion DuckDB lacks).
+    * Keys are compared as round(ln(u)/w, 9) with a doc_id tiebreak
+    * (ln is the one not-correctly-rounded-guaranteed op in the chain;
+    * rounding before the rank absorbs cross-engine ulps, the
+    * tfidf_keywords device) and the OUTPUT carries no float — only
+    * membership — so a boundary flip would need two keys within 1e-9
+    * AND straddling the k-th rank.
+    *
+    * Scale: the key is a narrow map; selection is a global top-k
+    * (TakeOrdered — never a full sort); no joins, no driver state.
+    * The LCG reduces doc_id mod 2^31−1 before multiplying, so the
+    * product stays < 2^63 for ANY id (no overflow at any corpus
+    * size; DuckDB errors on BIGINT overflow rather than wrapping,
+    * so exactness there is load-bearing). */
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     k: Int = 200): DataFrame =
+    weightedSampleOf(graft.Tables.documents(spark, sfDir), k)
+
+  def weightedSampleOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("u_int",
+        (col("doc_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L))
+      .withColumn("u",
+        (col("u_int") + lit(1L)).cast("double") / lit(2147483648.0))
+      .withColumn("w", greatest(col("n_chars"), lit(1L)).cast("double"))
+      .withColumn("es_key", round(log(col("u")) / col("w"), 9))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
   private def documentsForStrata(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("lang"))

@@ -20,8 +20,11 @@ import graft.Tables
 object VectorOps {
 
   /** Per-label component-wise mean: (label, pos, mean) rows. */
-  def centroidsByLabel(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.embeddings(spark, sfDir)
+  def centroidsByLabel(spark: SparkSession, sfDir: String): DataFrame =
+    centroidsOf(Tables.embeddings(spark, sfDir))
+
+  private def centroidsOf(embeddings: DataFrame): DataFrame = {
+    embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       // exact decimal sum (shuffle-order-proof), then a single double
@@ -33,6 +36,50 @@ object VectorOps {
           .cast(DecimalType(28, 10))).cast("double") /
         count(lit(1))).as("mean"))
       .orderBy(col("label").asc, col("pos").asc)
+  }
+
+  /** Per-label centroid-distance outliers — the embedding-space
+    * anomaly detector a curation pipeline runs over labeled (or
+    * clustered) data: vectors farthest from their group's centroid are
+    * the mislabeled / noisy / adversarial candidates (the standard
+    * first-pass check before contrastive training; same geometry as
+    * k-means' assignment step, reference app.py:52, pointed inward).
+    *
+    * Returns the top-`k` farthest members per label:
+    * (label, rank, vec_id, dist2), ordered by (label, rank).
+    *
+    * Exactness chain (every link previously proven hash-exact):
+    * centroids are the [[centroidsByLabel]] decimal-sum means (shuffle-
+    * order-proof); dist² is the codegen'd [[graft.functions.l2sq]]
+    * sequential double fold, which DuckDB's list_sum mirrors
+    * term-for-term (the knn_exact_l2 device); the per-label rank
+    * window tiebreaks on vec_id.
+    *
+    * Scale: centroids are ≤ #labels rows — broadcast; the distance is
+    * a narrow map over the embeddings scan; the only shuffle is the
+    * per-label top-k window (bounded keys, never a global sort). */
+  def centroidOutliers(spark: SparkSession, sfDir: String,
+                       k: Int = 10): DataFrame =
+    centroidOutliersOf(Tables.embeddings(spark, sfDir), k)
+
+  def centroidOutliersOf(embeddings: DataFrame, k: Int): DataFrame = {
+    val cent = centroidsOf(embeddings)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x.getField("mean")).as("centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+    embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("dist2", graft.functions.l2sq(col("emb"), col("centroid")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist2"))
+      .orderBy(col("label").asc, col("rank").asc)
   }
 
   /** Typed-Aggregator centroids: (label, centroid) — the scale path

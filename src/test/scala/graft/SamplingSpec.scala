@@ -157,4 +157,41 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("weightedSample: matches a driver-side Efraimidis-Spirakis reference") {
+    val k = 50
+    val docs = graft.Tables.documents(spark, sfSmall)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: same LCG uniform, same rounded E-S key,
+    // same (key desc, id asc) top-k — plain Scala, no Spark operators
+    def key(id: Long, w: Long): Double = {
+      val uInt = (id % 2147483647L) * 2654435761L % 2147483647L
+      val u = (uInt + 1).toDouble / 2147483648.0
+      BigDecimal(math.log(u) / math.max(w, 1L).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, kk) => (-kk, id) }.take(k).map(_._1).toSet
+    val got = Sampling.weightedSample(spark, sfSmall, k).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.size == k)
+    assert(got == expected,
+      s"membership diverges: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
+  test("weightedSample: weight-proportional (longer docs overrepresented) and deterministic") {
+    val all = graft.Tables.documents(spark, sfSmall)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sample = Sampling.weightedSample(spark, sfSmall, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    val again = Sampling.weightedSample(spark, sfSmall, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(sample.toSeq == again.toSeq)
+  }
 }
