@@ -148,6 +148,16 @@ object AuditProbe {
     p("mmr_rerank deterministic", mmr1.sameElements(mmr2))
     p("mmr_rerank head", mmr1.take(3).mkString(", "))
 
+    // --- chained PCA->IVF-PQ + index-backed MMR ----------------------
+    for (np <- Seq(2, 3); rr <- Seq(50, 100, 200))
+      p(s"ivf_pq_pca recall@10 (nprobe=$np,rerank=$rr)",
+        ChainedIndex.recall(spark, sfDir, nprobe = np, rerank = rr))
+    val exactSel = mmr1.map(_._1).toSet
+    for (np <- Seq(2, 3)) {
+      val ivfSel = Mmr.mmrIvf(spark, sfDir, nprobe = np).collect().map(_.getLong(1)).toSet
+      p(s"mmr_ivf overlap with exact MMR (nprobe=$np)", ivfSel.intersect(exactSel).size)
+    }
+
     spark.stop()
   }
 }

@@ -295,6 +295,13 @@ object SparkEntry {
     // the knn_batch shortlist shape) — same fixed-order doubles, so
     // the oracle replays all greedies in one recursive CTE
     "mmr_batch" -> ((s, d) => Mmr.mmrBatch(s, d)),
+    // index-backed MMR: the shortlist generator swapped to the IVF
+    // coarse probe (nprobe=nlist ≡ mmr_rerank exactly, test-pinned)
+    "mmr_ivf" -> ((s, d) => IndexAudits.mmrIvfAudit(s, d)),
+    // the composed compression ladder: PCA pre-transform -> coarse IVF
+    // in PCA space -> residual PQ ADC -> exact full-dim refine (the
+    // FAISS IndexPreTransform(PCAMatrix, IndexIVFPQ) shape)
+    "ivf_pq_pca_search" -> ((s, d) => IndexAudits.ivfPqPcaAudit(s, d)),
     "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
     "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
     "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
@@ -1459,6 +1466,13 @@ object SparkEntry {
     "ivf_search_pq" ->
       """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
         |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
+    "mmr_ivf" ->
+      """SELECT 10 AS n_rows, TRUE AS ranks_ok, TRUE AS ids_distinct_ok,
+        |  TRUE AS not_self_ok, TRUE AS hits_in_probed_ok,
+        |  TRUE AS first_score_ok, TRUE AS recall_ok""".stripMargin,
+    "ivf_pq_pca_search" ->
+      """SELECT 10 AS n_hits, TRUE AS dists_match_ok, TRUE AS hits_in_probed_ok,
+        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
     "pq_persisted_search" ->
       """SELECT 10 AS n_hits, TRUE AS matches_memory_ok""".stripMargin,
     "pq_stats" ->
@@ -2589,13 +2603,17 @@ object SparkEntry {
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
     // Efraimidis-Spirakis weighted sampling without replacement:
-    // deterministic LCG uniforms (pure BIGINT, overflow-free at any
-    // id), key = ln(u)/w rounded to 9 places (absorbing ln ulps) with
-    // a doc_id tiebreak; the output carries membership only
+    // deterministic two-round multiplicative-hash uniforms (pure
+    // BIGINT, overflow-free at any id — round 2 folds in
+    // doc_id div 2^31-1 so same-residue ids decorrelate), key =
+    // ln(u)/w rounded to 9 places (absorbing ln ulps) with a doc_id
+    // tiebreak; the output carries membership only
     "weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, source, n_chars,
-        |    round(ln(((doc_id % 2147483647) * 2654435761 % 2147483647 + 1)::DOUBLE
+        |    round(ln((((doc_id // 2147483647
+        |                + (doc_id % 2147483647) * 2654435761 % 2147483647)
+        |               % 2147483647) * 2246822519 % 2147483647 + 1)::DOUBLE
         |             / 2147483648.0)
         |          / greatest(n_chars, 1)::DOUBLE, 9) AS es_key
         |  FROM documents),

@@ -452,6 +452,83 @@ object IndexAudits {
       .select(col("n_hits"), (col("n_hits") === k && col("dists_eq")).as("matches_memory_ok"))
   }
 
+  /** Audit of index-backed MMR (registered `mmr_ivf` —
+    * [[Mmr.mmrIvf]], the shortlist generator swapped from the exact
+    * corpus scan to the IVF coarse probe): exactly k rows with ranks
+    * 1..k and distinct ids, never the query row; every selection's
+    * list was probed; the FIRST pick's score recomputes exactly as
+    * lam·cos(q, v) − lamC·0.0 through the same codegen'd cosine
+    * kernel (later picks depend on the greedy's running selection,
+    * which the exact-equality test against [[Mmr.mmrRerank]] at
+    * nprobe = nlist pins instead); and the selection's overlap with
+    * the exact-shortlist MMR clears the measured floor (AuditProbe:
+    * 7/8/9 of 10 at sf0.001/sf0.01/sf0.1 at the default nprobe 3 of
+    * 4; floor 5, 1.4x margin). */
+  def mmrIvfAudit(spark: SparkSession, sfDir: String, k: Int = 10,
+                  c: Int = 30, nlist: Int = 4, nprobe: Int = 3,
+                  lam: Double = 0.7, lamC: Double = 0.3,
+                  minHits: Int = 5): DataFrame = {
+    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val q = queryVec(spark, sfDir, 0L)
+    val probed = IvfIndex.probeLists(idx, q, nprobe)
+    val res = Mmr.mmrIvf(spark, sfDir, 0L, k, c, nlist, nprobe, lam, lamC)
+    val member = res
+      .join(embeddings(spark, sfDir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(idx.postings.select(col("id").as("vec_id"), col("list_id")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("rank")) === k && min(col("rank")) === 1 &&
+          count_distinct(col("rank")) === k).as("ranks_ok"),
+        (count_distinct(col("vec_id")) === k).as("ids_distinct_ok"),
+        forall(col("vec_id") =!= 0L).as("not_self_ok"),
+        forall(col("list_id").isin(probed: _*)).as("hits_in_probed_ok"),
+        forall(col("rank") =!= 1 ||
+          col("mmr_score") === lit(lam) * cosine_sim(col("embedding"), typedlit(q))
+            - lit(lamC) * lit(0.0)).as("first_score_ok"))
+    val exactSel = Mmr.mmrRerank(spark, sfDir, 0L, k, c, lam, lamC)
+      .select(col("vec_id"))
+    val hit = res.join(exactSel, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    member.crossJoin(broadcast(hit))
+      .select(col("n_rows"), col("ranks_ok"), col("ids_distinct_ok"),
+        col("not_self_ok"), col("hits_in_probed_ok"), col("first_score_ok"),
+        (col("n_hit") >= minHits).as("recall_ok"))
+  }
+
+  /** Audit of the full compression ladder (registered
+    * `ivf_pq_pca_search` — [[ChainedIndex]], the FAISS
+    * IndexPreTransform(PCAMatrix, IndexIVFPQ) shape): exactly k hits,
+    * never the query row; every hit's list (in the PCA-space coarse
+    * index) was probed; every returned distance RECOMPUTES exactly
+    * from the original full-dim vectors (the refine stage scores
+    * originals, so PCA/PQ error cannot leak into the metric); and
+    * recall@10 against the exact global scan clears the measured
+    * floor (AuditProbe: 0.9/0.8/0.8 at sf0.001/sf0.01/sf0.1 with the
+    * default nprobe 3 of 4, rerank 100; floor 0.5, >=1.6x margin). */
+  def ivfPqPcaAudit(spark: SparkSession, sfDir: String, kNeighbors: Int = 10,
+                    dOut: Int = 24, nlist: Int = 4, nprobe: Int = 3,
+                    rerank: Int = 100, minHits: Int = 5): DataFrame = {
+    val ch = ChainedIndex.forEmbeddings(spark, sfDir, dOut, nlist)
+    val q = queryVec(spark, sfDir, 0L)
+    val res = ChainedIndex.search(spark, sfDir, 0L, kNeighbors, dOut, nlist,
+      nprobe, rerank = rerank) // (vec_id, dist) — exact distances
+    val probed = IvfIndex.probeLists(ch.index,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
+        .select(graft.functions.mat_vec(col("embedding"), ch.pca.comps))
+        .head().getSeq[Float](0).toArray, nprobe)
+    val member = res
+      .join(embeddings(spark, sfDir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(ch.index.postings.select(col("id").as("vec_id"), col("list_id")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(col("dist") === l2sq(col("embedding"), typedlit(q))).as("dists_match_ok"),
+        forall(col("list_id").isin(probed: _*)).as("hits_in_probed_ok"),
+        forall(col("vec_id") =!= 0L).as("not_self_ok"))
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, 0L, kNeighbors).select(col("vec_id"))
+    val hit = res.join(exact, Seq("vec_id"), "left_semi").agg(count(lit(1)).as("n_hit"))
+    member.crossJoin(broadcast(hit))
+      .select(col("n_hits"), col("dists_match_ok"), col("hits_in_probed_ok"),
+        col("not_self_ok"), (col("n_hit") >= minHits).as("recall_ok"))
+  }
+
   /** Audit of the codebook-usage histogram (registered `pq_stats`):
     * the per-(subspace, code) counts form m disjoint histograms each
     * summing to the full corpus, codes stay in [0, k), and every

@@ -50,9 +50,19 @@ object Mmr {
     * the single-query (driver) and batch (executor, per group) paths.
     * Input rows in any order; picks are (score DESC, vec_id ASC)
     * argmax per step, first step against an empty selection (max-sim
-    * literal 0.0). */
-  private[operators] def greedy(short: IndexedSeq[(Long, Double, Array[Float])],
+    * literal 0.0).
+    *
+    * Determinism guard: a zero-norm shortlist vector (or a NaN
+    * query-sim from a zero-norm query) makes cosine() NaN, and NaN
+    * poisons `>`/`==` so the argmax would depend on scan order — which
+    * the batch path's flatMapGroups does NOT fix. Such rows are
+    * dropped up front; between the survivors every cosine is finite,
+    * so the argmax is scan-order independent. */
+  private[graft] def greedy(shortIn: IndexedSeq[(Long, Double, Array[Float])],
                                 k: Int, lam: Double, lamC: Double): IndexedSeq[(Long, Double)] = {
+    val short = shortIn.filter { case (_, simq, vec) =>
+      !simq.isNaN && dot(vec, vec) > 0.0
+    }
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val chosen = scala.collection.mutable.Set.empty[Long]
@@ -95,6 +105,41 @@ object Mmr {
       .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
         Seq("vec_id"))
       .select(col("vec_id"), col("sim"), col("embedding"))
+      .collect() // bounded: c rows
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    val selected = greedy(short.toIndexedSeq, k, lam, lamC)
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((vid, score), i) => ((i + 1).toLong, vid, score) }
+      .toDF("rank", "vec_id", "mmr_score")
+  }
+
+  /** Index-backed MMR (registered through
+    * [[IndexAudits.mmrIvfAudit]]): the shortlist generator swaps from
+    * the exact-cosine corpus scan to the IVF coarse probe — the swap
+    * the [[mmrRerank]] scaladoc promises. The probed lists' postings
+    * (a partition-pruned subset, nprobe/nlist of the corpus) are
+    * scored with the SAME codegen'd cosine kernel and the top-`c`
+    * (sim desc, vec_id asc) feeds the unchanged greedy — so with
+    * nprobe = nlist the probe prunes nothing and the result equals
+    * [[mmrRerank]] EXACTLY (test-pinned); at lower nprobe coarse
+    * misses cost shortlist recall only, never determinism. */
+  def mmrIvf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+             k: Int = 10, c: Int = 30, nlist: Int = 4, nprobe: Int = 3,
+             lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
+    require(math.abs(lam + lamC - 1.0) < 1e-9, "mmr: lam + lamC must be 1")
+    val index = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probed = IvfIndex.probeLists(index, q, nprobe)
+    val short = index.postings
+      .filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        graft.functions.cosine_sim(col("embedding"), typedlit(q)).as("sim"),
+        col("embedding"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(c)
       .collect() // bounded: c rows
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
     val selected = greedy(short.toIndexedSeq, k, lam, lamC)

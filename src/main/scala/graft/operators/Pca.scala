@@ -332,10 +332,29 @@ object Pca {
   def persistedModelFor(spark: SparkSession, sfDir: String,
                         dOut: Int = 24): (Model, Model) =
     persistedCache.getOrElseUpdate((sfDir, dOut), {
-      val dir = s"/root/repo/target/pca-moments/${new java.io.File(sfDir).getName}"
+      // Keyed on the FULL canonical path (hashed), not the basename:
+      // two sfDirs sharing a basename must not share a log. String
+      // hashCode is spec-fixed, so the key is stable across JVMs.
+      val canon = new java.io.File(sfDir).getCanonicalPath
+      val dir = s"/root/repo/target/pca-moments/" +
+        s"${new java.io.File(sfDir).getName}-${(canon.hashCode.toLong & 0xffffffffL).toHexString}"
       val emb = Tables.embeddings(spark, sfDir)
-      appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
-      appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L)
+      def appendBoth(): Unit = {
+        appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L)
+        appendMomentsBatch(spark, dir, emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L)
+      }
+      appendBoth()
+      // Stale-log self-heal: committed-wave markers survive across
+      // runs, so a regenerated fixture would otherwise train from
+      // foreign moments with both appends silently no-oping. Validate
+      // the log's total n against the current corpus; on mismatch wipe
+      // the log (markers live under the same dir) and rebuild.
+      val logged = spark.read.parquet(s"$dir/moments")
+        .agg(sum(col("n"))).head().getLong(0)
+      if (logged != emb.count()) {
+        BatchFs.deleteRecursively(java.nio.file.Paths.get(dir))
+        appendBoth()
+      }
       val m1 = trainFromLog(spark, dir, dOut)
       // committed-batch replay must be a no-op: the log, and therefore
       // the loaded model, is bit-identical

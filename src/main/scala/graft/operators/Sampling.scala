@@ -219,18 +219,27 @@ object Sampling {
     *
     * Scale: the key is a narrow map; selection is a global top-k
     * (TakeOrdered — never a full sort); no joins, no driver state.
-    * The LCG reduces doc_id mod 2^31−1 before multiplying, so the
-    * product stays < 2^63 for ANY id (no overflow at any corpus
-    * size; DuckDB errors on BIGINT overflow rather than wrapping,
-    * so exactness there is load-bearing). */
+    * The mix is TWO multiply rounds so the full 64-bit id feeds the
+    * uniform: round 1 hashes doc_id mod 2^31−1, round 2 folds in
+    * doc_id div 2^31−1, so ids differing by 2^31−1 (same residue)
+    * draw DIFFERENT u, and exact multiples of 2^31−1 are no longer
+    * pinned to the minimum u. Every operand is reduced mod 2^31−1
+    * before its multiply (largest product ≈ 2.15e9 × 2.25e9 ≈
+    * 4.8e18 < 2^63−1; the pre-reduction sum ≤ 2^32 + 2^31), so the
+    * arithmetic is overflow-free for ANY id — DuckDB errors on
+    * BIGINT overflow rather than wrapping, so exactness there is
+    * load-bearing. */
   def weightedSample(spark: SparkSession, sfDir: String,
                      k: Int = 200): DataFrame =
     weightedSampleOf(graft.Tables.documents(spark, sfDir), k)
 
   def weightedSampleOf(docs: DataFrame, k: Int): DataFrame =
     docs
-      .withColumn("u_int",
+      .withColumn("mix1",
         (col("doc_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L))
+      .withColumn("u_int",
+        ((expr("doc_id div 2147483647") + col("mix1")) % lit(2147483647L))
+          * lit(2246822519L) % lit(2147483647L))
       .withColumn("u",
         (col("u_int") + lit(1L)).cast("double") / lit(2147483648.0))
       .withColumn("w", greatest(col("n_chars"), lit(1L)).cast("double"))

@@ -66,18 +66,24 @@ object ScorecardIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       lab.count()
+      // Every forked chain reads ONLY children of the persisted `lab`
+      // (the materialize-before-fork rule): concurrent actions over
+      // plans sharing a LIVE unpersisted subtree have produced wrong
+      // counts (see NgramLm.saveModel's record), so `corpus` itself
+      // must not be re-planned on more than one thread.
+      val docs = lab.select(col("id"), col("sentence"))
       import scala.collection.parallel.CollectionConverters._
       Seq(
         () => {
           NgramLm.saveModel(
             NgramLm.train(lab.select(col("id"), col("toks"))
               .filter(size(col("toks")) > 0)), s"$dir/lm")
-          refreshCuts(spark, dir, corpus)
+          refreshCuts(spark, dir, docs)
         },
         () => NbClassifier.saveModel(
           lab.select(col("id"), col("toks"), col("label")), s"$dir/nb"),
-        () => SpanDedup.saveWindowIndex(corpus, s"$dir/spans"),
-        () => minsDelta(corpus).repartition(col("bucket"))
+        () => SpanDedup.saveWindowIndex(docs, s"$dir/spans"),
+        () => minsDelta(docs).repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/mins")
       ).par.foreach(_.apply())
     } finally lab.unpersist(blocking = false)

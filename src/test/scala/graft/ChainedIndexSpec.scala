@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{ChainedIndex, IndexAudits, VectorSearchOps}
+
+/** The composed PCA→IVF-PQ ladder: degenerate-case exactness, audit
+  * flags, recall, and the training-space pin. */
+class ChainedIndexSpec extends SparkSpec {
+
+  test("full probe + full rerank degrades to the exact global kNN") {
+    // nprobe = nlist prunes nothing; rerank >= corpus size means the
+    // refine scores every candidate exactly — PCA and PQ error must
+    // drop out entirely.
+    val exact = VectorSearchOps.knnExactL2(spark, sfSmall, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val chained = ChainedIndex.search(spark, sfSmall, 0L, 10,
+      nlist = 4, nprobe = 4, rerank = 500).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(chained.toSeq == exact.toSeq)
+  }
+
+  test("audit flags all hold at the smallest scale") {
+    val row = IndexAudits.ivfPqPcaAudit(spark, sfSmall).collect().head
+    assert(row.getLong(0) == 10L)
+    (1 to 4).foreach(i => assert(row.getBoolean(i), s"flag $i false: $row"))
+  }
+
+  test("returned distances are exact (recompute from original vectors)") {
+    val emb = graft.Tables.embeddings(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val q = emb(0L)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    ChainedIndex.search(spark, sfSmall, 0L, 10).collect().foreach { r =>
+      assert(r.getDouble(1) == l2(emb(r.getLong(0)), q),
+        s"dist for ${r.getLong(0)} is not the exact full-dim squared L2")
+    }
+  }
+
+  test("codebooks are trained in PCA space (dsub = dOut / m)") {
+    val ch = ChainedIndex.forEmbeddings(spark, sfSmall, dOut = 24, nlist = 4)
+    assert(ch.pq.dsub == 24 / 8)
+    assert(ch.pq.books.forall(_.forall(_.length == 3)))
+    // the coarse index's postings live in PCA space too
+    val p = ch.index.postings.select("embedding").head().getSeq[Float](0)
+    assert(p.length == 24)
+  }
+
+  test("recall clears the documented floor at the smallest scale") {
+    val r = ChainedIndex.recall(spark, sfSmall)
+    assert(r >= 0.5, s"recall $r below the documented 0.5 floor")
+  }
+
+  test("rerank below k is rejected") {
+    intercept[IllegalArgumentException] {
+      ChainedIndex.search(spark, sfSmall, 0L, kNeighbors = 10, rerank = 5)
+    }
+  }
+}

@@ -82,4 +82,38 @@ class MmrSpec extends SparkSpec {
       Mmr.mmrRerank(spark, sfSmall, lam = 0.7, lamC = 0.4)
     }
   }
+
+  test("mmr_ivf with nprobe = nlist reproduces mmr_rerank exactly") {
+    // the probe prunes nothing, so the IVF shortlist IS the exact
+    // cosine top-c and the greedy sees identical inputs
+    val exact = Mmr.mmrRerank(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ivf = Mmr.mmrIvf(spark, sfSmall, nlist = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.toSeq == exact.toSeq)
+  }
+
+  test("mmr_ivf audit flags all hold at the smallest scale") {
+    val row = graft.operators.IndexAudits.mmrIvfAudit(spark, sfSmall).collect().head
+    assert(row.getLong(0) == 10L)
+    (1 to 6).foreach(i => assert(row.getBoolean(i), s"flag $i false: $row"))
+  }
+
+  test("greedy: zero-norm shortlist vectors are dropped, argmax scan-order independent") {
+    // A zero-norm vector makes cosine() NaN, which poisons the argmax
+    // comparisons — the winner would then depend on scan order. The
+    // guard drops such rows up front, so any permutation of the
+    // shortlist yields the same selection.
+    val short = IndexedSeq(
+      (1L, 0.9, Array(1.0f, 0.0f)),
+      (2L, 0.8, Array(0.0f, 0.0f)),   // zero norm: must never be picked
+      (3L, 0.7, Array(0.0f, 1.0f)),
+      (4L, Double.NaN, Array(1.0f, 1.0f))) // NaN query-sim: dropped too
+    val perms = short.permutations.take(24).toSeq
+    val results = perms.map(p => Mmr.greedy(p, k = 3, lam = 0.7, lamC = 0.3))
+    assert(results.distinct.size == 1,
+      s"selection varies with scan order: ${results.distinct}")
+    val ids = results.head.map(_._1)
+    assert(ids == IndexedSeq(1L, 3L), s"got $ids")
+  }
 }

@@ -163,10 +163,12 @@ class SamplingSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sfSmall)
       .select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // independent reference: same LCG uniform, same rounded E-S key,
-    // same (key desc, id asc) top-k — plain Scala, no Spark operators
+    // independent reference: same two-round multiplicative-hash
+    // uniform, same rounded E-S key, same (key desc, id asc) top-k —
+    // plain Scala, no Spark operators
     def key(id: Long, w: Long): Double = {
-      val uInt = (id % 2147483647L) * 2654435761L % 2147483647L
+      val mix1 = (id % 2147483647L) * 2654435761L % 2147483647L
+      val uInt = ((id / 2147483647L + mix1) % 2147483647L) * 2246822519L % 2147483647L
       val u = (uInt + 1).toDouble / 2147483648.0
       BigDecimal(math.log(u) / math.max(w, 1L).toDouble)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -193,5 +195,27 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.weightedSample(spark, sfSmall, 100).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(sample.toSeq == again.toSeq)
+  }
+
+  test("weightedSample uniform: full 64-bit id feeds the hash (no mod-2^31-1 correlation)") {
+    import spark.implicits._
+    val P = 2147483647L
+    // ids sharing a residue mod 2^31-1 (including exact multiples of
+    // it, which the one-round LCG pinned to the minimum u) must draw
+    // distinct, non-degenerate uniforms
+    val ids = Seq(5L, 5L + P, 5L + 2 * P, P, 2 * P, 3 * P, 7L * P)
+    val df = ids.map(id => (id, "s", 100L)).toDF("doc_id", "source", "n_chars")
+    val keyed = Sampling.weightedSampleOf(df, ids.length).collect()
+    assert(keyed.length == ids.length)
+    def u(id: Long): Long = {
+      val mix1 = (id % P) * 2654435761L % P
+      ((id / P + mix1) % P) * 2246822519L % P
+    }
+    val us = ids.map(u)
+    assert(us.distinct.size == ids.size, s"correlated uniforms: $us")
+    assert(us.forall(_ > 0), s"degenerate minimum u for a multiple of 2^31-1: $us")
+    // overflow bound: the largest possible operand pair stays < 2^63
+    assert(BigInt(P - 1) * BigInt(2654435761L) < BigInt(Long.MaxValue))
+    assert(BigInt(P - 1) * BigInt(2246822519L) < BigInt(Long.MaxValue))
   }
 }
