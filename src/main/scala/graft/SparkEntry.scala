@@ -511,6 +511,14 @@ object SparkEntry {
     // exact-integer PageRank over the symmetrized near-dup graph
     // (5 unrolled iterations; BIGINT fixed-point, order-independent)
     "pagerank_docs" -> ((s, d) => GraphRank.pagerankDocs(s, d)),
+    // same ranks from the PERSISTED two-wave edge log (saveWithEdges
+    // base + appendEdgesBatch wave): the incremental probe+mine
+    // reproduces the fresh graph edge-for-edge, so the integer ranks
+    // are bit-identical and the oracle is pagerank_docs' SQL verbatim
+    "pagerank_persisted" -> ((s, d) => GraphRank.pagerankPersistedFor(s, d)),
+    // connected components from the same persisted log — the
+    // incremental twin of minhash_clusters (its oracle verbatim)
+    "cc_persisted" -> ((s, d) => GraphRank.ccPersistedFor(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
@@ -737,7 +745,17 @@ object SparkEntry {
          |JOIN spanq s ON q.id = s.id
          |${filter}ORDER BY q.id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** The persisted-graph twins reproduce their fresh-mine originals
+    * bit-identically (edge log append ≡ fresh mine, spec-pinned), so
+    * their oracles are the originals' SQL verbatim. */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ Map(
+      "pagerank_persisted" -> base("pagerank_docs"),
+      "cc_persisted" -> base("minhash_clusters"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -324,6 +324,110 @@ object Pca {
     modelFrom(n, mean, c, dOut)
   }
 
+  // ---- moment-log compaction --------------------------------------------
+  //
+  // One file per wave forever is the same unbounded-file-count failure
+  // the bucket logs have ([[Compaction]]); the fold here is cheaper
+  // still because moment rows are ADDITIVE: the committed rows sum to
+  // ONE row. Bit-identity is preserved deliberately — the fold sums in
+  // trainFromLog's exact file-name order and the compacted file's name
+  // (`a-compact.parquet`) sorts BEFORE every `b<tag>-` batch file, so
+  // trainFromLog over [compacted, later waves…] replays the identical
+  // left-to-right double additions as over the uncompacted log
+  // (spec-pinned). Uncommitted (marker-less) files are carried
+  // verbatim — their batch may yet replay, and the replay's clear
+  // step must still find them under their prefix. Markers survive, so
+  // a batch replayed after compaction still no-ops.
+
+  /** Finish or unwind an interrupted moment-log compaction. Crash
+    * layout → action (mirrors [[Compaction]]'s per-partition swap with
+    * the flat log as the single "partition"):
+    *  - `_old-moments` + live present → swap completed; drop the
+    *    set-aside dir;
+    *  - `_old-moments` + live missing → promote the fully-built
+    *    `.compact-next` dir (compacted row + carried files, all placed
+    *    before any rename), else restore the set-aside dir;
+    *  - `.compact-next` + live intact → return carried batch files to
+    *    the live dir (the compacted row is a discardable
+    *    re-derivation) and discard the dir. */
+  private def recoverMomentCompact(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(s"$dir/moments")
+    val old = Paths.get(s"$dir/_old-moments")
+    val next = Paths.get(s"$dir/moments.compact-next")
+    if (Files.exists(old)) {
+      if (Files.exists(live)) BatchFs.deleteRecursively(old)
+      else if (Files.exists(next)) { Files.move(next, live); BatchFs.deleteRecursively(old) }
+      else Files.move(old, live)
+    }
+    if (Files.exists(next)) {
+      if (Files.exists(live))
+        BatchFs.children(next)
+          .filter(f => Compaction.batchTagOf(f.getFileName.toString).isDefined)
+          .foreach(f => Files.move(f, live.resolve(f.getFileName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      BatchFs.deleteRecursively(next)
+    }
+    BatchFs.deleteRecursively(Paths.get(s"$dir/moments.compact-staging"))
+  }
+
+  /** Fold the moment log's committed rows into one when the committed
+    * file count exceeds `maxFiles` (the [[Compaction.maintainLog]]
+    * measure-then-decide shape; the decision input is a directory
+    * listing). Crash-recovering — every entry first finishes or
+    * unwinds an interrupted pass — and idempotent. Returns
+    * (files before, files after). */
+  def compactMomentLog(spark: SparkSession, dir: String,
+                       maxFiles: Int = 16): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    // recovery FIRST: the live dir itself can be missing in the
+    // rename-aside crash window, and the early-exit below must only
+    // fire for a genuinely absent log
+    recoverMomentCompact(dir)
+    val live = Paths.get(s"$dir/moments")
+    if (!Files.exists(live)) return (0, 0)
+    val committedTags = Compaction.committedTagSet(dir)
+    val files = BatchFs.children(live)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val (committed, carried) = files.partition(f =>
+      Compaction.batchTagOf(f.getFileName.toString).forall(committedTags.contains))
+    val before = files.size
+    if (committed.size <= maxFiles) return (before, before)
+    // driver-side ordered fold of the committed rows — trainFromLog's
+    // exact order (full-path sort within one dir = name sort)
+    val rows = spark.read.parquet(committed.map(_.toString): _*)
+      .select(input_file_name().as("f"), col("n"), col("sums"), col("prods"))
+      .collect().sortBy(_.getString(0))
+    var n = 0L
+    val sums = rows.head.getSeq[Double](2).toArray.map(_ => 0.0)
+    val prods = rows.head.getSeq[Double](3).toArray.map(_ => 0.0)
+    rows.foreach { r =>
+      n += r.getLong(1)
+      val s = r.getSeq[Double](2); val p = r.getSeq[Double](3)
+      var i = 0
+      while (i < sums.length) { sums(i) += s(i); i += 1 }
+      i = 0
+      while (i < prods.length) { prods(i) += p(i); i += 1 }
+    }
+    import spark.implicits._
+    val staging = s"$dir/moments.compact-staging"
+    Seq((n, sums.toSeq, prods.toSeq)).toDF("n", "sums", "prods")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val next = Paths.get(s"$dir/moments.compact-next")
+    Files.createDirectories(next)
+    val part = BatchFs.children(Paths.get(staging))
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"pca: staged compact row missing under $staging"))
+    Files.move(part, next.resolve("a-compact.parquet"))
+    BatchFs.deleteRecursively(Paths.get(staging))
+    carried.foreach(f => Files.move(f, next.resolve(f.getFileName)))
+    val old = Paths.get(s"$dir/_old-moments")
+    Files.move(live, old)
+    Files.move(next, live)
+    BatchFs.deleteRecursively(old)
+    (before, 1 + carried.size)
+  }
+
   /** The two-wave persisted model over the embeddings table (waves =
     * vec_id parity), memoized per (sfDir, dOut) — the `pca_persisted`
     * audit's subject. Replays are exercised on every build: wave 0 is

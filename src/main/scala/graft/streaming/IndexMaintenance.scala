@@ -163,6 +163,42 @@ object IndexMaintenance {
     writer.start()
   }
 
+  /** Streaming PCA-transform maintenance — the moment-log twin of
+    * [[appendTermStream]]: each micro-batch of vectors (any frame with
+    * an `embedding` column) lands as ONE additive moment row
+    * ([[graft.operators.Pca.appendMomentsBatch]] — the wave's
+    * (n, Σx, Σx·xᵀ) under the BatchFs marker protocol), so the
+    * dimensionality transform refreshes continuously without ever
+    * rescanning the standing corpus: retraining is
+    * [[graft.operators.Pca.trainFromLog]]'s driver-side sum + dim×dim
+    * eigensolve, run on schedule like the term index's df/avgdl — a
+    * lagging-model discipline, deliberately NOT per batch (projections
+    * made with different model generations would not be comparable
+    * mid-stream; the serving path swaps models at generation
+    * boundaries, the IVF retrain pattern). The committed rows fold to
+    * one on the in-stream cadence
+    * ([[graft.operators.Pca.compactMomentLog]] — bit-identity
+    * preserved: the fold replays trainFromLog's exact addition
+    * order). */
+  def momentsStream(newVectors: DataFrame, dir: String,
+                    checkpointDir: Option[String] = None,
+                    maintainEvery: Int = 4,
+                    maxFiles: Int = 16): StreamingQuery = {
+    val ns = checkpointNamespace(checkpointDir)
+    val writer = newVectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Pca.appendMomentsBatch(spark, dir, batch, batchId,
+          namespace = ns)
+        if (cadenceHit(batchId, maintainEvery))
+          graft.operators.Pca.compactMomentLog(spark, dir, maxFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Streaming CDC apply — the continuous half of
     * [[graft.operators.Upsert]]: each micro-batch of delta rows
     * (key + payload, optional boolean `_deleted` tombstones) merges

@@ -66,6 +66,68 @@ class GraphRankSpec extends SparkSpec {
     assert(again == rank)
   }
 
+  test("checkpoint cadence never changes a rank (16 iterations, fires at 8)") {
+    val checked = GraphRank.pagerankDocs(spark, sfSmall, iterations = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = GraphRank.pagerankDocsNoCheckpoint(spark, sfSmall, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(checked == plain)
+  }
+
+  test("persisted edge log: base + appended wave == fresh mine, replay no-op") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("graph-log-")
+    GraphRank.saveWithEdges(corpus.filter(col("id") % 2 === 0), dir)
+    val n1 = GraphRank.appendEdgesBatch(spark, dir,
+      corpus.filter(col("id") % 2 === 1), 1L)
+    assert(n1 > 0L, "fixture must contribute wave-1 edges")
+    // edge-for-edge: the log's symmetrized multiset equals the fresh
+    // mine's (dedup via Set — both sides emit distinct pairs)
+    val logged = spark.read.parquet(s"$dir/edges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Dedup.dedupMinhash(spark, sfSmall)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(logged == fresh)
+    // therefore the ranks are bit-identical
+    val fromLog = GraphRank.pagerankFromLog(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = GraphRank.pagerankDocs(spark, sfSmall)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromLog == direct)
+    // and the CC twin matches the fresh transitive collapse
+    val ccLog = GraphRank.ccFromLog(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val ccFresh = Dedup.minhashClusters(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(ccLog == ccFresh)
+    // committed-wave replay appends nothing
+    assert(GraphRank.appendEdgesBatch(spark, dir,
+      corpus.filter(col("id") % 2 === 1), 1L) == 0L)
+  }
+
+  test("crash window: index committed, edges not — replay emits no self-pairs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("graph-crash-")
+    GraphRank.saveWithEdges(corpus.filter(col("id") % 2 === 0), dir)
+    val wave = corpus.filter(col("id") % 2 === 1)
+    // simulate the crash order: the MinHash admission committed first,
+    // the edge append never ran (its marker is absent)
+    graft.operators.MinhashIndex.appendBatch(spark, dir, wave, 1L)
+    val n = GraphRank.appendEdgesBatch(spark, dir, wave, 1L)
+    assert(n > 0L)
+    val logged = spark.read.parquet(s"$dir/edges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Dedup.dedupMinhash(spark, sfSmall)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(logged == fresh, "anti-join must exclude the admitted wave's self-matches")
+  }
+
   test("damping split (s div 100)*85 + ((s mod 100)*85) div 100 == (85*s) div 100") {
     val rnd = new scala.util.Random(7)
     (0 until 10000).foreach { _ =>

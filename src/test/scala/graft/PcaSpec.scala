@@ -176,6 +176,103 @@ class PcaSpec extends SparkSpec {
     assert(!clean.mean.sameElements(repaired.mean) || clean.n != repaired.n)
   }
 
+  test("momentsStream: stream-built log == direct batch appends bit-identically; restart is a no-op") {
+    val landing = tmpDir("pca-stream-landing-")
+    val ckpt = tmpDir("pca-stream-ckpt-")
+    val dirS = tmpDir("pca-stream-log-")
+    val dirB = tmpDir("pca-batch-log-")
+    val emb = Tables.embeddings(spark, sfSmall).select("vec_id", "embedding")
+    val schema = emb.schema
+    def stage(lo: Long, hi: Long, name: String): String = {
+      val tmp = tmpDir("pca-stream-stage-")
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val dst = s"$landing/$name.parquet"
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p, java.nio.file.Paths.get(dst)))
+      dst
+    }
+    def run(): Unit =
+      graft.streaming.IndexMaintenance.momentsStream(
+        spark.readStream.schema(schema).parquet(landing), dirS,
+        checkpointDir = Some(ckpt)).awaitTermination()
+    val w0 = stage(0, 250, "part0"); run()
+    val w1 = stage(250, 500, "part1"); run()
+    run() // nothing new — must append nothing
+    val ns = graft.streaming.IndexMaintenance.checkpointNamespace(Some(ckpt))
+    // batch twin over the SAME staged files under the SAME namespace:
+    // identical rows, identical file order → identical model, bitwise
+    assert(Pca.appendMomentsBatch(spark, dirB, spark.read.parquet(w0), 0L, ns) == 250L)
+    assert(Pca.appendMomentsBatch(spark, dirB, spark.read.parquet(w1), 1L, ns) == 250L)
+    val s = Pca.trainFromLog(spark, dirS, dOut = 8)
+    val b = Pca.trainFromLog(spark, dirB, dOut = 8)
+    assert(s.n == 500L && s.n == b.n)
+    assert(s.mean.sameElements(b.mean) && s.eigvals.sameElements(b.eigvals))
+    assert(s.comps.zip(b.comps).forall { case (x, y) => x.sameElements(y) })
+    // committed-batch replay through the stream's namespace is a no-op
+    assert(Pca.appendMomentsBatch(spark, dirS, spark.read.parquet(w0), 0L, ns) == 0L)
+  }
+
+  test("moment-log compaction folds committed rows bit-identically; markers and uncommitted files survive") {
+    val dir = tmpDir("pca-compact-")
+    val emb = Tables.embeddings(spark, sfSmall)
+    for (w <- 0 until 6)
+      assert(Pca.appendMomentsBatch(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(6)) === w), w.toLong) > 0L)
+    // a crashed attempt's marker-less file must be carried, not folded
+    val live = java.nio.file.Paths.get(s"$dir/moments")
+    val src = graft.operators.BatchFs.children(live)
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src, live.resolve("b99-part-crashed.parquet"))
+    val before = Pca.trainFromLog(spark, dir, dOut = 8)
+    val (nb, na) = Pca.compactMomentLog(spark, dir, maxFiles = 4)
+    assert(nb == 7 && na == 2, s"expected 7 -> 2 files, got $nb -> $na")
+    val after = Pca.trainFromLog(spark, dir, dOut = 8)
+    assert(before.n == after.n && before.mean.sameElements(after.mean) &&
+      before.eigvals.sameElements(after.eigvals) &&
+      before.comps.zip(after.comps).forall { case (x, y) => x.sameElements(y) },
+      "fold must replay trainFromLog's exact addition order")
+    // markers survive the fold: a replayed committed wave still no-ops
+    assert(Pca.appendMomentsBatch(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(6)) === 3), 3L) == 0L)
+    // below the bound, a second pass is a no-op
+    assert(Pca.compactMomentLog(spark, dir, maxFiles = 4) == ((2, 2)))
+    // and the log keeps accepting appends afterwards
+    assert(Pca.appendMomentsBatch(spark, dir,
+      emb.filter(col("vec_id") < 60), 100L) == 60L)
+    assert(Pca.trainFromLog(spark, dir, dOut = 8).n == after.n + 60L)
+  }
+
+  test("moment-log compaction crash recovery: interrupted passes finish or unwind") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("pca-recover-")
+    val emb = Tables.embeddings(spark, sfSmall)
+    for (w <- 0 until 3)
+      assert(Pca.appendMomentsBatch(spark, dir,
+        emb.filter(pmod(col("vec_id"), lit(3)) === w), w.toLong) > 0L)
+    val clean = Pca.trainFromLog(spark, dir, dOut = 4)
+    val live = Paths.get(s"$dir/moments")
+    // crash window A: carried file moved into .compact-next, live intact
+    val next = Paths.get(s"$dir/moments.compact-next")
+    Files.createDirectories(next)
+    val stray = live.resolve("b50-part-crashed.parquet")
+    Files.copy(graft.operators.BatchFs.children(live)
+      .find(_.getFileName.toString.endsWith(".parquet")).get, stray)
+    Files.move(stray, next.resolve("b50-part-crashed.parquet"))
+    Pca.compactMomentLog(spark, dir, maxFiles = 1000) // recovery only; no fold at this bound
+    assert(!Files.exists(next))
+    assert(Files.exists(live.resolve("b50-part-crashed.parquet")),
+      "carried uncommitted file must return to the live dir")
+    Files.delete(live.resolve("b50-part-crashed.parquet"))
+    // crash window B: live renamed aside, nothing promoted yet
+    Files.move(live, Paths.get(s"$dir/_old-moments"))
+    Pca.compactMomentLog(spark, dir, maxFiles = 1000)
+    assert(Files.exists(live) && !Files.exists(Paths.get(s"$dir/_old-moments")))
+    val recovered = Pca.trainFromLog(spark, dir, dOut = 4)
+    assert(recovered.n == clean.n && recovered.mean.sameElements(clean.mean))
+  }
+
   test("dOut bounds are enforced") {
     intercept[IllegalArgumentException] { Pca.train(spark, sfSmall, 0) }
     intercept[IllegalArgumentException] { Pca.train(spark, sfSmall, 65) }
