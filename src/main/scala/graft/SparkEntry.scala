@@ -420,6 +420,12 @@ object SparkEntry {
     // --- text analytics (north star; BASELINE.json) ---
     "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
+    // fixed-width alpha-ratio histogram: exact integer counts +
+    // cumulative, the one-pass scale path for quantile questions
+    "quality_hist" -> ((s, d) => ScoreHistogram.qualityHist(s, d)),
+    // tercile cut estimates from the histogram with the rank-error
+    // bound MEASURED against a direct second-path recount (flags)
+    "hist_cuts" -> ((s, d) => ScoreHistogram.histCuts(s, d)),
     "lang_id" -> ((s, d) => TextAnalytics.langId(s, d)),
     "lang_confusion" -> ((s, d) => TextAnalytics.langConfusion(s, d)),
     "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
@@ -1993,6 +1999,48 @@ object SparkEntry {
          |   AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
          |       / greatest(len(toks), 1) > 0.0) AS keep
          |FROM corpus ORDER BY id""".stripMargin,
+    // fixed-width alpha-ratio histogram: bin = least(floor(score*20), 19)
+    // rounds the same IEEE double once on both sides; counts and the
+    // cumulative are exact integers — hash-exact
+    "quality_hist" ->
+      s"""WITH $sqlCorpusToks,
+         |s AS (
+         |  SELECT LEAST(FLOOR((length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE
+         |    / length(sentence)) * 20), 19)::INT AS bin
+         |  FROM corpus),
+         |hist AS (SELECT bin, count(*)::BIGINT AS n FROM s GROUP BY bin)
+         |SELECT bin, n, SUM(n) OVER (ORDER BY bin)::BIGINT AS cum
+         |FROM hist ORDER BY bin""".stripMargin,
+    // tercile cuts from the histogram, flags recomputed end-to-end:
+    // target ranks floor(n/3) / floor(2n/3), cut bin = first bin whose
+    // cumulative reaches the target, estimate = its upper edge, and
+    // the direct second-path recount with the bin-population rank
+    // bound — every value and flag derived identically in both engines
+    "hist_cuts" ->
+      s"""WITH $sqlCorpusToks,
+         |s AS (
+         |  SELECT LEAST(FLOOR((length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE
+         |    / length(sentence)) * 20), 19)::INT AS bin
+         |  FROM corpus),
+         |hist AS (SELECT bin, count(*)::BIGINT AS n FROM s GROUP BY bin),
+         |h AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin)::BIGINT AS cum FROM hist),
+         |t AS (SELECT MAX(cum) AS nd, MAX(cum) // 3 AS t1, 2 * MAX(cum) // 3 AS t2 FROM h),
+         |c1 AS (SELECT MIN(bin) AS b FROM h, t WHERE cum >= t1),
+         |c2 AS (SELECT MIN(bin) AS b FROM h, t WHERE cum >= t2),
+         |k1 AS (SELECT h.bin, h.n, h.cum FROM h, c1 WHERE h.bin = c1.b),
+         |k2 AS (SELECT h.bin, h.n, h.cum FROM h, c2 WHERE h.bin = c2.b),
+         |d AS (
+         |  SELECT SUM(CASE WHEN s.bin <= c1.b THEN 1 ELSE 0 END)::BIGINT AS le1,
+         |         SUM(CASE WHEN s.bin <= c2.b THEN 1 ELSE 0 END)::BIGINT AS le2
+         |  FROM s, c1, c2)
+         |SELECT t.nd AS n_docs, t.t1, t.t2,
+         |  (k1.bin + 1)::DOUBLE / 20 AS c1_est,
+         |  (k2.bin + 1)::DOUBLE / 20 AS c2_est,
+         |  (d.le1 = k1.cum AND d.le2 = k2.cum) AS faithful_ok,
+         |  (d.le1 >= t.t1 AND d.le1 - t.t1 <= k1.n) AS rank1_bound_ok,
+         |  (d.le2 >= t.t2 AND d.le2 - t.t2 <= k2.n) AS rank2_bound_ok,
+         |  ((k1.bin + 1)::DOUBLE / 20 <= (k2.bin + 1)::DOUBLE / 20) AS monotone_ok
+         |FROM t, c1, c2, k1, k2, d""".stripMargin,
     "lang_id" ->
       s"""WITH $sqlCorpusToks,
          |hits AS (
