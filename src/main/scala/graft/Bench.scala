@@ -284,6 +284,10 @@ object Bench {
       "pca_model" -> (() => { Pca.train(spark, sfDir); () }),
       "scorecard_index" -> (() => { ScorecardIndex.indexFor(spark, sfDir); () }),
       "scorecard_index_admitted" -> (() => { ScorecardIndex.admittedIndexFor(spark, sfDir); () }),
+      // r12: the two-wave persisted near-dup graph (MinHash index +
+      // edge log + the persisted rank-side caches) shared by
+      // pagerank_persisted and cc_persisted
+      "neardup_graph_log" -> (() => { GraphRank.pagerankPersistedFor(spark, sfDir).count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

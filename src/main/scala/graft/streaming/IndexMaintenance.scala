@@ -314,6 +314,39 @@ object IndexMaintenance {
     writer.start()
   }
 
+  /** Continuous near-dup GRAPH maintenance — the edge-log twin of
+    * [[dedupStream]]: each micro-batch of documents (`id`, `sentence`)
+    * lands its cross edges (probe against the standing index,
+    * anti-joined on its own ids) and intra-wave edges in the persisted
+    * symmetrized edge log, then admits its band/doc rows, both through
+    * [[graft.operators.GraphRank.appendEdgesBatch]]'s two-marker
+    * replay protocol — so centrality and component refreshes
+    * ([[graft.operators.GraphRank.pagerankFromLog]] / `ccFromLog`)
+    * never re-mine the standing corpus. Rank retrains stay scheduled
+    * maintenance (degrees re-derived per retrain, the df/avgdl
+    * discipline); the in-stream cadence compacts all three additive
+    * logs (edges + the index's bands/docs). */
+  def graphStream(newDocs: DataFrame, dir: String,
+                  checkpointDir: Option[String] = None,
+                  maintainEvery: Int = 4,
+                  maxFilesPerPartition: Int = 16): StreamingQuery = {
+    val ns = checkpointNamespace(checkpointDir)
+    val writer = newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.GraphRank.appendEdgesBatch(spark, dir, batch, batchId,
+          namespace = ns)
+        if (cadenceHit(batchId, maintainEvery))
+          Seq("edges", "bands", "docs").foreach(log =>
+            Compaction.maintainLog(spark, s"$dir/$log", dir, "bucket",
+              maxFilesPerPartition))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   def dedupStream(newDocs: DataFrame, dir: String,
                   onMatches: (DataFrame, Long) => Unit,
                   minJaccard: Double = 0.8,

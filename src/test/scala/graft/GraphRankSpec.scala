@@ -128,6 +128,44 @@ class GraphRankSpec extends SparkSpec {
     assert(logged == fresh, "anti-join must exclude the admitted wave's self-matches")
   }
 
+  test("graphStream: streamed waves reproduce the fresh mine; restart appends nothing") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
+    val dir = tmpDir("graph-stream-")
+    val landing = tmpDir("graph-stream-landing-")
+    val ckpt = tmpDir("graph-stream-ckpt-")
+    GraphRank.saveWithEdges(corpus.filter(col("id") % 2 === 0), dir)
+    val schema = corpus.schema
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = tmpDir("graph-stream-stage-")
+      corpus.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$landing/$name.parquet")))
+    }
+    def run(): Unit =
+      graft.streaming.IndexMaintenance.graphStream(
+        spark.readStream.schema(schema).parquet(landing), dir,
+        checkpointDir = Some(ckpt)).awaitTermination()
+    stage(col("id") % 2 === 1 && col("id") < 250, "part0"); run()
+    stage(col("id") % 2 === 1 && col("id") >= 250, "part1"); run()
+    run() // nothing new — restart must append nothing
+    val logged = spark.read.parquet(s"$dir/edges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(logged.length == logged.toSet.size, "no edge may land twice")
+    val fresh = Dedup.dedupMinhash(spark, sfSmall)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(logged.toSet == fresh)
+    val fromLog = GraphRank.pagerankFromLog(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = GraphRank.pagerankDocs(spark, sfSmall)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromLog == direct)
+  }
+
   test("damping split (s div 100)*85 + ((s mod 100)*85) div 100 == (85*s) div 100") {
     val rnd = new scala.util.Random(7)
     (0 until 10000).foreach { _ =>
