@@ -94,7 +94,18 @@ object Bench {
     // triple-replayed cost inside the registered query's median) and
     // the scorecard-index build (LM+NB+span+min-id logs + cuts)
     "hard_negatives_mine" -> 6.0, "scorecard_index" -> 20.0,
-    "batch_ivf_search" -> 5.0, "scorecard_index_admitted" -> 20.0
+    "batch_ivf_search" -> 5.0, "scorecard_index_admitted" -> 20.0,
+    // r12 (verdict item 7): recorded quiet uppers for the r11/r12
+    // additions and the remaining warm entries, so the 2x detector
+    // adjudicates every entry from a recorded range, not the default
+    "pca_model" -> 2.0, "pca_stats" -> 1.5, "pca_persisted" -> 1.0,
+    "knn_pca_rerank" -> 2.5, "mmr_rerank" -> 2.0, "mmr_batch" -> 2.5,
+    "mmr_ivf" -> 3.0, "ivf_pq_pca_search" -> 3.0,
+    "pagerank_docs" -> 4.0, "pagerank_persisted" -> 1.5,
+    "cc_persisted" -> 4.5, "neardup_graph_log" -> 25.0,
+    "weighted_sample" -> 1.5, "centroid_outliers" -> 4.0,
+    "ingest_orc" -> 2.5, "quality_hist" -> 1.5, "hist_cuts" -> 2.0,
+    "pack_chunks" -> 4.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000

@@ -429,6 +429,9 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalytics.langId(s, d)),
     "lang_confusion" -> ((s, d) => TextAnalytics.langConfusion(s, d)),
     "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
+    // the per-sequence view of pack_sequences: docs contributing per
+    // fixed-length training sequence, boundary cuts, exact fill
+    "pack_chunks" -> ((s, d) => CorpusPrep.packChunks(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
     "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
@@ -2079,6 +2082,30 @@ object SparkEntry {
          |WHERE length(trim(d.text)) > 0
          |GROUP BY d.lang, p.lang_pred
          |ORDER BY d.lang, p.lang_pred""".stripMargin,
+    // per-sequence packing view: offsets restated as the plain
+    // cumulative window (exactly what the blocked prefix sum avoids
+    // at scale), then the lateral chunk expansion — exact integers
+    // throughout, hash-exact. Zero-token docs excluded on both sides
+    // (they occupy no space; their absence moves no offset).
+    "pack_chunks" ->
+      s"""WITH $sqlCorpusToks,
+         |d AS (SELECT id, len(toks)::BIGINT AS n_tokens FROM corpus WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS start_offset
+         |  FROM d),
+         |e AS (
+         |  SELECT c.id, c.n_tokens, c.start_offset, t.ch AS chunk_id
+         |  FROM c, LATERAL unnest(generate_series(c.start_offset // 512,
+         |    (c.start_offset + c.n_tokens - 1) // 512)) t(ch))
+         |SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN start_offset < chunk_id * 512
+         |        OR start_offset + n_tokens > (chunk_id + 1) * 512 THEN 1 ELSE 0 END)::BIGINT AS n_cut_docs,
+         |  SUM(LEAST(start_offset + n_tokens, (chunk_id + 1) * 512)
+         |    - GREATEST(start_offset, chunk_id * 512))::BIGINT AS n_tokens_filled
+         |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id AS id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS ws_tokens,

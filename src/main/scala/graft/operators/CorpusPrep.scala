@@ -121,7 +121,14 @@ object CorpusPrep {
     packSequencesCorpus(Ingest.corpusFromDocuments(spark, sfDir), seqLen)
 
   def packSequencesCorpus(corpus: DataFrame, seqLen: Long = 512L,
-                          blockSize: Long = 4096L): DataFrame = {
+                          blockSize: Long = 4096L): DataFrame =
+    packOffsetsCorpus(corpus, seqLen, blockSize).orderBy(col("id").asc)
+
+  /** The un-ordered offsets core shared by [[packSequencesCorpus]] and
+    * [[packChunksCorpus]] (the chunk view aggregates, so forcing the
+    * id sort first would be a wasted exchange). */
+  private def packOffsetsCorpus(corpus: DataFrame, seqLen: Long,
+                                blockSize: Long): DataFrame = {
     require(seqLen > 0 && blockSize > 0)
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
@@ -148,8 +155,40 @@ object CorpusPrep {
       .withColumn("start_offset", col("block_prefix") + col("local_off"))
       .select(col("id"), col("n_tokens"), col("start_offset"),
         (col("start_offset") / seqLen).cast("long").as("seq_id"))
-      .orderBy(col("id").asc)
   }
+
+  /** The per-SEQUENCE view of [[packSequences]] — for every
+    * fixed-length training sequence, how many documents contribute to
+    * it, how many of them are CUT by its boundaries (the
+    * cross-document-attention accounting a packing-aware trainer
+    * needs), and its exact token fill (only the final sequence may be
+    * partial). Zero-token documents occupy no space and are excluded;
+    * their absence does not move any offset. Each document explodes
+    * into the ⌈n/seqLen⌉+1-bounded set of chunks it touches, so the
+    * exploded row count is ≈ corpus tokens / seqLen — a REDUCTION for
+    * any real seqLen — followed by one partial-aggregable integer
+    * count shuffle. All integers: hash-exact cross-engine. */
+  def packChunks(spark: SparkSession, sfDir: String,
+                 seqLen: Long = 512L): DataFrame =
+    packChunksCorpus(Ingest.corpusFromDocuments(spark, sfDir), seqLen)
+
+  def packChunksCorpus(corpus: DataFrame, seqLen: Long = 512L): DataFrame =
+    packOffsetsCorpus(corpus, seqLen, 4096L)
+      .filter(col("n_tokens") > 0)
+      .select(col("n_tokens"), col("start_offset"),
+        explode(sequence(expr(s"start_offset div $seqLen"),
+          expr(s"(start_offset + n_tokens - 1) div $seqLen"))).as("chunk_id"))
+      .withColumn("contrib",
+        least(col("start_offset") + col("n_tokens"), (col("chunk_id") + 1) * seqLen) -
+          greatest(col("start_offset"), col("chunk_id") * seqLen))
+      .withColumn("cut",
+        when(col("start_offset") < col("chunk_id") * seqLen ||
+          col("start_offset") + col("n_tokens") > (col("chunk_id") + 1) * seqLen, 1L)
+          .otherwise(0L))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cut")).as("n_cut_docs"),
+        sum(col("contrib")).as("n_tokens_filled"))
+      .orderBy(col("chunk_id").asc)
 
   def docChunksCorpus(corpus: DataFrame, chunkSize: Int = 32): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")

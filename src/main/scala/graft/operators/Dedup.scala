@@ -190,8 +190,8 @@ object Dedup {
       .orderBy(col("id").asc)
   }
 
-  private def dedupMinhashFromSigs(sigs: DataFrame, minJaccard: Double,
-                                   maxBucket: Int): DataFrame = {
+  private[operators] def dedupMinhashFromSigs(sigs: DataFrame, minJaccard: Double,
+                                              maxBucket: Int): DataFrame = {
     val bands = capBuckets(lshBands(sigs), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),

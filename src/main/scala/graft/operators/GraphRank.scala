@@ -174,12 +174,21 @@ object GraphRank {
     * later wave appends to. */
   def saveWithEdges(corpus0: DataFrame, dir: String, nBuckets: Int = 64,
                     minJaccard: Double = 0.8): Unit = {
-    MinhashIndex.save(corpus0, dir, nBuckets)
-    symmetrized(Dedup.dedupMinhashCorpus(corpus0, minJaccard)
-        .select(col("a_id"), col("b_id")))
-      .withColumn("bucket", edgeBucket(nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/edges")
+    // ONE persisted signature derivation feeds both the index build
+    // and the base-edge mine (the 740 s MinHash postmortem discipline
+    // — recomputing the shingle+8-hash pipeline per consumer dominated
+    // this build's cost before r12)
+    val sigs = Dedup.minhashSignaturesCorpus(corpus0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.count()
+      MinhashIndex.saveFromSigs(sigs, dir, nBuckets)
+      symmetrized(Dedup.dedupMinhashFromSigs(sigs, minJaccard, Dedup.MaxBandBucket)
+          .select(col("a_id"), col("b_id")))
+        .withColumn("bucket", edgeBucket(nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/edges")
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** Idempotent per-wave edge append + index admission: the wave's
@@ -200,37 +209,47 @@ object GraphRank {
     val edgeNs = if (namespace.isEmpty) "edges" else s"$namespace-edges"
     val tag = BatchFs.batchTag(batchId, edgeNs)
     val marker = BatchFs.markerFor(dir, batchId, edgeNs)
-    val appended =
-      if (Files.exists(marker)) 0L
-      else {
-        val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
-        val waveIds = waveDocs.select(col("id").as("index_id"))
-        val cross = MinhashIndex.probe(spark, dir, waveDocs, minJaccard)
-          .join(waveIds, Seq("index_id"), "left_anti")
-          .select(col("probe_id").as("a_id"), col("index_id").as("b_id"))
-        val intra = Dedup.dedupMinhashCorpus(waveDocs, minJaccard)
-          .select(col("a_id"), col("b_id"))
-        val rows = symmetrized(cross.union(intra))
-          .withColumn("bucket", edgeBucket(nBuckets))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val n = rows.count()
-          if (n == 0L) { BatchFs.writeMarker(marker, "0"); 0L }
-          else {
-            val staging = s"$dir/_staging/edges-batch-$tag"
-            rows.repartition(col("bucket"))
-              .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-            val live = Paths.get(s"$dir/edges")
-            BatchFs.clearBatch(live, "bucket=", tag)
-            BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-            BatchFs.deleteRecursively(Paths.get(staging))
-            BatchFs.writeMarker(marker, n.toString)
-            n
-          }
-        } finally rows.unpersist(blocking = false)
-      }
-    MinhashIndex.appendBatch(spark, dir, waveDocs, batchId, namespace)
-    appended
+    val idxMarker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker) && Files.exists(idxMarker)) return 0L
+    // ONE persisted signature derivation feeds the probe, the
+    // intra-wave mine, AND the index admission (pre-r12 each consumer
+    // recomputed the shingle+8-hash pipeline — 3 extra passes)
+    val sigs = Dedup.minhashSignaturesCorpus(waveDocs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.count()
+      val appended =
+        if (Files.exists(marker)) 0L
+        else {
+          val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
+          val waveIds = waveDocs.select(col("id").as("index_id"))
+          val cross = MinhashIndex.probeFromSigs(spark, dir, sigs, minJaccard)
+            .join(waveIds, Seq("index_id"), "left_anti")
+            .select(col("probe_id").as("a_id"), col("index_id").as("b_id"))
+          val intra = Dedup.dedupMinhashFromSigs(sigs, minJaccard, Dedup.MaxBandBucket)
+            .select(col("a_id"), col("b_id"))
+          val rows = symmetrized(cross.union(intra))
+            .withColumn("bucket", edgeBucket(nBuckets))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n = rows.count()
+            if (n == 0L) { BatchFs.writeMarker(marker, "0"); 0L }
+            else {
+              val staging = s"$dir/_staging/edges-batch-$tag"
+              rows.repartition(col("bucket"))
+                .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+              val live = Paths.get(s"$dir/edges")
+              BatchFs.clearBatch(live, "bucket=", tag)
+              BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+              BatchFs.deleteRecursively(Paths.get(staging))
+              BatchFs.writeMarker(marker, n.toString)
+              n
+            }
+          } finally rows.unpersist(blocking = false)
+        }
+      MinhashIndex.appendBatchFromSigs(spark, dir, sigs, batchId, namespace)
+      appended
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** PageRank from the persisted edge log: degrees re-derived from the

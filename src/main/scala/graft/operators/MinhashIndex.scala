@@ -54,13 +54,22 @@ object MinhashIndex {
   def save(corpus: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     val sigs = Dedup.minhashSignaturesCorpus(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try saveFromSigs(sigs, dir, nBuckets)
+    finally sigs.unpersist(blocking = false)
+  }
+
+  /** [[save]] over an already-persisted signature frame — for callers
+    * that feed several consumers from one shingle+hash derivation (the
+    * 740 s MinHash postmortem discipline; see
+    * [[GraphRank.saveWithEdges]]). The caller owns the persist. */
+  private[operators] def saveFromSigs(sigs: DataFrame, dir: String,
+                                      nBuckets: Int = 64): Unit = {
     writeBucketed(bandRows(sigs, nBuckets), s"$dir/bands", "overwrite")
     writeBucketed(docRows(sigs, nBuckets), s"$dir/docs", "overwrite")
-    val spark = corpus.sparkSession
+    val spark = sigs.sparkSession
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    sigs.unpersist(blocking = false)
   }
 
   private def nBucketsOf(spark: SparkSession, dir: String): Int =
@@ -89,28 +98,37 @@ object MinhashIndex {
     * replay. Returns documents appended (0 for a replay). */
   def appendBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
                   batchId: Long, namespace: String = ""): Long = {
-    import java.nio.file.{Files, Paths}
-    val tag = BatchFs.batchTag(batchId, namespace)
-    val marker = BatchFs.markerFor(dir, batchId, namespace)
-    if (Files.exists(marker)) return 0L
-    val nBuckets = nBucketsOf(spark, dir)
+    if (java.nio.file.Files.exists(BatchFs.markerFor(dir, batchId, namespace)))
+      return 0L
     val sigs = Dedup.minhashSignaturesCorpus(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = sigs.count()
-      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-      Seq(("bands", bandRows(sigs, nBuckets)), ("docs", docRows(sigs, nBuckets)))
-        .foreach { case (name, df) =>
-          val staging = s"$dir/_staging/$name-batch-$tag"
-          writeBucketed(df, staging, "overwrite")
-          val live = Paths.get(s"$dir/$name")
-          BatchFs.clearBatch(live, "bucket=", tag)
-          BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-          BatchFs.deleteRecursively(Paths.get(staging))
-        }
-      BatchFs.writeMarker(marker, n.toString)
-      n
-    } finally sigs.unpersist(blocking = false)
+    try appendBatchFromSigs(spark, dir, sigs, batchId, namespace)
+    finally sigs.unpersist(blocking = false)
+  }
+
+  /** [[appendBatch]] over an already-persisted signature frame (caller
+    * owns the persist — the [[saveFromSigs]] discipline). */
+  private[operators] def appendBatchFromSigs(spark: SparkSession, dir: String,
+                                             sigs: DataFrame, batchId: Long,
+                                             namespace: String = ""): Long = {
+    import java.nio.file.Paths
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (java.nio.file.Files.exists(marker)) return 0L
+    val nBuckets = nBucketsOf(spark, dir)
+    val n = sigs.count()
+    if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
+    Seq(("bands", bandRows(sigs, nBuckets)), ("docs", docRows(sigs, nBuckets)))
+      .foreach { case (name, df) =>
+        val staging = s"$dir/_staging/$name-batch-$tag"
+        writeBucketed(df, staging, "overwrite")
+        val live = Paths.get(s"$dir/$name")
+        BatchFs.clearBatch(live, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+        BatchFs.deleteRecursively(Paths.get(staging))
+      }
+    BatchFs.writeMarker(marker, n.toString)
+    n
   }
 
   /** Probe a wave against the index WITHOUT touching its stored
@@ -141,6 +159,16 @@ object MinhashIndex {
     // discipline)
     val sigs = Dedup.minhashSignaturesCorpus(probeDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (probeFromSigs(spark, dir, sigs, minJaccard, maxBucket), sigs)
+  }
+
+  /** [[probe]] over an already-persisted signature frame (caller owns
+    * the persist and its release). */
+  private[operators] def probeFromSigs(spark: SparkSession, dir: String,
+                                       sigs: DataFrame,
+                                       minJaccard: Double = 0.8,
+                                       maxBucket: Int = Dedup.MaxBandBucket)
+      : DataFrame = {
     val pBands = Dedup.lshBands(sigs)
     val iBands = spark.read.parquet(s"$dir/bands").select(col("band"), col("key"), col("id"))
     // prune to probed keys first (whole buckets survive, so the cap
@@ -155,13 +183,12 @@ object MinhashIndex {
     val pSets = sigs.select(col("id").as("probe_id"), array_distinct(col("toks")).as("pset"))
     val iSets = spark.read.parquet(s"$dir/docs")
       .select(col("id").as("index_id"), col("tset").as("iset"))
-    val verdicts = cand.join(pSets, Seq("probe_id")).join(iSets, Seq("index_id"))
+    cand.join(pSets, Seq("probe_id")).join(iSets, Seq("index_id"))
       .withColumn("jaccard",
         size(array_intersect(col("pset"), col("iset"))).cast("double") /
           size(array_union(col("pset"), col("iset"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("probe_id"), col("index_id"), col("jaccard"))
-    (verdicts, sigs)
   }
 
   // ---- registered surface -------------------------------------------

@@ -64,6 +64,38 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("packChunks: token conservation, dense full interior chunks, cut recount") {
+    val corpus = (0L until 12L).map(i =>
+      (i, ("tok " * (3 * i + 1).toInt).trim)).toDF("id", "sentence")
+    val seqLen = 16L
+    val chunks = CorpusPrep.packChunksCorpus(corpus, seqLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = (0L until 12L).map(i => 3 * i + 1)
+    val total = counts.sum
+    assert(chunks.map(_._4).sum == total, "every token lands in exactly one chunk")
+    val maxChunk = (total - 1) / seqLen
+    assert(chunks.map(_._1).toSeq == (0L to maxChunk), "chunk ids are dense from 0")
+    chunks.dropRight(1).foreach { case (c, _, _, filled) =>
+      assert(filled == seqLen, s"interior chunk $c must be full")
+    }
+    assert(chunks.last._4 == total - maxChunk * seqLen)
+    // recount contributing and cut docs per chunk from serial offsets
+    var off = 0L
+    val nDocs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val nCut = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    counts.foreach { n =>
+      val cf = off / seqLen; val cl = (off + n - 1) / seqLen
+      (cf to cl).foreach { c =>
+        nDocs(c) += 1L
+        if (off < c * seqLen || off + n > (c + 1) * seqLen) nCut(c) += 1L
+      }
+      off += n
+    }
+    chunks.foreach { case (c, d, cut, _) =>
+      assert(d == nDocs(c) && cut == nCut(c), s"chunk $c doc/cut accounting")
+    }
+  }
+
   test("curationDecisions: stage booleans agree with the standalone operators") {
     import graft.operators.{Dedup, Sampling}
     val dec = CorpusPrep.curationDecisions(spark, sfSmall).collect()

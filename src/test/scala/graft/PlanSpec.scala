@@ -309,4 +309,40 @@ class PlanSpec extends SparkSpec {
       assert(n == 0, s"$q: $n single-task window(s) — the global NTILE crept back")
     }
   }
+
+  test("pack_chunks keeps the blocked prefix sum; quality_hist's window sits above the bin aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def kids(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: kids(p).flatMap(collectNodes)
+    // the packing offsets ride pack_sequences' blocked prefix sum —
+    // every window in the chunk view must stay block-partitioned
+    // (never the single-task global cumulative the oracle restates)
+    val pack = SparkEntry.queries("pack_chunks")(spark, sfSmall)
+    pack.collect()
+    val badPack = collectNodes(pack.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(badPack.isEmpty,
+      "pack_chunks: an unpartitioned window crept into the offset chain")
+    // quality_hist's cumulative IS a global window, but legal only
+    // because it runs over the <= NBins-row aggregate: every WindowExec
+    // must have an aggregate strictly below it
+    val hist = SparkEntry.queries("quality_hist")(spark, sfSmall)
+    hist.collect()
+    val histPlan = hist.queryExecution.executedPlan
+    val histWindows = collectNodes(histPlan).collect { case w: WindowExec => w }
+    assert(histWindows.nonEmpty, "quality_hist is expected to carry its bounded window")
+    histWindows.foreach { w =>
+      val below = kids(w).flatMap(collectNodes)
+      assert(below.exists(_.isInstanceOf[BaseAggregateExec]),
+        "quality_hist: a window runs over pre-aggregate (corpus-sized) rows")
+    }
+  }
 }
