@@ -312,11 +312,15 @@ class PlanSpec extends SparkSpec {
 
   test("pack_chunks keeps the blocked prefix sum; quality_hist's window sits above the bin aggregate") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
+    // descend through AQE wrappers AND materialized query stages —
+    // a post-collect adaptive plan hides most operators inside
+    // QueryStageExec nodes whose subtree is `plan`, not `children`
     def kids(x: SparkPlan): Seq[SparkPlan] = x match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
       case other => other.children
     }
     def collectNodes(p: SparkPlan): Seq[SparkPlan] =
