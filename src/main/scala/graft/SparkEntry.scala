@@ -1226,11 +1226,15 @@ object SparkEntry {
          |SELECT anchor_id, rank::BIGINT AS rank, neg_id, sim FROM r
          |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     // decimal-sum mean per (label, component): shuffle-order-proof
-    // (float/double sums are not associative; decimal sums are exact)
+    // (float/double sums are not associative; decimal sums are exact).
+    // The ABS(v) < 5e-11 zero guard mirrors VectorOps.dec10 — a no-op
+    // under HALF_UP that defuses DuckDB's sub-quantum sci-notation
+    // parser misrounding ('6.375e-12' → 1E-10)
     "label_centroids" ->
       """SELECT label, pos,
-        |  CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
-        |    / COUNT(*) AS mean
+        |  CAST(SUM(CAST(CAST(CASE WHEN ABS(CAST(v AS DOUBLE)) < 5e-11
+        |      THEN 0 ELSE CAST(v AS DOUBLE) END AS VARCHAR)
+        |    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
         |FROM (SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
         |      FROM embeddings, range(1, 65) t(i))
         |GROUP BY label, pos
@@ -1241,8 +1245,9 @@ object SparkEntry {
     "centroid_outliers" ->
       """WITH cent AS (
         |  SELECT label, pos,
-        |    CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
-        |      / COUNT(*) AS mean
+        |    CAST(SUM(CAST(CAST(CASE WHEN ABS(CAST(v AS DOUBLE)) < 5e-11
+        |        THEN 0 ELSE CAST(v AS DOUBLE) END AS VARCHAR)
+        |      AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
         |  FROM (SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
         |        FROM embeddings, range(1, 65) t(i))
         |  GROUP BY label, pos),
@@ -1393,17 +1398,20 @@ object SparkEntry {
       """WITH pp AS (
         |  SELECT t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
         |  FROM embeddings, range(1, 65) t(i)),
+        |q AS (
+        |  SELECT pos,
+        |    CAST(CAST(CASE WHEN ABS(v) < 5e-11 THEN 0 ELSE v END
+        |      AS VARCHAR) AS DECIMAL(28,10)) AS dv,
+        |    CAST(CAST(CASE WHEN v * v < 5e-11 THEN 0 ELSE v * v END
+        |      AS VARCHAR) AS DECIMAL(28,10)) AS dvv
+        |  FROM pp),
         |agg AS (
         |  SELECT pos,
-        |    CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
-        |      / COUNT(*) AS mean,
-        |    CAST(SUM(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
-        |      / COUNT(*) -
-        |      (CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
-        |        / COUNT(*)) *
-        |      (CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
-        |        / COUNT(*)) AS var_pop
-        |  FROM pp GROUP BY pos)
+        |    CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS mean,
+        |    CAST(SUM(dvv) AS DOUBLE) / COUNT(*) -
+        |      (CAST(SUM(dv) AS DOUBLE) / COUNT(*)) *
+        |      (CAST(SUM(dv) AS DOUBLE) / COUNT(*)) AS var_pop
+        |  FROM q GROUP BY pos)
         |SELECT pos, mean, var_pop, TRUE AS mean_match_ok,
         |  TRUE AS eigen_residual_ok, TRUE AS orthonormal_ok,
         |  TRUE AS eigvals_ok, TRUE AS trace_matches_ok

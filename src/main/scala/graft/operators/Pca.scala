@@ -173,8 +173,10 @@ object Pca {
   def pcaStats(spark: SparkSession, sfDir: String, dOut: Int = 24): DataFrame = {
     val m = train(spark, sfDir, dOut)
     val dim = m.mean.length
-    val dec = (c: org.apache.spark.sql.Column) =>
-      c.cast("string").cast(DecimalType(28, 10))
+    // sub-half-quantum zero guard included — see VectorOps.dec10
+    // (the v² column is where the DuckDB sci-notation parser quirk
+    // actually fired, at sf0.001)
+    val dec = VectorOps.dec10 _
     val perPos = Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("pos").cast("long").as("pos"), col("vf").cast("double").as("v"))

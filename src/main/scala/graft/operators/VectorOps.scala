@@ -23,17 +23,27 @@ object VectorOps {
   def centroidsByLabel(spark: SparkSession, sfDir: String): DataFrame =
     centroidsOf(Tables.embeddings(spark, sfDir))
 
+  /** Order-proof decimal quantization of a double column — the
+    * engine-identical float→decimal route (double → decimal string →
+    * DECIMAL(28,10) HALF_UP; engines disagree on DIRECT float→decimal
+    * rounding). Magnitudes below the half-quantum are zeroed first: a
+    * Spark-side no-op (HALF_UP sends them to 0 anyway) that defuses a
+    * DuckDB VARCHAR→DECIMAL parser quirk where a scientific-notation
+    * value entirely below the quantum rounds on its first SIGNIFICANT
+    * digit ('6.375e-12' → 1E-10 instead of 0E-10 — caught by the
+    * sf0.001 sweep on pca_stats' v² column). Oracle SQL mirrors the
+    * guard with CASE WHEN ABS(x) < 5e-11 THEN 0 ELSE x END. */
+  private[graft] def dec10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(abs(c) < lit(5e-11), lit(0.0)).otherwise(c)
+      .cast("string").cast(DecimalType(28, 10))
+
   private def centroidsOf(embeddings: DataFrame): DataFrame = {
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       // exact decimal sum (shuffle-order-proof), then a single double
-      // division. The float→decimal route is pinned explicitly
-      // (double → shortest decimal string → decimal) because engines
-      // disagree on direct float→decimal rounding; string→decimal
-      // HALF_UP is identical everywhere.
-      .agg((sum(col("v").cast("double").cast("string")
-          .cast(DecimalType(28, 10))).cast("double") /
+      // division; see dec10 for the pinned quantization route
+      .agg((sum(dec10(col("v").cast("double"))).cast("double") /
         count(lit(1))).as("mean"))
       .orderBy(col("label").asc, col("pos").asc)
   }

@@ -35,11 +35,9 @@ object DocCuration {
     val stage = java.nio.file.Paths.get(
       s"/root/repo/target/stream-src-docs/${new java.io.File(sfDir).getName}")
     java.nio.file.Files.createDirectories(stage)
-    val link = stage.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
-    }
+    // absolute + dangling-link repair, see EventsStreaming.stageLink
+    EventsStreaming.stageLink(stage.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
     spark.readStream.schema(docSchema).parquet(stage.toString)
   }
 

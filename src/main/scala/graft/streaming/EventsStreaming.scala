@@ -33,15 +33,33 @@ object EventsStreaming {
     * file source requires a directory to monitor, so the file is
     * staged (symlinked) into target/ once — in production this
     * directory is the landing zone new files arrive in. */
+  /** Stage `target` (absolutized) as symlink `link`, replacing a
+    * dangling or wrong-target link — shared by the events and
+    * documents stream stages. */
+  private[streaming] def stageLink(link: java.nio.file.Path,
+                                   target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, LinkOption}
+    val abs = target.toAbsolutePath.normalize
+    val live = Files.exists(link, LinkOption.NOFOLLOW_LINKS)
+    val healthy = live && (!Files.isSymbolicLink(link) ||
+      (Files.exists(link) && Files.readSymbolicLink(link) == abs))
+    if (!healthy) {
+      if (live) Files.delete(link)
+      Files.createSymbolicLink(link, abs)
+    }
+  }
+
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       s"/root/repo/target/stream-src/${new java.io.File(sfDir).getName}")
     java.nio.file.Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    }
+    // Absolute target (a relative sfDir would stage a dangling link),
+    // and re-link when the existing entry doesn't resolve: exists()
+    // follows links, so a dangling link used to read "absent" while
+    // createSymbolicLink threw AlreadyExists — a permanently broken
+    // stage the file source silently listed as 0 rows.
+    stageLink(stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     // Probe the footer with batch schema inference (streaming sources
     // need an explicit schema): success = µs generation, throw =
     // legacy nanos. Mirrors Tables.events so the stream and its batch

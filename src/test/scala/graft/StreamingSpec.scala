@@ -268,6 +268,34 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch in-window pair joins, out-of-window does not: $got")
   }
 
+  test("readEvents stage self-heals a dangling symlink and links absolutely") {
+    import java.nio.file.{Files, Paths, LinkOption}
+    // a RELATIVE sfDir under repo root, so the old staging bug
+    // (link target taken verbatim → dangling relative link that
+    // exists() then reports absent while createSymbolicLink throws
+    // AlreadyExists) would reproduce here
+    val name = "stagetest-events"
+    val srcDir = Paths.get(s"target/$name")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$sfSmall/events.parquet"),
+      srcDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stage = Paths.get(s"/root/repo/target/stream-src/$name")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, Paths.get("no/such/file.parquet"))
+    val df = EventsStreaming.readEvents(spark, s"target/$name")
+    assert(Files.isSymbolicLink(link) &&
+      Files.exists(link) && // follows: the repaired link resolves
+      Files.readSymbolicLink(link).isAbsolute,
+      s"stage link not healed: -> ${Files.readSymbolicLink(link)}")
+    val rows = EventsStreaming.runToCompletion(
+      df.select("event_id"), "test_stage_selfheal").count()
+    assert(rows == Tables.events(spark, sfSmall).count())
+    Files.deleteIfExists(link)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val deduped = EventsStreaming.runToCompletion(
       EventsStreaming.dedupEvents(EventsStreaming.readEvents(spark, sfSmall)),
