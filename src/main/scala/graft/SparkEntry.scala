@@ -1313,9 +1313,13 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // MATERIALIZED on the edge CTEs (here and in every recursive
+    // oracle below): DuckDB re-evaluates an inlined CTE on each
+    // fixpoint iteration, so the all-pairs ε-mine ran once per
+    // reachability step — 291 s → 9.5 s at sf0.1, results identical
     "cluster_exact" ->
       s"""WITH RECURSIVE
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a.vec_id AS src, b.vec_id AS dst
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 1.2),
@@ -1332,7 +1336,7 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin,
     "cluster_sizes" ->
       s"""WITH RECURSIVE
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a.vec_id AS src, b.vec_id AS dst
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 1.2),
@@ -1433,7 +1437,7 @@ object SparkEntry {
     // hash-matches bit-for-bit (coefficients are literals on both
     // sides; 1 − 0.7 would differ from 0.3 in the last ulp)
     "mmr_rerank" ->
-      s"""WITH RECURSIVE short AS (
+      s"""WITH RECURSIVE short AS MATERIALIZED (
          |  SELECT b.vec_id, b.embedding,
          |    ${sqlDot("a.embedding", "b.embedding")} /
          |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS simq
@@ -1465,7 +1469,7 @@ object SparkEntry {
     // (QUALIFY), selected-set list state per qid; same fixed-order
     // doubles as the engine's per-group greedy, so it hash-matches
     "mmr_batch" ->
-      s"""WITH RECURSIVE short AS (
+      s"""WITH RECURSIVE short AS MATERIALIZED (
          |  SELECT a.vec_id AS qid, b.vec_id, b.embedding,
          |    ${sqlDot("a.embedding", "b.embedding")} /
          |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS simq
@@ -2379,7 +2383,7 @@ object SparkEntry {
          |  JOIN tokenized tb ON tb.id = c.b_id
          |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
          |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs),
          |reach(src, node) AS (
@@ -2410,7 +2414,7 @@ object SparkEntry {
          |  JOIN tokenized tb ON tb.id = c.b_id
          |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
          |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs),
          |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
@@ -2437,7 +2441,7 @@ object SparkEntry {
          |  JOIN tokenized tb ON tb.id = c.b_id
          |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
          |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs),
          |reach(src, node) AS (
@@ -2748,7 +2752,7 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
     "dedup_embed_exact" ->
       s"""WITH RECURSIVE
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT a.vec_id AS src, b.vec_id AS dst
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 0.9),
