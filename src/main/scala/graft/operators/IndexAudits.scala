@@ -503,14 +503,25 @@ object IndexAudits {
     * originals, so PCA/PQ error cannot leak into the metric); and
     * recall@10 against the exact global scan clears the measured
     * floor (AuditProbe: 0.9/0.8/0.8 at sf0.001/sf0.01/sf0.1 with the
-    * default nprobe 3 of 4, rerank 100; floor 0.5, >=1.6x margin). */
+    * default nprobe 3 of 4; floor 0.5, >=1.6x margin).
+    *
+    * The refine shortlist tracks corpus size — max(rerank, n/10) —
+    * because the test fixtures hold nlist at 4, so list sizes grow
+    * linearly with n and a FIXED shortlist shrinks relatively (at
+    * sf0.5's 4000 vectors, rerank=100 measured 0.4-0.5 recall even
+    * probing all lists: the 4-bit ADC ranks true neighbors below
+    * position 100). In production the ladder scales nlist ~ sqrt(n)
+    * to keep lists bounded and the shortlist a small multiple of k;
+    * the adaptive floor is the fixed-nlist test-scale equivalent. */
   def ivfPqPcaAudit(spark: SparkSession, sfDir: String, kNeighbors: Int = 10,
                     dOut: Int = 24, nlist: Int = 4, nprobe: Int = 3,
                     rerank: Int = 100, minHits: Int = 5): DataFrame = {
     val ch = ChainedIndex.forEmbeddings(spark, sfDir, dOut, nlist)
     val q = queryVec(spark, sfDir, 0L)
+    val nCorpus = embeddings(spark, sfDir).count()
+    val rr = math.max(rerank, (nCorpus / 10).toInt)
     val res = ChainedIndex.search(spark, sfDir, 0L, kNeighbors, dOut, nlist,
-      nprobe, rerank = rerank) // (vec_id, dist) — exact distances
+      nprobe, rerank = rr) // (vec_id, dist) — exact distances
     val probed = IvfIndex.probeLists(ch.index,
       Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
         .select(graft.functions.mat_vec(col("embedding"), ch.pca.comps))
