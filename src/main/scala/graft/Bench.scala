@@ -100,7 +100,9 @@ object Bench {
     // adjudicates every entry from a recorded range, not the default
     "pca_model" -> 2.0, "pca_stats" -> 1.5, "pca_persisted" -> 1.0,
     "knn_pca_rerank" -> 2.5, "mmr_rerank" -> 2.0, "mmr_batch" -> 2.5,
-    "mmr_ivf" -> 3.0, "ivf_pq_pca_search" -> 3.0,
+    // ivf_pq_pca_search warm-path median is ~1.9 s (the corpus-scaled
+    // rerank=n/10 shape); the build is its own warm entry since r12
+    "mmr_ivf" -> 3.0, "ivf_pq_pca_search" -> 4.0, "chained_index" -> 15.0,
     "pagerank_docs" -> 4.0, "pagerank_persisted" -> 1.5,
     "cc_persisted" -> 4.5, "neardup_graph_log" -> 25.0,
     "weighted_sample" -> 1.5, "centroid_outliers" -> 4.0,
@@ -299,6 +301,10 @@ object Bench {
       // edge log + the persisted rank-side caches) shared by
       // pagerank_persisted and cc_persisted
       "neardup_graph_log" -> (() => { GraphRank.pagerankPersistedFor(spark, sfDir).count(); () }),
+      // r12: the PCA->IVF-PQ chained build (PCA train + coarse index
+      // in PCA space + residual codebooks + coded postings) shared by
+      // ivf_pq_pca_search — previously hidden in that query's first rep
+      "chained_index" -> (() => { ChainedIndex.forEmbeddings(spark, sfDir).coded.count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())
