@@ -103,6 +103,7 @@ object Bench {
     // ivf_pq_pca_search warm-path median is ~1.9 s (the corpus-scaled
     // rerank=n/10 shape); the build is its own warm entry since r12
     "mmr_ivf" -> 3.0, "ivf_pq_pca_search" -> 4.0, "chained_index" -> 15.0,
+    "ivf_pq_pca_persisted" -> 6.0,
     "pagerank_docs" -> 4.0, "pagerank_persisted" -> 1.5,
     "cc_persisted" -> 4.5, "neardup_graph_log" -> 25.0,
     "weighted_sample" -> 1.5, "centroid_outliers" -> 4.0,

@@ -302,6 +302,10 @@ object SparkEntry {
     // in PCA space -> residual PQ ADC -> exact full-dim refine (the
     // FAISS IndexPreTransform(PCAMatrix, IndexIVFPQ) shape)
     "ivf_pq_pca_search" -> ((s, d) => IndexAudits.ivfPqPcaAudit(s, d)),
+    // persisted chained artifact (the reference's index.faiss save/
+    // load-without-retrain lifecycle, app.py:116-145): loaded models
+    // bit-identical + persisted search ≡ in-memory search, hash-exact
+    "ivf_pq_pca_persisted" -> ((s, d) => IndexAudits.ivfPqPcaPersistedAudit(s, d)),
     "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
     "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
     "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
@@ -1512,6 +1516,9 @@ object SparkEntry {
     "ivf_pq_pca_search" ->
       """SELECT 10 AS n_hits, TRUE AS dists_match_ok, TRUE AS hits_in_probed_ok,
         |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
+    "ivf_pq_pca_persisted" ->
+      """SELECT 10 AS n_hits, TRUE AS results_match_ok,
+        |  TRUE AS model_roundtrip_ok, TRUE AS not_self_ok""".stripMargin,
     "pq_persisted_search" ->
       """SELECT 10 AS n_hits, TRUE AS matches_memory_ok""".stripMargin,
     "pq_stats" ->

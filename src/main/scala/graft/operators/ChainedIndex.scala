@@ -128,4 +128,142 @@ object ChainedIndex {
       .collect().map(_.getLong(0)).toSet
     exact.intersect(got).size.toDouble / kNeighbors
   }
+
+  // ---- persisted lifecycle ---------------------------------------------
+
+  /** The cold-loaded artifact: every driver-side model the search path
+    * needs (PCA transform, coarse centroids, residual codebooks) plus
+    * the path of the binary code postings. */
+  final case class Persisted(pca: Pca.Model, cents: Array[(Int, Array[Float])],
+                             pq: Pq.Model, codesDir: String) {
+    /** An [[IvfIndex.Index]] view over the loaded centroids, so the
+      * probe/LUT helpers run unchanged (postings are never touched by
+      * the persisted path — the code scan replaces them). */
+    lazy val indexView: IvfIndex.Index = {
+      val spark = SparkSession.active
+      import spark.implicits._
+      IvfIndex.Index(
+        cents.toSeq.toDF("list_id", "centroid"),
+        spark.emptyDataFrame)
+    }
+  }
+
+  /** Persist the FULL chained artifact — transform, coarse quantizer,
+    * codebooks, and binary code postings — the engine's equivalent of
+    * the reference's on-disk index file (app.py:116-123 writes
+    * `index.faiss`; app.py:134-145 reloads it WITHOUT retraining).
+    * A cold session [[load]]s this directory and searches; no training
+    * pass runs. Layout:
+    *
+    *   dir/model/  — one small parquet of (kind, idx, vals) rows:
+    *                 the PCA mean/components/eigenvalues, the coarse
+    *                 centroids, the PQ codebooks, and the (n, trace,
+    *                 m, k, dsub) metadata. All values ride as DOUBLE
+    *                 (exact for widened floats), so the loaded model
+    *                 is BIT-IDENTICAL to the trained one.
+    *   dir/codes/  — (id, codes BINARY) under list_id= partitions:
+    *                 the IVFPQ on-disk form, coarse-prunable by the
+    *                 directory tree exactly like [[Pq.savePostings]].
+    */
+  def save(spark: SparkSession, sfDir: String, dir: String, dOut: Int = 24,
+           nlist: Int = 4, m: Int = 8, k: Int = 16): Unit = {
+    val ch = forEmbeddings(spark, sfDir, dOut, nlist, m, k)
+    import spark.implicits._
+    val model: Seq[(String, Int, Array[Double])] =
+      Seq(("meta", 0, Array(ch.pca.n.toDouble, ch.pca.trace,
+            m.toDouble, k.toDouble, ch.pq.dsub.toDouble)),
+          ("pca_mean", 0, ch.pca.mean),
+          ("pca_eig", 0, ch.pca.eigvals)) ++
+      ch.pca.comps.zipWithIndex.toSeq.map { case (r, i) =>
+        ("pca_comp", i, r.map(_.toDouble)) } ++
+      ch.index.centroidArrays.toSeq.map { case (lid, c) =>
+        ("centroid", lid, c.map(_.toDouble)) } ++
+      ch.pq.books.zipWithIndex.toSeq.flatMap { case (sub, s) =>
+        sub.zipWithIndex.toSeq.map { case (cw, c) =>
+          ("book", s * k + c, cw.map(_.toDouble)) } }
+    model.toDF("kind", "idx", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    Pq.residualFrame(ch.index)
+      .select(col("list_id"), col("id"),
+        pq_encode(col("resid"), ch.pq.books, asBinary = true).as("codes"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/codes")
+  }
+
+  /** Reconstruct the driver-side models from `dir/model` — no
+    * training, no corpus scan. Doubles narrow back to the exact floats
+    * they widened from, so every array equals the trained original. */
+  def load(spark: SparkSession, dir: String): Persisted = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    def of(kind: String) = rows.filter(_._1 == kind).sortBy(_._2)
+    val meta = of("meta").head._3
+    val (n, trace, m, k, dsub) = (meta(0), meta(1), meta(2), meta(3), meta(4))
+    val mean = of("pca_mean").head._3
+    val eig = of("pca_eig").head._3
+    val comps = of("pca_comp").map(_._3.map(_.toFloat))
+    val cents = of("centroid").map { case (_, lid, v) => lid -> v.map(_.toFloat) }
+    val bookRows = of("book")
+    val books = Array.tabulate(m.toInt, k.toInt)((s, c) =>
+      bookRows(s * k.toInt + c)._3.map(_.toFloat))
+    Persisted(Pca.Model(n.toLong, mean, eig, comps, trace), cents,
+      Pq.Model(m.toInt, k.toInt, dsub.toInt, books), s"$dir/codes")
+  }
+
+  private val persistedCache =
+    JvmCaches.map[(String, Int, Int, Int, Int), String]()
+
+  /** Save-once-per-session handle (the [[Pq.persistedSearchPq]]
+    * directory discipline), keyed on the full parameter tuple. */
+  def persistedFor(spark: SparkSession, sfDir: String, dOut: Int = 24,
+                   nlist: Int = 4, m: Int = 8, k: Int = 16): Persisted = {
+    val dir = persistedCache.getOrElseUpdate((sfDir, dOut, nlist, m, k), {
+      val d = s"/root/repo/target/chained-index/${new java.io.File(sfDir).getName}-d$dOut-nlist$nlist-m$m-k$k"
+      // a complete on-disk artifact is reused as-is — the whole point
+      // of the lifecycle is that a cold session loads WITHOUT a
+      // training pass (the registered audit's results_match_ok flag
+      // re-validates the dir against an in-memory build every run, so
+      // a stale artifact cannot pass silently)
+      if (!new java.io.File(s"$d/codes/_SUCCESS").exists())
+        save(spark, sfDir, d, dOut, nlist, m, k)
+      d
+    })
+    load(spark, dir)
+  }
+
+  /** Chained search against the PERSISTED artifact: identical stages
+    * to [[search]], but every model comes from [[load]] and the ADC
+    * scan reads only the probed `list_id=` code partitions (static
+    * partition pruning; never a float, never a posting). Because the
+    * loaded models are bit-identical to the trained ones, this returns
+    * EXACTLY [[search]]'s rows — the registered audit pins that. */
+  def persistedSearch(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      kNeighbors: Int = 10, dOut: Int = 24, nlist: Int = 4,
+                      nprobe: Int = 3, m: Int = 8, k: Int = 16,
+                      rerank: Int = 100): DataFrame = {
+    require(rerank >= kNeighbors, s"chained: rerank=$rerank < k=$kNeighbors")
+    val p = persistedFor(spark, sfDir, dOut, nlist, m, k)
+    val qp = Tables.embeddings(spark, sfDir).filter(col("vec_id") === queryId)
+      .select(mat_vec(col("embedding"), p.pca.comps).as("proj"))
+      .head().getSeq[Float](0).toArray
+    val probed = IvfIndex.probeLists(p.indexView, qp, nprobe)
+    val luts = Pq.residualLuts(p.pq, p.indexView, qp, probed)
+    val shortlist = spark.read.parquet(p.codesDir)
+      .filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        pq_adc_by_list(col("list_id"), col("codes"), luts).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .join(broadcast(qRow))
+      .select(col("vec_id"), l2sq(col("embedding"), col("q_embedding")).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(kNeighbors)
+  }
 }

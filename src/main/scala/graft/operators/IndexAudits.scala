@@ -540,6 +540,43 @@ object IndexAudits {
         col("not_self_ok"), (col("n_hit") >= minHits).as("recall_ok"))
   }
 
+  /** Audit of the PERSISTED chained index (registered
+    * `ivf_pq_pca_persisted` — the on-disk IndexPreTransform artifact,
+    * reference app.py:116-145's save/load-without-retrain lifecycle):
+    * the cold-loaded models are BIT-IDENTICAL to the trained ones
+    * (driver-side array compare — doubles widen/narrow exactly), and
+    * the persisted search returns EXACTLY the in-memory chained
+    * search's rows (same stages, loaded models, partition-pruned code
+    * scan), so persistence adds zero error by construction. */
+  def ivfPqPcaPersistedAudit(spark: SparkSession, sfDir: String,
+                             kNeighbors: Int = 10, dOut: Int = 24,
+                             nlist: Int = 4, nprobe: Int = 3,
+                             rerank: Int = 100): DataFrame = {
+    val ch = ChainedIndex.forEmbeddings(spark, sfDir, dOut, nlist)
+    val p = ChainedIndex.persistedFor(spark, sfDir, dOut, nlist)
+    val modelOk =
+      p.pca.n == ch.pca.n && p.pca.trace == ch.pca.trace &&
+      p.pca.mean.sameElements(ch.pca.mean) &&
+      p.pca.eigvals.sameElements(ch.pca.eigvals) &&
+      p.pca.comps.length == ch.pca.comps.length &&
+      p.pca.comps.indices.forall(i => p.pca.comps(i).sameElements(ch.pca.comps(i))) &&
+      p.cents.sortBy(_._1).zip(ch.index.centroidArrays.sortBy(_._1)).forall {
+        case ((l1, c1), (l2, c2)) => l1 == l2 && c1.sameElements(c2) } &&
+      p.pq.m == ch.pq.m && p.pq.k == ch.pq.k && p.pq.dsub == ch.pq.dsub &&
+      p.pq.books.indices.forall(s => p.pq.books(s).indices.forall(c =>
+        p.pq.books(s)(c).sameElements(ch.pq.books(s)(c))))
+    val nCorpus = embeddings(spark, sfDir).count()
+    val rr = math.max(rerank, (nCorpus / 10).toInt)
+    val mem = ChainedIndex.search(spark, sfDir, 0L, kNeighbors, dOut, nlist,
+      nprobe, rerank = rr).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val per = ChainedIndex.persistedSearch(spark, sfDir, 0L, kNeighbors, dOut,
+      nlist, nprobe, rerank = rr).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val spark2 = spark; import spark2.implicits._
+    Seq((mem.length.toLong, per.sameElements(mem), modelOk,
+        mem.forall(_._1 != 0L)))
+      .toDF("n_hits", "results_match_ok", "model_roundtrip_ok", "not_self_ok")
+  }
+
   /** Audit of the codebook-usage histogram (registered `pq_stats`):
     * the per-(subspace, code) counts form m disjoint histograms each
     * summing to the full corpus, codes stay in [0, k), and every

@@ -58,4 +58,36 @@ class ChainedIndexSpec extends SparkSpec {
       ChainedIndex.search(spark, sfSmall, 0L, kNeighbors = 10, rerank = 5)
     }
   }
+
+  test("persisted artifact roundtrips bit-identically and searches equal") {
+    val mem = ChainedIndex.search(spark, sfSmall, 0L, 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = s"target/chained-spec-${System.nanoTime()}"
+    ChainedIndex.save(spark, sfSmall, dir)
+    val p = ChainedIndex.load(spark, dir)
+    val ch = ChainedIndex.forEmbeddings(spark, sfSmall)
+    assert(p.pca.mean.sameElements(ch.pca.mean))
+    assert(p.pca.comps.indices.forall(i =>
+      p.pca.comps(i).sameElements(ch.pca.comps(i))))
+    assert(p.pq.books.indices.forall(s => p.pq.books(s).indices.forall(c =>
+      p.pq.books(s)(c).sameElements(ch.pq.books(s)(c)))))
+    assert(p.cents.sortBy(_._1).map(_._1).sameElements(
+      ch.index.centroidArrays.sortBy(_._1).map(_._1)))
+    val per = ChainedIndex.persistedSearch(spark, sfSmall, 0L, 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(per == mem, s"persisted != memory:\n$per\n$mem")
+  }
+
+  test("cold load searches without retraining (caches cleared)") {
+    val mem = ChainedIndex.search(spark, sfSmall, 0L, 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // force the persisted dir to exist, then clear every JVM memo so
+    // the next persisted search can only come from the on-disk artifact
+    graft.operators.ChainedIndex.persistedFor(spark, sfSmall)
+    graft.operators.JvmCaches.clearAll()
+    spark.catalog.clearCache()
+    val per = ChainedIndex.persistedSearch(spark, sfSmall, 0L, 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(per == mem, s"cold-loaded persisted != memory:\n$per\n$mem")
+  }
 }
