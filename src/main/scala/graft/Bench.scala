@@ -103,7 +103,7 @@ object Bench {
     // ivf_pq_pca_search warm-path median is ~1.9 s (the corpus-scaled
     // rerank=n/10 shape); the build is its own warm entry since r12
     "mmr_ivf" -> 3.0, "ivf_pq_pca_search" -> 4.0, "chained_index" -> 15.0,
-    "ivf_pq_pca_persisted" -> 6.0,
+    "ivf_pq_pca_persisted" -> 6.0, "ivf_pq_pca_append" -> 10.0,
     "pagerank_docs" -> 4.0, "pagerank_persisted" -> 1.5,
     // 29.5 s at 0.25% steal in the r12 quiet record
     "cc_persisted" -> 4.5, "neardup_graph_log" -> 32.0,

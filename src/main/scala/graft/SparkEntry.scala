@@ -306,6 +306,9 @@ object SparkEntry {
     // load-without-retrain lifecycle, app.py:116-145): loaded models
     // bit-identical + persisted search ≡ in-memory search, hash-exact
     "ivf_pq_pca_persisted" -> ((s, d) => IndexAudits.ivfPqPcaPersistedAudit(s, d)),
+    // FAISS add() on the trained chained artifact (app.py:55): frozen
+    // models encode a second-half wave; marker-idempotent commit
+    "ivf_pq_pca_append" -> ((s, d) => IndexAudits.ivfPqPcaAppendAudit(s, d)),
     "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
     "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
     "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
@@ -1519,6 +1522,12 @@ object SparkEntry {
     "ivf_pq_pca_persisted" ->
       """SELECT 10 AS n_hits, TRUE AS results_match_ok,
         |  TRUE AS model_roundtrip_ok, TRUE AS not_self_ok""".stripMargin,
+    "ivf_pq_pca_append" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) - COUNT(*) // 2 AS BIGINT) AS n_appended,
+        |  TRUE AS replay_noop_ok, TRUE AS coverage_ok,
+        |  TRUE AS codes_match_ok, TRUE AS search_ok
+        |FROM embeddings""".stripMargin,
     "pq_persisted_search" ->
       """SELECT 10 AS n_hits, TRUE AS matches_memory_ok""".stripMargin,
     "pq_stats" ->

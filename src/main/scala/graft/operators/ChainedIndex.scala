@@ -232,6 +232,62 @@ object ChainedIndex {
     load(spark, dir)
   }
 
+  /** FAISS `add()` on the persisted chained artifact (the reference
+    * adds to a trained index at any time, app.py:55; IndexPreTransform
+    * routes add through the same transform chain): project the new
+    * vectors with the LOADED transform, assign to the FROZEN coarse
+    * centroids, encode residuals with the FROZEN codebooks — no model
+    * retrains, every stage a narrow codegen'd map — and commit the
+    * codes under the [[IvfIndex.appendBatch]] marker protocol, so an
+    * at-least-once replay of a committed batch is a no-op. Returns
+    * rows appended (0 for a replayed batch). */
+  def appendBatch(spark: SparkSession, dir: String, rows: DataFrame,
+                  idCol: String, embCol: String, batchId: Long,
+                  namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    val p = load(spark, dir)
+    val staging = s"$dir/_staging/batch-$tag"
+    val coded = encodeWith(p, rows, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = coded.count()
+    coded.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    coded.unpersist(blocking = false)
+    val codesRoot = Paths.get(s"$dir/codes")
+    BatchFs.clearBatch(codesRoot, "list_id=", tag)
+    BatchFs.commitStaged(Paths.get(staging), codesRoot, "list_id=", tag)
+    BatchFs.writeMarker(marker, n.toString)
+    BatchFs.deleteRecursively(Paths.get(staging))
+    n
+  }
+
+  /** (list_id, id, codes BINARY) for `rows` under a loaded artifact's
+    * frozen models — the add-path encoder, and the audit's
+    * deterministic re-encode reference. Narrow maps only: mat_vec
+    * projection, NearestList assignment, zip_with residual,
+    * pq_encode. */
+  def encodeWith(p: Persisted, rows: DataFrame,
+                 idCol: String, embCol: String): DataFrame = {
+    val sorted = p.cents.sortBy(_._1)
+    require(sorted.map(_._1).toSeq == (0 until sorted.length),
+      "chained append: list ids must be contiguous from 0")
+    val cents = sorted.map(_._2)
+    rows
+      .select(col(idCol).as("id"),
+        mat_vec(col(embCol), p.pca.comps).as("proj"))
+      .select(col("id"), col("proj"),
+        graft.functions.nearest_list(col("proj"), cents).as("list_id"))
+      .select(col("list_id"), col("id"),
+        pq_encode(
+          zip_with(col("proj"),
+            element_at(typedlit(cents), col("list_id") + 1),
+            (a, b) => a - b),
+          p.pq.books, asBinary = true).as("codes"))
+  }
+
   /** Chained search against the PERSISTED artifact: identical stages
     * to [[search]], but every model comes from [[load]] and the ADC
     * scan reads only the probed `list_id=` code partitions (static
@@ -241,9 +297,17 @@ object ChainedIndex {
   def persistedSearch(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                       kNeighbors: Int = 10, dOut: Int = 24, nlist: Int = 4,
                       nprobe: Int = 3, m: Int = 8, k: Int = 16,
-                      rerank: Int = 100): DataFrame = {
+                      rerank: Int = 100): DataFrame =
+    searchLoaded(spark, sfDir, persistedFor(spark, sfDir, dOut, nlist, m, k),
+      queryId, kNeighbors, nprobe, rerank)
+
+  /** The persisted search stages against an already-[[load]]ed handle —
+    * lets callers (and the append audit) search ANY artifact
+    * directory, not just the session-default one. */
+  def searchLoaded(spark: SparkSession, sfDir: String, p: Persisted,
+                   queryId: Long = 0L, kNeighbors: Int = 10,
+                   nprobe: Int = 3, rerank: Int = 100): DataFrame = {
     require(rerank >= kNeighbors, s"chained: rerank=$rerank < k=$kNeighbors")
-    val p = persistedFor(spark, sfDir, dOut, nlist, m, k)
     val qp = Tables.embeddings(spark, sfDir).filter(col("vec_id") === queryId)
       .select(mat_vec(col("embedding"), p.pca.comps).as("proj"))
       .head().getSeq[Float](0).toArray

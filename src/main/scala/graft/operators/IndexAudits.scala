@@ -577,6 +577,68 @@ object IndexAudits {
       .toDF("n_hits", "results_match_ok", "model_roundtrip_ok", "not_self_ok")
   }
 
+  private val chainedAppendCache =
+    JvmCaches.sessionMap[String, DataFrame]()
+
+  /** Audit of chained-index add (registered `ivf_pq_pca_append` —
+    * FAISS `index.add` on a trained IndexPreTransform, reference
+    * app.py:55): the artifact's models stay FROZEN while codes grow.
+    * The audit rewrites a copy's codes to the first half of the
+    * corpus, appends the second half through the marker protocol, and
+    * pins: total and appended counts; committed-batch replay is a
+    * no-op (0 rows, count unchanged); every id codes exactly once;
+    * the appended slice byte-equals an independent re-encode under
+    * the loaded models (the add path is a pure function of artifact +
+    * vector); and the appended index still searches (k exact-refined
+    * hits). */
+  def ivfPqPcaAppendAudit(spark: SparkSession, sfDir: String,
+                          kNeighbors: Int = 10, dOut: Int = 24,
+                          nlist: Int = 4): DataFrame =
+    chainedAppendCache.getOrElseUpdate(spark, sfDir) {
+      import java.nio.file.Paths
+      val emb = embeddings(spark, sfDir)
+      val n = emb.count()
+      val split = n / 2
+      // full-corpus models (training set ⊇ both halves), half codes
+      val src = ChainedIndex.persistedFor(spark, sfDir, dOut, nlist)
+      val dir = s"/root/repo/target/chained-append/${new java.io.File(sfDir).getName}-d$dOut-nlist$nlist"
+      BatchFs.deleteRecursively(Paths.get(dir))
+      val p = {
+        ChainedIndex.save(spark, sfDir, dir, dOut, nlist)
+        ChainedIndex.encodeWith(src, emb.filter(col("vec_id") < split),
+            "vec_id", "embedding")
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$dir/codes")
+        ChainedIndex.load(spark, dir)
+      }
+      val appended = ChainedIndex.appendBatch(spark, dir,
+        emb.filter(col("vec_id") >= split), "vec_id", "embedding", 0L)
+      val replay = ChainedIndex.appendBatch(spark, dir,
+        emb.filter(col("vec_id") >= split), "vec_id", "embedding", 0L)
+      val codes = spark.read.parquet(s"$dir/codes")
+      val total = codes.count()
+      // exactly-once coverage: row count == corpus count AND distinct
+      // ids == corpus count together rule out both gaps and duplicates
+      val coverageOk =
+        total == n && codes.select(col("id")).distinct().count() == n
+      val reEnc = ChainedIndex.encodeWith(p,
+        emb.filter(col("vec_id") >= split), "vec_id", "embedding")
+      val codesMatchOk = codes.filter(col("id") >= split)
+        .join(reEnc.select(col("id"), col("codes").as("codes2")), Seq("id"))
+        .agg(every(col("codes") === col("codes2")).as("ok"))
+        .head().getBoolean(0)
+      val hits = ChainedIndex.searchLoaded(spark, sfDir, p, 0L, kNeighbors)
+        .count()
+      val spark2 = spark; import spark2.implicits._
+      val out = Seq((total, appended, replay == 0L, coverageOk, codesMatchOk,
+          hits == kNeighbors.toLong))
+        .toDF("n_total", "n_appended", "replay_noop_ok", "coverage_ok",
+          "codes_match_ok", "search_ok").cache()
+      out.count()
+      out
+    }
+
   /** Audit of the codebook-usage histogram (registered `pq_stats`):
     * the per-(subspace, code) counts form m disjoint histograms each
     * summing to the full corpus, codes stay in [0, k), and every

@@ -78,6 +78,14 @@ class ChainedIndexSpec extends SparkSpec {
     assert(per == mem, s"persisted != memory:\n$per\n$mem")
   }
 
+  test("append audit: counts, replay no-op, coverage, code determinism") {
+    val row = IndexAudits.ivfPqPcaAppendAudit(spark, sfSmall).collect().head
+    val n = graft.Tables.embeddings(spark, sfSmall).count()
+    assert(row.getLong(0) == n, s"n_total ${row.getLong(0)} != $n")
+    assert(row.getLong(1) == n - n / 2)
+    (2 to 5).foreach(i => assert(row.getBoolean(i), s"flag $i false: $row"))
+  }
+
   test("cold load searches without retraining (caches cleared)") {
     val mem = ChainedIndex.search(spark, sfSmall, 0L, 10, rerank = 100)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
