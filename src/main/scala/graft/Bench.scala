@@ -103,7 +103,8 @@ object Bench {
     // ivf_pq_pca_search warm-path median is ~1.9 s (the corpus-scaled
     // rerank=n/10 shape); the build is its own warm entry since r12
     "mmr_ivf" -> 3.0, "ivf_pq_pca_search" -> 4.0, "chained_index" -> 15.0,
-    "ivf_pq_pca_persisted" -> 6.0, "ivf_pq_pca_append" -> 10.0,
+    "ivf_pq_pca_persisted" -> 6.0, "ivf_pq_pca_append" -> 3.0,
+    "chained_append_audit" -> 20.0,
     "pagerank_docs" -> 4.0, "pagerank_persisted" -> 1.5,
     // 29.5 s at 0.25% steal in the r12 quiet record
     "cc_persisted" -> 4.5, "neardup_graph_log" -> 32.0,
@@ -307,6 +308,10 @@ object Bench {
       // in PCA space + residual codebooks + coded postings) shared by
       // ivf_pq_pca_search — previously hidden in that query's first rep
       "chained_index" -> (() => { ChainedIndex.forEmbeddings(spark, sfDir).coded.count(); () }),
+      // r12: the append-audit artifact (save + half re-encode + marker
+      // append + coverage/determinism checks), memoized per session —
+      // timed here so ivf_pq_pca_append's median measures the lookup
+      "chained_append_audit" -> (() => { IndexAudits.ivfPqPcaAppendAudit(spark, sfDir).count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())
