@@ -168,6 +168,15 @@ object ChainedIndex {
   def save(spark: SparkSession, sfDir: String, dir: String, dOut: Int = 24,
            nlist: Int = 4, m: Int = 8, k: Int = 16): Unit = {
     val ch = forEmbeddings(spark, sfDir, dOut, nlist, m, k)
+    // load() reconstructs codebooks POSITIONALLY at idx = s*k+c, so a
+    // subspace KMeans that converged to fewer than k centers (possible
+    // on duplicate-heavy data) would misalign every later subspace's
+    // rows in the loaded model. Fail at save time instead of producing
+    // an artifact that loads wrong.
+    ch.pq.books.zipWithIndex.foreach { case (b, s) =>
+      require(b.length == k,
+        s"chained save: subspace $s trained ${b.length} centers != k=$k " +
+          "(duplicate-heavy subspace data); retrain with smaller k") }
     import spark.implicits._
     val model: Seq[(String, Int, Array[Double])] =
       Seq(("meta", 0, Array(ch.pca.n.toDouble, ch.pca.trace,
@@ -247,9 +256,15 @@ object ChainedIndex {
     import java.nio.file.{Files, Paths}
     val tag = BatchFs.batchTag(batchId, namespace)
     val marker = BatchFs.markerFor(dir, batchId, namespace)
-    if (Files.exists(marker)) return 0L
-    val p = load(spark, dir)
     val staging = s"$dir/_staging/batch-$tag"
+    if (Files.exists(marker)) {
+      // a crash between writeMarker and the staging delete below leaves
+      // the staged dir orphaned forever (the marker short-circuits every
+      // replay); sweep it here so the replay is also the janitor
+      BatchFs.deleteRecursively(Paths.get(staging))
+      return 0L
+    }
+    val p = load(spark, dir)
     val coded = encodeWith(p, rows, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = coded.count()
@@ -259,8 +274,10 @@ object ChainedIndex {
     val codesRoot = Paths.get(s"$dir/codes")
     BatchFs.clearBatch(codesRoot, "list_id=", tag)
     BatchFs.commitStaged(Paths.get(staging), codesRoot, "list_id=", tag)
-    BatchFs.writeMarker(marker, n.toString)
+    // delete-before-marker: a crash between the two replays steps 2-3
+    // cleanly; the reverse order would orphan the staging dir forever
     BatchFs.deleteRecursively(Paths.get(staging))
+    BatchFs.writeMarker(marker, n.toString)
     n
   }
 

@@ -255,8 +255,12 @@ object IvfIndex {
     val postingsRoot = Paths.get(s"$dir/postings")
     BatchFs.clearBatch(postingsRoot, "list_id=", tag)
     BatchFs.commitStaged(Paths.get(staging), postingsRoot, "list_id=", tag)
-    BatchFs.writeMarker(marker, n.toString)
+    // staging cleanup BEFORE the marker: commitStaged already moved the
+    // data files out, and a crash here just replays steps 2-3 — whereas
+    // marker-then-delete leaves a permanently orphaned staging dir if
+    // the crash lands between them (the marker short-circuits replays)
     deleteRecursively(staging)
+    BatchFs.writeMarker(marker, n.toString)
     n
   }
 

@@ -304,11 +304,25 @@ object Pca {
     * driver-bounded by wave count) in DETERMINISTIC file-name order —
     * double addition is order-sensitive, and a fixed order makes the
     * loaded model a pure function of the log's contents — then the
-    * same eigensolve as [[train]]. */
+    * same eigensolve as [[train]].
+    *
+    * COMMITTED rows only (r13): a `b<tag>-` file whose marker is
+    * absent belongs to a crashed batch that may yet replay — folding
+    * it in now would double its rows after the replay commits, and an
+    * orphan that never replays would silently contaminate every
+    * retrain. This is the same classification [[compactMomentLog]] and
+    * the [[Compaction]] family apply; it also makes the compacted
+    * fold's left-to-right addition order trivially identical to the
+    * uncompacted one (uncommitted files never enter either fold). */
   def trainFromLog(spark: SparkSession, dir: String, dOut: Int = 24): Model = {
+    val committedTags = Compaction.committedTagSet(dir)
     val rows = spark.read.parquet(s"$dir/moments")
       .select(input_file_name().as("f"), col("n"), col("sums"), col("prods"))
       .collect()
+      .filter { r =>
+        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        Compaction.batchTagOf(name).forall(committedTags.contains)
+      }
       .sortBy(_.getString(0))
     require(rows.nonEmpty, s"pca: empty moment log at $dir")
     var n = 0L

@@ -305,8 +305,10 @@ object TextSearch {
       val live = Paths.get(s"$dir/postings")
       BatchFs.clearBatch(live, "bucket=", tag)
       BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-      BatchFs.writeMarker(marker, n.toString)
+      // delete-before-marker: a crash between the two replays steps 2-3
+      // cleanly; the reverse order would orphan the staging dir forever
       BatchFs.deleteRecursively(Paths.get(staging))
+      BatchFs.writeMarker(marker, n.toString)
       n
     } finally toks.unpersist(blocking = false)
   }
