@@ -378,6 +378,25 @@ object SparkEntry {
     // backed index returns bit-identical results to the in-memory one
     "ivf_persisted_pruned" -> ((s, d) =>
       IndexAudits.prunedSearchAudit(s, d, persisted = true)),
+    // --- per-query ε range search (FAISS range_search; the P3 strict-<
+    // predicate applied from a single probe, app.py:93/275) ---
+    "range_search" -> ((s, d) => VectorSearchOps.rangeSearch(s, d)),
+    // nprobe = nlist over the persisted index probes every list, so
+    // (IVFFlat stores raw vectors) this equals the exact range search —
+    // its oracle is the same all-pairs ε SQL
+    "range_search_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.rangeSearch(IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
+          eps = 1.6, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // nprobe < nlist prunes lists: visibility is k-means-dependent, so
+    // the registered surface is the self-audit (exact-recompute
+    // distances, subset-of-exact, exhaustive-within-probed, recall
+    // floor); raw hits via IvfIndex.rangeSearch
+    "range_search_pruned" -> ((s, d) => IndexAudits.rangeSearchPrunedAudit(s, d)),
     // --- ingest surface (S1/S2/S5, app.py:199-223, 313-319) ---
     "ingest_csv" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1360,6 +1379,35 @@ object SparkEntry {
          |GROUP BY r.cid
          |ORDER BY size DESC, cluster_id ASC
          |LIMIT 100""".stripMargin,
+    // per-query ε range search, exact: the P3 strict-< predicate from a
+    // single probe — fully deterministic, hash-exact
+    "range_search" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |WHERE d < 1.6
+         |ORDER BY d ASC, vec_id ASC""".stripMargin,
+    // nprobe = nlist ≡ exact range search (IVFFlat stores raw vectors)
+    "range_search_ivf" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |WHERE d < 1.6
+         |ORDER BY d ASC, vec_id ASC""".stripMargin,
+    // pruned range search: n_exact is deterministic (restated below);
+    // the flags are invariants the engine must hold (see
+    // IndexAudits.rangeSearchPrunedAudit)
+    "range_search_pruned" ->
+      s"""SELECT CAST(1.6 AS DOUBLE) AS eps, count(*) AS n_exact,
+         |  TRUE AS dists_match_ok, TRUE AS subset_of_exact_ok,
+         |  TRUE AS complete_in_probed_ok, TRUE AS recall_ok
+         |FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |WHERE d < 1.6""".stripMargin,
     // persisted index at nprobe = nlist ≡ exact scan (same contract as
     // ivf_search_full, now via the on-disk partitioned layout).
     "ivf_persisted_search" ->

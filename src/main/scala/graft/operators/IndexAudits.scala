@@ -192,6 +192,55 @@ object IndexAudits {
     }
   }
 
+  /** Audit of the IVF-pruned ε range search (registered
+    * `range_search_pruned`): at nprobe < nlist WHICH candidates are
+    * visible is k-means-dependent, so the registered surface is the
+    * deterministic self-audit —
+    *  - `n_exact` — the exact range-result size, a pure function of
+    *    the data the oracle restates from the base table;
+    *  - `dists_match_ok` — every returned distance recomputes exactly
+    *    from the original vectors;
+    *  - `subset_of_exact_ok` — every hit is in the exact range result
+    *    (deterministic given exact distances and strict `<`);
+    *  - `complete_in_probed_ok` — EVERY probed candidate under eps was
+    *    returned: range search has no k to truncate at, so within the
+    *    probed partitions the result must be exhaustive;
+    *  - `recall_ok` — hit count / n_exact clears the measured floor
+    *    (measured 18/28 = 0.64 at sf0.01, 79/107 = 0.74 at sf0.1 with
+    *    nprobe=2 of 4; floor 0.3 keeps ≥ 2× margin at both gates). */
+  def rangeSearchPrunedAudit(spark: SparkSession, sfDir: String,
+                             nlist: Int = 4, nprobe: Int = 2,
+                             eps: Double = 1.6,
+                             minRecall: Double = 0.3): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val q = queryVec(spark, sfDir, 0L)
+    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val res = IvfIndex.rangeSearch(idx, q, eps, nprobe, Some(0L)) // (id, dist)
+    val probed = IvfIndex.probeLists(idx, q, nprobe)
+    val underProbed = idx.postings.filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= 0L)
+      .select(col("id"), l2sq(col("embedding"), typedlit(q)).as("cdist"))
+      .filter(col("cdist") < eps)
+      .agg(count(lit(1)).as("n_under_probed"))
+    val exact = VectorSearchOps.rangeSearch(spark, sfDir, 0L, eps)
+      .select(col("vec_id").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val dmatch = res
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(col("dist") === l2sq(col("embedding"), typedlit(q))).as("dists_match_ok"))
+    val inExact = res.join(exact, Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("n_in_exact"))
+    dmatch.crossJoin(broadcast(nExact)).crossJoin(broadcast(inExact))
+      .crossJoin(broadcast(underProbed))
+      .select(lit(eps).as("eps"), col("n_exact"),
+        col("dists_match_ok"),
+        (col("n_in_exact") === col("n_hits")).as("subset_of_exact_ok"),
+        (col("n_under_probed") === col("n_hits")).as("complete_in_probed_ok"),
+        (col("n_hits") >= col("n_exact") * minRecall).as("recall_ok"))
+  }
+
   /** Audit of batch IVF kNN (registered `knn_batch_ivf`) — one row per
     * query vector: every query produced exactly k candidates with
     * contiguous ranks and exactly-recomputing distances (ALL queries);

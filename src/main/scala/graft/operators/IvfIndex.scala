@@ -134,6 +134,27 @@ object IvfIndex {
       .select(col("id"), col("dist"))
   }
 
+  /** IVF range search (FAISS `IndexIVF.range_search`): the strict
+    * `dist < eps` predicate (app.py:93's P3 semantics from a single
+    * query) over the PROBED lists only — partition-pruned exactly like
+    * [[search]], with the top-k replaced by the ε filter. `nprobe =
+    * nlist` probes every list and, because IVFFlat stores raw vectors,
+    * reproduces [[VectorSearchOps.rangeSearch]] bit-for-bit (the
+    * registered `range_search_ivf` contract); `nprobe < nlist` returns
+    * a subset whose distances are still exact. */
+  def rangeSearch(index: Index, q: Array[Float], eps: Double, nprobe: Int,
+                  excludeId: Option[Long] = None): DataFrame = {
+    val probed = probeLists(index, q, nprobe)
+    val base = index.postings
+      .filter(col("list_id").isin(probed: _*))
+    val noSelf = excludeId.fold(base)(id => base.filter(col("id") =!= id))
+    noSelf
+      .withColumn("dist", l2sq(col("embedding"), typedlit(q)))
+      .filter(col("dist") < eps)
+      .orderBy(col("dist").asc, col("id").asc)
+      .select(col("id"), col("dist"))
+  }
+
   /** Per-query kNN against the index for EVERY vector in `queries`
     * (the reference's batch self-search, app.py:84-85): equi-join on
     * probed list ids — the scale-safe bucketed similarity-join shape

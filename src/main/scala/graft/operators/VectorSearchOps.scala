@@ -55,6 +55,27 @@ object VectorSearchOps {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Per-query ε range search (FAISS `range_search` — the index API
+    * the reference's ε-threshold semantics imply: app.py:93/275 apply
+    * `dist < threshold` from a single probe, strict `<`, self excluded
+    * by position). Returns EVERY vector with squared-L2 distance
+    * strictly below `eps`, ascending `(dist, vec_id)` — unbounded by
+    * design (range search has no k), but the result is a distributed
+    * frame: one narrow scan + filter, no shuffle of the corpus side,
+    * so an over-wide ε degrades to a big result, never a big driver. */
+  def rangeSearch(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                  eps: Double = 1.6): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("dist", l2sq(col("embedding"), col("q_embedding")))
+      .filter(col("dist") < eps)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), col("dist"))
+  }
+
   /** Top-k most cosine-similar vectors to `queryId` (descending). */
   def knnExactCosine(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
