@@ -231,17 +231,19 @@ object GraphRank {
           val rows = symmetrized(cross.union(intra))
             .withColumn("bucket", edgeBucket(nBuckets))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          try {
+          try BatchFs.withLease(dir, "edges") { fence =>
             val n = rows.count()
-            if (n == 0L) { BatchFs.writeMarker(marker, "0"); 0L }
+            if (n == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
             else {
               val staging = s"$dir/_staging/edges-batch-$tag"
               rows.repartition(col("bucket"))
                 .write.mode("overwrite").partitionBy("bucket").parquet(staging)
               val live = Paths.get(s"$dir/edges")
+              fence() // abort BEFORE touching the live dir if the lease is gone
               BatchFs.clearBatch(live, "bucket=", tag)
               BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
               BatchFs.deleteRecursively(Paths.get(staging))
+              fence()
               BatchFs.writeMarker(marker, n.toString)
               n
             }

@@ -198,13 +198,36 @@ object IvfIndex {
   // generation stay correct, and switching generations is an atomic
   // path swap (the pattern object stores make cheap; no file locking).
 
+  /** Centroid-count bound for the driver-side coarse quantizer. Below
+    * it, [[assignLists]] collects the centroid matrix and rides it
+    * into the codegen'd [[graft.functions.NearestList]] expression — a
+    * narrow map, no join, no shuffle. Above it, that collect is the
+    * scale-killer this bound exists for: production sizing is
+    * nlist ~ √N, so a 10¹¹-vector corpus wants ~3×10⁵ centroids —
+    * ~80 MB of floats at dim 64 (far more at 384+) pulled to the
+    * driver, serialized into EVERY task's plan, and re-scanned per
+    * row. Past the bound the assignment runs as the J2
+    * broadcast-join + min-struct plan instead ([[assignListsJoin]]):
+    * the matrix ships once per executor as a broadcast table and the
+    * per-row argmin is a partial-aggregable min, never a window
+    * shuffle. 32768 × 64 dims × 4 B ≈ 8 MB — comfortably inside both
+    * plan-size and broadcast budgets. Both paths produce IDENTICAL
+    * assignments (strict-less first-minimum tie-break; spec-pinned). */
+  val MaxDriverCentroids: Int = 32768
+
   /** Assign rows to inverted lists against an existing index's
     * centroids — a NARROW map (the centroid matrix rides inside the
     * codegen'd [[graft.functions.NearestList]] expression): no join,
     * no shuffle, arbitrarily parallel. Returns
-    * (list_id, id, embedding) in postings schema. */
+    * (list_id, id, embedding) in postings schema. Dispatches to the
+    * distributed [[assignListsJoin]] plan past [[MaxDriverCentroids]]
+    * (`maxDriverCentroids` parameterized so specs can force the join
+    * path at test scale). */
   def assignLists(index: Index, df: DataFrame, idCol: String,
-                  embCol: String): DataFrame = {
+                  embCol: String,
+                  maxDriverCentroids: Int = MaxDriverCentroids): DataFrame = {
+    if (index.centroids.limit(maxDriverCentroids + 1).count() > maxDriverCentroids)
+      return assignListsJoin(index, df, idCol, embCol)
     val sorted = index.centroidArrays.sortBy(_._1)
     val lids = sorted.map(_._1)
     val contiguous = lids.zipWithIndex.forall { case (l, i) => l == i }
@@ -219,6 +242,27 @@ object IvfIndex {
       col(embCol).as("embedding"))
   }
 
+  /** The distributed coarse quantizer (the J2 shape `searchAll`
+    * already uses for query×centroid probing): rows × broadcast
+    * centroids, squared-L2, per-row argmin as a `min(struct(dist,
+    * list_id))` aggregate — NOT a rank window, so the reduction is
+    * partial (map-side combine) and no per-row candidate set ever
+    * shuffles whole. Tie-break `(cdist, list_id)` ascending ≡
+    * NearestList's strict-less first-minimum, because build's list ids
+    * are position-ordered; distances are the same
+    * double-accumulate-over-floats fold on both paths, so assignments
+    * are bit-identical (spec-pinned). */
+  private[graft] def assignListsJoin(index: Index, df: DataFrame,
+                                     idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("embedding"))
+      .join(broadcast(index.centroids.select(col("list_id"), col("centroid"))))
+      .groupBy(col("id"))
+      .agg(
+        min(struct(l2sq(col("embedding"), col("centroid")).as("cdist"),
+          col("list_id"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("m.list_id").as("list_id"), col("id"), col("embedding"))
+
   /** Append vectors to a persisted index directory (the reference's
     * `index.add` after load, app.py:55 — FAISS allows add on a trained
     * index at any time; centroids are NOT retrained). Files land under
@@ -226,16 +270,18 @@ object IvfIndex {
     * [[save]] so each append emits one file per touched list, not
     * parallelism × nlist slivers. Returns the appended row count. */
   def append(spark: SparkSession, dir: String, rows: DataFrame,
-             idCol: String, embCol: String): Long = {
-    val index = load(spark, dir)
-    val assigned = assignLists(index, rows, idCol, embCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = assigned.count()
-    assigned.repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$dir/postings")
-    assigned.unpersist(blocking = false)
-    n
-  }
+             idCol: String, embCol: String): Long =
+    BatchFs.withLease(dir, "postings") { fence =>
+      val index = load(spark, dir)
+      val assigned = assignLists(index, rows, idCol, embCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = assigned.count()
+      fence()
+      assigned.repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(s"$dir/postings")
+      assigned.unpersist(blocking = false)
+      n
+    }
 
   /** Idempotent per-batch append — the sink for at-least-once replay
     * (`foreachBatch` re-delivers a batch whenever a crash lands between
@@ -265,24 +311,28 @@ object IvfIndex {
     val tag = BatchFs.batchTag(batchId, namespace)
     val marker = BatchFs.markerFor(dir, batchId, namespace)
     if (Files.exists(marker)) return 0L
-    val staging = s"$dir/_staging/batch-$tag"
-    val index = load(spark, dir)
-    val assigned = assignLists(index, rows, idCol, embCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = assigned.count()
-    assigned.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(staging)
-    assigned.unpersist(blocking = false)
-    val postingsRoot = Paths.get(s"$dir/postings")
-    BatchFs.clearBatch(postingsRoot, "list_id=", tag)
-    BatchFs.commitStaged(Paths.get(staging), postingsRoot, "list_id=", tag)
-    // staging cleanup BEFORE the marker: commitStaged already moved the
-    // data files out, and a crash here just replays steps 2-3 — whereas
-    // marker-then-delete leaves a permanently orphaned staging dir if
-    // the crash lands between them (the marker short-circuits replays)
-    deleteRecursively(staging)
-    BatchFs.writeMarker(marker, n.toString)
-    n
+    BatchFs.withLease(dir, "postings") { fence =>
+      val staging = s"$dir/_staging/batch-$tag"
+      val index = load(spark, dir)
+      val assigned = assignLists(index, rows, idCol, embCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = assigned.count()
+      assigned.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(staging)
+      assigned.unpersist(blocking = false)
+      val postingsRoot = Paths.get(s"$dir/postings")
+      fence() // abort BEFORE touching the live dir if the lease is gone
+      BatchFs.clearBatch(postingsRoot, "list_id=", tag)
+      BatchFs.commitStaged(Paths.get(staging), postingsRoot, "list_id=", tag)
+      // staging cleanup BEFORE the marker: commitStaged already moved the
+      // data files out, and a crash here just replays steps 2-3 — whereas
+      // marker-then-delete leaves a permanently orphaned staging dir if
+      // the crash lands between them (the marker short-circuits replays)
+      deleteRecursively(staging)
+      fence()
+      BatchFs.writeMarker(marker, n.toString)
+      n
+    }
   }
 
   /** Per-list posting counts plus each list's share of the total —

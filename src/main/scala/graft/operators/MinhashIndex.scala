@@ -79,16 +79,18 @@ object MinhashIndex {
     * file is touched). NOT crash-idempotent alone (a replay re-appends
     * both tables); at-least-once callers use [[appendBatch]]. Returns
     * the number of documents appended. */
-  def append(spark: SparkSession, dir: String, newDocs: DataFrame): Long = {
-    val nBuckets = nBucketsOf(spark, dir)
-    val sigs = Dedup.minhashSignaturesCorpus(newDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = sigs.count()
-    writeBucketed(bandRows(sigs, nBuckets), s"$dir/bands", "append")
-    writeBucketed(docRows(sigs, nBuckets), s"$dir/docs", "append")
-    sigs.unpersist(blocking = false)
-    n
-  }
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame): Long =
+    BatchFs.withLease(dir, "minhash") { fence =>
+      val nBuckets = nBucketsOf(spark, dir)
+      val sigs = Dedup.minhashSignaturesCorpus(newDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = sigs.count()
+      fence()
+      writeBucketed(bandRows(sigs, nBuckets), s"$dir/bands", "append")
+      writeBucketed(docRows(sigs, nBuckets), s"$dir/docs", "append")
+      sigs.unpersist(blocking = false)
+      n
+    }
 
   /** Idempotent per-batch append for at-least-once replay — the LSH
     * twin of [[TextSearch.appendTermBatch]]: stage the wave's band and
@@ -115,20 +117,26 @@ object MinhashIndex {
     val tag = BatchFs.batchTag(batchId, namespace)
     val marker = BatchFs.markerFor(dir, batchId, namespace)
     if (java.nio.file.Files.exists(marker)) return 0L
-    val nBuckets = nBucketsOf(spark, dir)
-    val n = sigs.count()
-    if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-    Seq(("bands", bandRows(sigs, nBuckets)), ("docs", docRows(sigs, nBuckets)))
-      .foreach { case (name, df) =>
-        val staging = s"$dir/_staging/$name-batch-$tag"
-        writeBucketed(df, staging, "overwrite")
-        val live = Paths.get(s"$dir/$name")
-        BatchFs.clearBatch(live, "bucket=", tag)
-        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-        BatchFs.deleteRecursively(Paths.get(staging))
+    BatchFs.withLease(dir, "minhash") { fence =>
+      val nBuckets = nBucketsOf(spark, dir)
+      val n = sigs.count()
+      if (n == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        Seq(("bands", bandRows(sigs, nBuckets)), ("docs", docRows(sigs, nBuckets)))
+          .foreach { case (name, df) =>
+            val staging = s"$dir/_staging/$name-batch-$tag"
+            writeBucketed(df, staging, "overwrite")
+            val live = Paths.get(s"$dir/$name")
+            fence() // abort BEFORE touching the live dir if the lease is gone
+            BatchFs.clearBatch(live, "bucket=", tag)
+            BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+            BatchFs.deleteRecursively(Paths.get(staging))
+          }
+        fence()
+        BatchFs.writeMarker(marker, n.toString)
+        n
       }
-    BatchFs.writeMarker(marker, n.toString)
-    n
+    }
   }
 
   /** Probe a wave against the index WITHOUT touching its stored

@@ -173,20 +173,24 @@ object NbClassifier {
     val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
     val cached = labeledWave
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try BatchFs.withLease(dir, "stats") { fence =>
       val n = cached.count()
-      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-      val (terms, docs) = stats(cached)
-      val staging = s"$dir/_staging/stats-batch-$tag"
-      writeStats(terms, docs, staging, nBuckets, "overwrite")
-      Seq("terms", "docs").foreach { sub =>
-        val live = Paths.get(s"$dir/$sub")
-        BatchFs.clearBatch(live, "bucket=", tag)
-        BatchFs.commitStaged(Paths.get(s"$staging/$sub"), live, "bucket=", tag)
+      if (n == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        val (terms, docs) = stats(cached)
+        val staging = s"$dir/_staging/stats-batch-$tag"
+        writeStats(terms, docs, staging, nBuckets, "overwrite")
+        fence() // abort BEFORE touching the live dir if the lease is gone
+        Seq("terms", "docs").foreach { sub =>
+          val live = Paths.get(s"$dir/$sub")
+          BatchFs.clearBatch(live, "bucket=", tag)
+          BatchFs.commitStaged(Paths.get(s"$staging/$sub"), live, "bucket=", tag)
+        }
+        BatchFs.deleteRecursively(Paths.get(staging))
+        fence()
+        BatchFs.writeMarker(marker, n.toString)
+        n
       }
-      BatchFs.deleteRecursively(Paths.get(staging))
-      BatchFs.writeMarker(marker, n.toString)
-      n
     } finally cached.unpersist(blocking = false)
   }
 

@@ -227,25 +227,29 @@ object NgramLm {
     val nBuckets = spark.read.parquet(s"$dir/meta").head.getInt(0)
     // total head + three staged writes each scan the wave; cache it once
     val cached = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try BatchFs.withLease(dir, "counts") { fence =>
       val m = train(cached)
       val waveTokens = {
         val r = m.total.head
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
-      if (waveTokens == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-      val parts = Seq(
-        ("uni", m.uni, "w", "c1"), ("bi", m.bi, "k", "c2"), ("tri", m.tri, "k", "c3"))
-      parts.foreach { case (name, df, key, cnt) =>
-        val staging = s"$dir/_staging/$name-batch-$tag"
-        writeCounts(df, key, cnt, staging, nBuckets, "overwrite")
-        val live = Paths.get(s"$dir/$name")
-        BatchFs.clearBatch(live, "bucket=", tag)
-        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-        BatchFs.deleteRecursively(Paths.get(staging))
+      if (waveTokens == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        val parts = Seq(
+          ("uni", m.uni, "w", "c1"), ("bi", m.bi, "k", "c2"), ("tri", m.tri, "k", "c3"))
+        parts.foreach { case (name, df, key, cnt) =>
+          val staging = s"$dir/_staging/$name-batch-$tag"
+          writeCounts(df, key, cnt, staging, nBuckets, "overwrite")
+          val live = Paths.get(s"$dir/$name")
+          fence() // abort BEFORE touching the live dir if the lease is gone
+          BatchFs.clearBatch(live, "bucket=", tag)
+          BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+          BatchFs.deleteRecursively(Paths.get(staging))
+        }
+        fence()
+        BatchFs.writeMarker(marker, waveTokens.toString)
+        waveTokens
       }
-      BatchFs.writeMarker(marker, waveTokens.toString)
-      waveTokens
     } finally cached.unpersist(blocking = false)
   }
 

@@ -278,26 +278,32 @@ object Pca {
     val tag = BatchFs.batchTag(batchId, namespace)
     val marker = BatchFs.markerFor(dir, batchId, namespace)
     if (Files.exists(marker)) return 0L
-    val (n, sums, prods) = momentRow(spark, wave)
-    if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-    import spark.implicits._
-    val staging = s"$dir/_staging/moments-batch-$tag"
-    Seq((n, sums.toSeq, prods.toSeq)).toDF("n", "sums", "prods")
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    val live = Paths.get(s"$dir/moments")
-    Files.createDirectories(live)
-    BatchFs.children(live)
-      .filter(_.getFileName.toString.startsWith(s"b$tag-"))
-      .foreach(Files.delete(_))
-    BatchFs.children(Paths.get(staging))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach { f =>
-        Files.move(f, live.resolve(s"b$tag-${f.getFileName}"),
-          StandardCopyOption.REPLACE_EXISTING)
+    BatchFs.withLease(dir, "moments") { fence =>
+      val (n, sums, prods) = momentRow(spark, wave)
+      if (n == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        import spark.implicits._
+        val staging = s"$dir/_staging/moments-batch-$tag"
+        Seq((n, sums.toSeq, prods.toSeq)).toDF("n", "sums", "prods")
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val live = Paths.get(s"$dir/moments")
+        Files.createDirectories(live)
+        fence() // abort BEFORE touching the live dir if the lease is gone
+        BatchFs.children(live)
+          .filter(_.getFileName.toString.startsWith(s"b$tag-"))
+          .foreach(Files.delete(_))
+        BatchFs.children(Paths.get(staging))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            Files.move(f, live.resolve(s"b$tag-${f.getFileName}"),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        BatchFs.deleteRecursively(Paths.get(staging))
+        fence()
+        BatchFs.writeMarker(marker, n.toString)
+        n
       }
-    BatchFs.deleteRecursively(Paths.get(staging))
-    BatchFs.writeMarker(marker, n.toString)
-    n
+    }
   }
 
   /** Retrain from the log: sum the committed wave rows (one per wave,

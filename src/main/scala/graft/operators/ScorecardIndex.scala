@@ -165,15 +165,19 @@ object ScorecardIndex {
       val tag = BatchFs.batchTag(batchId, namespace)
       val marker = BatchFs.markerFor(dir, batchId, namespace)
       if (Files.exists(marker)) return 0L
-      val staging = s"$dir/_staging/mins-batch-$tag"
-      minsDelta(wave).repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-      val live = Paths.get(s"$dir/mins")
-      BatchFs.clearBatch(live, "bucket=", tag)
-      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-      BatchFs.deleteRecursively(Paths.get(staging))
-      BatchFs.writeMarker(marker, n.toString)
-      n
+      BatchFs.withLease(dir, "mins") { fence =>
+        val staging = s"$dir/_staging/mins-batch-$tag"
+        minsDelta(wave).repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        val live = Paths.get(s"$dir/mins")
+        fence() // abort BEFORE touching the live dir if the lease is gone
+        BatchFs.clearBatch(live, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+        BatchFs.deleteRecursively(Paths.get(staging))
+        fence()
+        BatchFs.writeMarker(marker, n.toString)
+        n
+      }
     } finally lab.unpersist(blocking = false)
   }
 

@@ -189,18 +189,22 @@ object SpanDedup {
       .groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
       .select(bucketOf(col("wtext"), nBuckets).as("bucket"), col("wtext"), col("occ"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try BatchFs.withLease(dir, "counts") { fence =>
       val n = counts.count()
-      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-      val staging = s"$dir/_staging/counts-batch-$tag"
-      counts.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-      val live = Paths.get(s"$dir/counts")
-      BatchFs.clearBatch(live, "bucket=", tag)
-      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-      BatchFs.deleteRecursively(Paths.get(staging))
-      BatchFs.writeMarker(marker, n.toString)
-      n
+      if (n == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        val staging = s"$dir/_staging/counts-batch-$tag"
+        counts.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        val live = Paths.get(s"$dir/counts")
+        fence() // abort BEFORE touching the live dir if the lease is gone
+        BatchFs.clearBatch(live, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+        BatchFs.deleteRecursively(Paths.get(staging))
+        fence()
+        BatchFs.writeMarker(marker, n.toString)
+        n
+      }
     } finally counts.unpersist(blocking = false)
   }
 

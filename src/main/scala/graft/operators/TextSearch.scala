@@ -295,21 +295,25 @@ object TextSearch {
         .select(col("n_buckets")).head().getLong(0)
     val toks = tokenizedDocs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try BatchFs.withLease(dir, "postings") { fence =>
       val n = toks.count()
-      if (n == 0L) { BatchFs.writeMarker(marker, "0"); return 0L }
-      val staging = s"$dir/_staging/batch-$tag"
-      bucketedPostings(toks, buckets)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-      val live = Paths.get(s"$dir/postings")
-      BatchFs.clearBatch(live, "bucket=", tag)
-      BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
-      // delete-before-marker: a crash between the two replays steps 2-3
-      // cleanly; the reverse order would orphan the staging dir forever
-      BatchFs.deleteRecursively(Paths.get(staging))
-      BatchFs.writeMarker(marker, n.toString)
-      n
+      if (n == 0L) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        val staging = s"$dir/_staging/batch-$tag"
+        bucketedPostings(toks, buckets)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        val live = Paths.get(s"$dir/postings")
+        fence() // abort BEFORE touching the live dir if the lease is gone
+        BatchFs.clearBatch(live, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(staging), live, "bucket=", tag)
+        // delete-before-marker: a crash between the two replays steps 2-3
+        // cleanly; the reverse order would orphan the staging dir forever
+        BatchFs.deleteRecursively(Paths.get(staging))
+        fence()
+        BatchFs.writeMarker(marker, n.toString)
+        n
+      }
     } finally toks.unpersist(blocking = false)
   }
 

@@ -122,4 +122,19 @@ class IvfIndexSpec extends SparkSpec {
     val got = IvfIndex.search(index, q, k = 10000, nprobe = 4, excludeId = Some(qid)).count()
     assert(got == corpus.length - 1)
   }
+
+  test("distributed coarse assignment (join plan) equals the NearestList path exactly") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaExpr = asMap(IvfIndex.assignLists(index, emb, "vec_id", "embedding"))
+    val viaJoin = asMap(IvfIndex.assignListsJoin(index, emb, "vec_id", "embedding"))
+    assert(viaExpr.size == corpus.length)
+    assert(viaJoin == viaExpr)
+    // the dispatcher takes the join plan past the centroid bound
+    val viaDispatch = asMap(IvfIndex.assignLists(index, emb, "vec_id", "embedding",
+      maxDriverCentroids = 1))
+    assert(viaDispatch == viaExpr)
+  }
 }
