@@ -334,10 +334,41 @@ object Clustering {
       .limit(cap)
   }
 
+  /** Row bound for the single-file CSV export: app.py:283's one
+    * downloadable CSV is a UI affordance, and coalesce(1) funnels the
+    * whole result through one task — correct reference parity at demo
+    * scale, a driver-adjacent bottleneck if pointed at a corpus. Above
+    * the bound [[exportCsv]] fails fast and names [[exportCsvParts]],
+    * the ExactTwinGuard discipline. 1M assignment rows ≈ tens of MB of
+    * CSV — past any browser-download use case. */
+  val MaxSingleCsvRows: Long = 1000000L
+
   /** CSV export of an assignment (reference app.py:283,313-319):
-    * single header CSV named by the caller. */
-  def exportCsv(assignments: DataFrame, path: String): Unit = {
+    * single header CSV named by the caller. Guarded — see
+    * [[MaxSingleCsvRows]]; corpus-scale exports go through
+    * [[exportCsvParts]]. */
+  def exportCsv(assignments: DataFrame, path: String,
+                maxRows: Long = MaxSingleCsvRows): Unit = {
+    val n = assignments.count()
+    require(n <= maxRows,
+      s"exportCsv writes ONE file through one task and is capped at " +
+        s"$maxRows rows (got $n); use exportCsvParts for a partitioned " +
+        "corpus-scale export")
     assignments.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(path)
+  }
+
+  /** Corpus-scale CSV export: parallel part files (every writer task
+    * emits its own header-less part; one `_header.csv` sidecar carries
+    * the column line, so `cat _header.csv part-*` reassembles the
+    * reference's single-file shape without ever funneling rows through
+    * one task). */
+  def exportCsvParts(assignments: DataFrame, path: String): Unit = {
+    assignments.write.mode("overwrite").csv(path)
+    val header = assignments.columns.mkString(",") + "\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_header.csv"),
+      header.getBytes("UTF-8"))
+    ()
   }
 }

@@ -551,8 +551,9 @@ object IndexAudits {
     * from the original full-dim vectors (the refine stage scores
     * originals, so PCA/PQ error cannot leak into the metric); and
     * recall@10 against the exact global scan clears the measured
-    * floor (AuditProbe: 0.9/0.8/0.8 at sf0.001/sf0.01/sf0.1 with the
-    * default nprobe 3 of 4; floor 0.5, >=1.6x margin).
+    * floor (with the r13 OPQ rotation composed into the transform:
+    * 0.9/0.9/0.8 at sf0.001/sf0.01/sf0.1, vs 0.9/0.8/0.8 before the
+    * rotation, default nprobe 3 of 4; floor 0.5, >=1.6x margin).
     *
     * The refine shortlist tracks corpus size — max(rerank, n/10) —
     * because the test fixtures hold nlist at 4, so list sizes grow

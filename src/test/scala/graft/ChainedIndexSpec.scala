@@ -53,6 +53,37 @@ class ChainedIndexSpec extends SparkSpec {
     assert(r >= 0.5, s"recall $r below the documented 0.5 floor")
   }
 
+  test("OPQ rotation is orthogonal and the composed transform is an isometry of PCA space") {
+    val dOut = 24
+    val rot = graft.operators.Pq.rotationMatrix(dOut)
+    for (i <- 0 until dOut; j <- 0 until dOut) {
+      val dot = (0 until dOut).map(k => rot(i)(k).toDouble * rot(j)(k).toDouble).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-5,
+        s"R·Rt[$i][$j] = $dot")
+    }
+    // rotating after PCA must preserve projected pairwise distances
+    // (that is what keeps the exact refine and every audit unchanged)
+    val pm = graft.operators.Pca.train(spark, sfSmall, dOut)
+    val composed = ChainedIndex.composeRotation(rot, pm.comps)
+    val emb = graft.Tables.embeddings(spark, sfSmall)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .collect().map(_.getSeq[Float](1).toArray)
+    def proj(m: Array[Array[Float]], v: Array[Float]): Array[Double] =
+      m.map { row =>
+        var acc = 0.0; var i = 0
+        while (i < row.length) { acc += row(i).toDouble * v(i).toDouble; i += 1 }
+        acc
+      }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (a <- emb.take(5); b <- emb.drop(5).take(5)) {
+      val dPca = d2(proj(pm.comps, a), proj(pm.comps, b))
+      val dRot = d2(proj(composed, a), proj(composed, b))
+      assert(math.abs(dPca - dRot) <= 1e-4 * math.max(dPca, 1.0),
+        s"rotation changed a projected distance: $dPca vs $dRot")
+    }
+  }
+
   test("rerank below k is rejected") {
     intercept[IllegalArgumentException] {
       ChainedIndex.search(spark, sfSmall, 0L, kNeighbors = 10, rerank = 5)

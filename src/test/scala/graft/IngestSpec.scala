@@ -72,4 +72,20 @@ class IngestSpec extends SparkSpec {
       .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
     assert(back == Set((0L, 1L), (1L, 1L), (2L, -1L)))
   }
+
+  test("exportCsv guard: above the row bound it fails fast naming exportCsvParts") {
+    val dir = tmpDir("csv-guard-")
+    val assignments = Seq((0L, 1L), (1L, 1L), (2L, -1L)).toDF("id", "cluster_id")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Clustering.exportCsv(assignments, dir + "/out", maxRows = 2))
+    assert(e.getMessage.contains("exportCsvParts"))
+    // the partitioned form writes parallel parts + a header sidecar
+    graft.operators.Clustering.exportCsvParts(assignments, dir + "/parts")
+    val header = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "/parts", "_header.csv")), "UTF-8")
+    assert(header.trim == "id,cluster_id")
+    val back = spark.read.schema("id STRING, cluster_id STRING").csv(dir + "/parts")
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+    assert(back == Set((0L, 1L), (1L, 1L), (2L, -1L)))
+  }
 }

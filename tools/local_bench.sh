@@ -8,14 +8,33 @@
 # driver captures only the tail of stdout), so the perf gate needs a
 # builder-side record that cannot rot.
 #
-# Usage: tools/local_bench.sh <round> [sf_dir] [cpus]
+# Round-13 archival protocol (r12 verdict item 1): one run on this host
+# can carry 2-20x hypervisor-contention inflation on individual entries
+# even after the in-band remeasure, so the COMMITTED artifact is a
+# per-entry-min across RUNS runs of the same binary (default 2): each
+# run's full record is kept as BENCH_local_r{N}.run{i}.json, and every
+# run after the first merges with its predecessor via
+# GRAFT_BENCH_MERGE_WITH (min per entry, flagged re-derived from the
+# merged values, provenance in "merged_with"). Every recorded number is
+# still a real measured median — just each entry's quietest observed
+# window.
+#
+# Usage: tools/local_bench.sh <round> [sf_dir] [cpus] [runs]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ROUND="${1:?usage: local_bench.sh <round> [sf_dir] [cpus]}"
+ROUND="${1:?usage: local_bench.sh <round> [sf_dir] [cpus] [runs]}"
 SF_DIR="${2:-/root/testdata/sf0.1}"
 CPUS="${3:-32}"
-GRAFT_BENCH_OUT="BENCH_local_r${ROUND}.json" \
-SPARK_GRAFT_SF_DIR="$SF_DIR" \
-SPARK_GRAFT_CPUS="$CPUS" \
-  sbt -batch "runMain graft.Bench"
-echo "wrote BENCH_local_r${ROUND}.json"
+RUNS="${4:-2}"
+PREV=""
+for i in $(seq 1 "$RUNS"); do
+  OUT="BENCH_local_r${ROUND}.run${i}.json"
+  GRAFT_BENCH_OUT="$OUT" \
+  GRAFT_BENCH_MERGE_WITH="$PREV" \
+  SPARK_GRAFT_SF_DIR="$SF_DIR" \
+  SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.Bench"
+  PREV="$OUT"
+done
+cp "$PREV" "BENCH_local_r${ROUND}.json"
+echo "wrote BENCH_local_r${ROUND}.json (per-entry min across $RUNS runs)"
