@@ -110,7 +110,11 @@ object Bench {
     "cc_persisted" -> 4.5, "neardup_graph_log" -> 32.0,
     "weighted_sample" -> 1.5, "centroid_outliers" -> 4.0,
     "ingest_orc" -> 2.5, "quality_hist" -> 1.5, "hist_cuts" -> 2.0,
-    "pack_chunks" -> 4.0
+    "pack_chunks" -> 4.0,
+    // r13: ε range search (measured warm medians 0.95/0.93/2.6 s at
+    // sf0.1 local[16]; the pruned audit rebuilds its exact twin per rep)
+    "range_search" -> 2.0, "range_search_ivf" -> 2.0,
+    "range_search_pruned" -> 4.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000

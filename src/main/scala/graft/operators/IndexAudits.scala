@@ -222,9 +222,11 @@ object IndexAudits {
       .select(col("id"), l2sq(col("embedding"), typedlit(q)).as("cdist"))
       .filter(col("cdist") < eps)
       .agg(count(lit(1)).as("n_under_probed"))
+    // referenced twice (count + semi-join) but NOT persisted: both
+    // references are one narrow scan+filter of a bench-scale table, and
+    // a per-call persist with no unpersist would leak (the r2 lesson)
     val exact = VectorSearchOps.rangeSearch(spark, sfDir, 0L, eps)
       .select(col("vec_id").as("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val dmatch = res
       .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
