@@ -360,6 +360,13 @@ object Bench {
       // append + coverage/determinism checks), memoized per session —
       // timed here so ivf_pq_pca_append's median measures the lookup
       "chained_append_audit" -> (() => { IndexAudits.ivfPqPcaAppendAudit(spark, sfDir).count(); () }),
+      // r13: the remove_ids lifecycle artifacts (fresh generation +
+      // tombstone log; the second also folds the physical compaction)
+      // shared by ivf_remove_search / ivf_remove_compacted
+      "ivf_remove_build" -> (() => {
+        IvfIndex.removedForEmbeddings(spark, sfDir, compacted = false).postings.count(); () }),
+      "ivf_remove_compact_build" -> (() => {
+        IvfIndex.removedForEmbeddings(spark, sfDir, compacted = true).postings.count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

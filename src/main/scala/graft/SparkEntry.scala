@@ -397,6 +397,70 @@ object SparkEntry {
     // distances, subset-of-exact, exhaustive-within-probed, recall
     // floor); raw hits via IvfIndex.rangeSearch
     "range_search_pruned" -> ((s, d) => IndexAudits.rangeSearchPrunedAudit(s, d)),
+    // --- filtered search (FAISS SearchParameters.sel / IDSelector) ---
+    // exact twin: metadata selector (label) below the top-k
+    "knn_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      VectorSearchOps.knnFilteredExact(s, d, col("label") === 1)
+    }),
+    // id-range selector (FAISS IDSelectorRange) pushed into the pruned
+    // postings scan; nprobe = nlist ≡ the exact filtered scan
+    "knn_filtered_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.searchFiltered(IvfIndex.persistedForEmbeddings(s, d, nlist = 4),
+          q, k = 10, nprobe = 4,
+          sel = col("id") >= 100L && col("id") < 400L, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // metadata selector via the semi-join path (searchFilteredBy):
+    // same contract as knn_filtered at nprobe = nlist
+    "knn_filtered_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.searchFilteredBy(IvfIndex.persistedForEmbeddings(s, d, nlist = 4),
+          q, k = 10, nprobe = 4, meta = emb, metaIdCol = "vec_id",
+          pred = col("label") === 1, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // --- remove_ids (FAISS IndexIVF.remove_ids): tombstone log +
+    // read-side anti-join; nprobe = nlist ≡ exact over survivors ---
+    "ivf_remove_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.removedForEmbeddings(s, d, compacted = false),
+          q, k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // same removal folded into a physical compaction (tombstone log
+    // cleared, postings rewritten) — identical result by contract
+    "ivf_remove_compacted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.removedForEmbeddings(s, d, compacted = true),
+          q, k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // --- reconstruct (FAISS reconstruct_batch): id → stored vector,
+    // bit-exact for IVFFlat; dist-to-original restated as 0 ---
+    "ivf_reconstruct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val recon = IvfIndex.reconstruct(
+        IvfIndex.persistedForEmbeddings(s, d, nlist = 4),
+        emb.filter(col("vec_id") < 10L), "vec_id")
+      recon.join(emb.select(col("vec_id").as("id"), col("embedding").as("orig")), Seq("id"))
+        .select(col("id").as("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding")(0).cast("double").as("c0"),
+          graft.functions.l2sq(col("embedding"), col("orig")).as("recon_dist"))
+        .orderBy(col("vec_id").asc)
+    }),
     // --- ingest surface (S1/S2/S5, app.py:199-223, 313-319) ---
     "ingest_csv" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -445,6 +509,7 @@ object SparkEntry {
         graft.sources.Ingest.corpusFromDocuments(s, d))),
     // --- text analytics (north star; BASELINE.json) ---
     "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
+    "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
     // fixed-width alpha-ratio histogram: exact integer counts +
     // cumulative, the one-pass scale path for quantile questions
@@ -1408,6 +1473,50 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |WHERE d < 1.6""".stripMargin,
+    // filtered search: the selector predicate below the top-k — exact
+    // metadata form, id-range IVF form at nprobe = nlist, and the
+    // semi-join metadata form (same contract as the exact one)
+    "knn_filtered" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.label = 1) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_filtered_ivf" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
+         |    AND b.vec_id >= 100 AND b.vec_id < 400) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_filtered_meta" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.label = 1) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // remove_ids: search over the survivors — the tombstoned ids
+    // (vec_id ≡ 3 mod 10) never appear; compacted form identical
+    "ivf_remove_search" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.vec_id % 10 <> 3) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "ivf_remove_compacted" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.vec_id % 10 <> 3) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // reconstruct: IVFFlat stores raw vectors, so the reconstruction
+    // is the original embedding bit-for-bit — first component and
+    // dist-to-original recomputed by the oracle from the parquet
+    "ivf_reconstruct" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS c0,
+        |  CAST(0 AS DOUBLE) AS recon_dist
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin,
     // persisted index at nprobe = nlist ≡ exact scan (same contract as
     // ivf_search_full, now via the on-disk partitioned layout).
     "ivf_persisted_search" ->
@@ -2059,6 +2168,30 @@ object SparkEntry {
         |  string_agg(sentence, chr(10) ORDER BY id) AS joined
         |FROM (SELECT doc_id AS id, trim(text) AS sentence FROM documents
         |      WHERE length(trim(text)) > 0 ORDER BY id LIMIT 500)""".stripMargin,
+    // PII scrub: same injected-PII derivation, same regexes (restated
+    // from TextAnalytics.EmailRe/PhoneRe/Ipv4Re), same email → phone →
+    // IP pass order with counts on the previous pass's output
+    "pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR
+         |      || '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' call ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         |      || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR
+         |      || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS text
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${TextAnalytics.EmailRe}', '<EMAIL>', 'g') AS t1 FROM p),
+         |s2 AS (SELECT doc_id, text, t1,
+         |  regexp_replace(t1, '${TextAnalytics.PhoneRe}', '<PHONE>', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalytics.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t1, '${TextAnalytics.PhoneRe}'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(t2, '${TextAnalytics.Ipv4Re}'))::BIGINT AS n_ips,
+         |  regexp_replace(t2, '${TextAnalytics.Ipv4Re}', '<IP>', 'g') AS clean
+         |FROM s2 ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH $sqlCorpusToks
          |SELECT id, length(sentence) AS n_chars, len(toks) AS n_tokens,

@@ -155,6 +155,70 @@ object IvfIndex {
       .select(col("id"), col("dist"))
   }
 
+  /** Filtered IVF search — FAISS `SearchParameters(sel=IDSelector)`
+    * (the search-time subset restriction the reference's stack exposes
+    * on every IndexIVF; app.py's driver never sets it, but a curation
+    * pipeline searching "nearest within this language / this shard"
+    * does constantly). `sel` is a predicate over the postings columns
+    * (`id`, `list_id`, `embedding`); an id-range/modulo selector
+    * (FAISS `IDSelectorRange`/`IDSelectorArray`) is a plain column
+    * predicate on `id` and PUSHES DOWN to the pruned parquet scan —
+    * filtered search reads no more bytes than unfiltered. Metadata
+    * selectors (label, lang) join the metadata frame onto the
+    * candidates BEFORE ranking via [[searchFilteredBy]], so rejected
+    * rows never enter the top-k. Distances of survivors are exact;
+    * with `nprobe = nlist` the result equals the exact filtered scan
+    * bit-for-bit (IVFFlat stores raw vectors). */
+  def searchFiltered(index: Index, q: Array[Float], k: Int, nprobe: Int,
+                     sel: org.apache.spark.sql.Column,
+                     excludeId: Option[Long] = None): DataFrame = {
+    val probed = probeLists(index, q, nprobe)
+    val base = index.postings
+      .filter(col("list_id").isin(probed: _*))
+      .filter(sel)
+    val noSelf = excludeId.fold(base)(id => base.filter(col("id") =!= id))
+    noSelf
+      .withColumn("dist", l2sq(col("embedding"), typedlit(q)))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("dist"))
+  }
+
+  /** Metadata-selector variant of [[searchFiltered]]: `meta` carries
+    * (`metaIdCol`, attribute columns); candidates from the probed
+    * lists semi-join the rows of `meta` that satisfy `pred`. The
+    * filtered-meta side is an equi-join on id — broadcastable when the
+    * predicate is selective, an ordinary shuffled semi-join otherwise;
+    * either way the corpus side stays partition-pruned. */
+  def searchFilteredBy(index: Index, q: Array[Float], k: Int, nprobe: Int,
+                       meta: DataFrame, metaIdCol: String,
+                       pred: org.apache.spark.sql.Column,
+                       excludeId: Option[Long] = None): DataFrame = {
+    val probed = probeLists(index, q, nprobe)
+    val keep = meta.filter(pred).select(col(metaIdCol).as("id"))
+    val base = index.postings
+      .filter(col("list_id").isin(probed: _*))
+      .join(keep, Seq("id"), "left_semi")
+    val noSelf = excludeId.fold(base)(id => base.filter(col("id") =!= id))
+    noSelf
+      .withColumn("dist", l2sq(col("embedding"), typedlit(q)))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("dist"))
+  }
+
+  /** Reconstruct stored vectors by id — FAISS `reconstruct`/
+    * `reconstruct_batch` (which on an IndexIVF needs a DirectMap; here
+    * the posting rows ARE the id→vector map, so reconstruction is an
+    * equi-semi-join, distributed and batched by construction). IVFFlat
+    * stores raw vectors, so the reconstruction is bit-exact; the
+    * quantizing indexes (PQ/SQ) reconstruct via their codebooks in
+    * their own modules. Returns (id, list_id, embedding). */
+  def reconstruct(index: Index, ids: DataFrame, idCol: String): DataFrame =
+    index.postings
+      .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"))
+      .select(col("id"), col("list_id"), col("embedding"))
+
   /** Per-query kNN against the index for EVERY vector in `queries`
     * (the reference's batch self-search, app.py:84-85): equi-join on
     * probed list ids — the scale-safe bucketed similarity-join shape
@@ -483,6 +547,16 @@ object IvfIndex {
     // so a post-promotion replay (offset not yet checkpointed upstream)
     // must still see its marker and no-op — without this, the replay
     // would re-append rows the retrain already folded in
+    copyCommitMarkers(dir, staging)
+    promoteGeneration(dir, staging)
+    MaintenanceReport(retrained = true, maxShare, threshold, nlist)
+  }
+
+  /** Copy the `_committed` marker tree of `dir` into a staged
+    * generation (see the replay rationale at the [[maintainIndex]]
+    * call site). */
+  private def copyCommitMarkers(dir: String, staging: String): Unit = {
+    import java.nio.file.{Files, Paths}
     val oldMarkers = Paths.get(s"$dir/_committed")
     if (Files.exists(oldMarkers)) {
       val s = Files.walk(oldMarkers)
@@ -492,13 +566,126 @@ object IvfIndex {
         else { Files.createDirectories(rel.getParent); Files.copy(p, rel); () }
       } finally s.close()
     }
+  }
+
+  /** Atomically promote a fully-written staged generation over `dir`
+    * (move aside → move in → carry crashed uncommitted batch files →
+    * drop the superseded generation); [[recoverPromotion]] finishes or
+    * unwinds a crash at any point. */
+  private def promoteGeneration(dir: String, staging: String): Unit = {
+    import java.nio.file.{Files, Paths}
     val prev = Paths.get(s"$dir.prev-gen")
     BatchFs.deleteRecursively(prev)
     Files.move(Paths.get(dir), prev)
     Files.move(Paths.get(staging), Paths.get(dir))
     carryUncommitted(prev.toString, dir)
     BatchFs.deleteRecursively(prev)
-    MaintenanceReport(retrained = true, maxShare, threshold, nlist)
+  }
+
+  // ---- remove_ids: the deletion half of the lifecycle -----------------
+
+  /** Remove vectors by id from a persisted index — FAISS
+    * `IndexIVF.remove_ids(IDSelector)`. FAISS removes EAGERLY (an
+    * O(ntotal) rewrite of every inverted list, fine single-node); at
+    * 100 TB an eager rewrite per delete call is a scale-killer, so the
+    * persisted layout records removals in an append-only tombstone log
+    * (`dir/tombstones/`, one `id` column) that [[loadLive]] anti-joins
+    * at read time and [[compactTombstones]] folds into a physical
+    * rewrite on a maintenance cadence — the deletion-vector posture of
+    * the large-table formats, applied to the inverted file. Returns
+    * the number of live vectors newly tombstoned (FAISS's n_removed):
+    * absent and already-removed ids count zero, so a crash-replayed
+    * removal is harmless (the read-side anti-join is idempotent even
+    * if the log holds duplicates). Lease-fenced like every other
+    * mutating log writer. */
+  def removeIds(spark: SparkSession, dir: String, ids: DataFrame,
+                idCol: String): Long =
+    BatchFs.withLease(dir, "tombstones") { fence =>
+      import java.nio.file.{Files, Paths}
+      val want = ids.select(col(idCol).as("id")).distinct()
+      val index = load(spark, dir)
+      val present = want.join(index.postings.select(col("id")), Seq("id"), "left_semi")
+      val tombDir = s"$dir/tombstones"
+      val newly =
+        if (Files.exists(Paths.get(tombDir)))
+          present.join(spark.read.parquet(tombDir), Seq("id"), "left_anti")
+        else present
+      val staged = newly.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = staged.count()
+      fence() // abort before touching the log if the lease is gone
+      if (n > 0) staged.coalesce(1).write.mode("append").parquet(tombDir)
+      staged.unpersist(blocking = false)
+      n
+    }
+
+  /** Load a persisted index with tombstones applied — the live view
+    * every reader should use once removals exist. The tombstone side
+    * of the anti-join is small until compaction debt builds (AQE
+    * broadcasts it); the postings side keeps partition pruning because
+    * `list_id` predicates sit on the scan below the join. */
+  def loadLive(spark: SparkSession, dir: String): Index = {
+    import java.nio.file.{Files, Paths}
+    val idx = load(spark, dir)
+    val tombDir = s"$dir/tombstones"
+    if (!Files.exists(Paths.get(tombDir))) idx
+    else Index(idx.centroids,
+      idx.postings.join(spark.read.parquet(tombDir), Seq("id"), "left_anti"))
+  }
+
+  /** Fold the tombstone log into the physical layout: rewrite the
+    * COMMITTED postings minus tombstones as a fresh generation under
+    * the SAME centroids (no retrain), carry crashed uncommitted batch
+    * files, and clear the log only when nothing uncommitted remains (a
+    * carried batch's replay re-appends rows whose removal must stay
+    * visible, so the log is retained until replays settle). Same
+    * single-writer maintenance posture and crash recovery as
+    * [[maintainIndex]]; holds the tombstone lease so a concurrent
+    * [[removeIds]] cannot append between the log read and the swap.
+    * Returns the number of posting rows physically dropped. */
+  def compactTombstones(spark: SparkSession, dir: String): Long =
+    BatchFs.withLease(dir, "tombstones") { fence =>
+      import java.nio.file.{Files, Paths}
+      recoverPromotion(dir)
+      val tombDir = s"$dir/tombstones"
+      val (committed, uncommitted) = classifyPostings(dir)
+      if (!Files.exists(Paths.get(tombDir)) || committed.isEmpty) 0L
+      else compactTombstonesInner(spark, dir, tombDir, committed, uncommitted, fence)
+    }
+
+  private def compactTombstonesInner(spark: SparkSession, dir: String,
+                                     tombDir: String,
+                                     committed: List[java.nio.file.Path],
+                                     uncommitted: List[java.nio.file.Path],
+                                     fence: () => Unit): Long = {
+      import java.nio.file.{Files, Paths}
+      val tombs = spark.read.parquet(tombDir)
+      val current = spark.read.option("basePath", s"$dir/postings")
+        .parquet(committed.map(_.toString): _*)
+      val live = current.join(tombs, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = current.count() - live.count()
+      val staging = s"$dir.next-gen"
+      BatchFs.deleteRecursively(Paths.get(staging))
+      load(spark, dir).centroids.write.parquet(s"$staging/centroids")
+      live.repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(s"$staging/postings")
+      live.unpersist(blocking = false)
+      copyCommitMarkers(dir, staging)
+      // retain the log in the new generation iff uncommitted batches
+      // remain (their replay must still see the removals)
+      if (uncommitted.nonEmpty) {
+        val src = Paths.get(tombDir)
+        val dst = Paths.get(s"$staging/tombstones")
+        val s = Files.walk(src)
+        try s.forEach { p =>
+          val rel = dst.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(rel)
+          else { Files.createDirectories(rel.getParent); Files.copy(p, rel); () }
+        } finally s.close()
+      }
+      fence()
+      promoteGeneration(dir, staging)
+      dropped
   }
 
   // Registered-query surface for the append lifecycle (the §7.5
@@ -540,6 +727,30 @@ object IvfIndex {
   def forEmbeddings(spark: SparkSession, sfDir: String, nlist: Int): Index =
     cache.getOrElseUpdate(spark, (sfDir, nlist))(
       build(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist))
+
+  private val removeCache = JvmCaches.sessionMap[(String, Boolean), Index]()
+
+  /** The remove_ids lifecycle as a registered-query surface: build and
+    * save a fresh generation over the sf embeddings, tombstone every
+    * vec_id ≡ 3 (mod 10), and return the live view — optionally after
+    * folding the log into a physical compaction first. Memoized per
+    * (sfDir, compacted): removal mutates the directory, so Verify and
+    * the bench's reps must share one generation per JVM. */
+  def removedForEmbeddings(spark: SparkSession, sfDir: String,
+                           compacted: Boolean, nlist: Int = 4): Index =
+    removeCache.getOrElseUpdate(spark, (sfDir, compacted)) {
+      val tag = if (compacted) "compacted" else "live"
+      val dir =
+        s"/root/repo/target/ivf-remove/${new java.io.File(sfDir).getName}-$tag"
+      deleteRecursively(dir)
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val idx = build(emb, "vec_id", "embedding", nlist)
+      save(idx, dir)
+      idx.postings.unpersist(blocking = false)
+      removeIds(spark, dir, emb.filter(col("vec_id") % 10 === 3), "vec_id")
+      if (compacted) compactTombstones(spark, dir)
+      loadLive(spark, dir)
+    }
 
   private val persistedCache = JvmCaches.sessionMap[(String, Int), Index]()
 

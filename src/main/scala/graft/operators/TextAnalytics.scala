@@ -349,6 +349,64 @@ object TextAnalytics {
       .orderBy(col("lang").asc, col("source").asc)
   }
 
+  /** The scrub patterns — anchored, class-based regexes with no
+    * lookaround, so the Java (Spark) and RE2 (DuckDB oracle) dialects
+    * agree match-for-match. Kept `val`s so the oracle SQL restates the
+    * exact same strings. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before packing: emails, NANP-shaped phone numbers, and IPv4
+    * addresses replaced by typed placeholder tokens, with per-document
+    * match counts for the datacard. One narrow codegen'd map
+    * (`regexp_count` + chained `regexp_replace`), no shuffle, no UDF —
+    * scales with the scan. Replacement order matters and is part of
+    * the contract: emails first (an all-digit mail host must not be
+    * half-eaten by the IPv4 pass), then phones, then IPs, each
+    * counting on the PREVIOUS pass's output so nothing double-counts.
+    */
+  def scrubPii(corpus: DataFrame, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
+    corpus
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(noEmail, lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(noPhone, lit(Ipv4Re)))
+      .withColumn("clean", regexp_replace(noPhone, Ipv4Re, "<IP>"))
+  }
+
+  /** Registered-query surface for [[scrubPii]]. The sf corpus is
+    * synthetic and clean, so the query first materializes a
+    * deterministic PII-bearing variant from doc_id (emails on ids ≡ 0
+    * mod 3, phones ≡ 0 mod 4, IPv4 ≡ 0 mod 5 — both engines derive the
+    * SAME text from the same parquet, so the scrub is exercised on
+    * real matches and real non-matches, not no-ops). */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val withPii = docs.select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    scrubPii(withPii, "text")
+      .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"),
+        col("n_ips").cast("long").as("n_ips"), col("clean"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-document fingerprints: md5 of the token-normalized text plus
     * the minimum md5 over 3-token shingles (a 1-permutation MinHash —
     * the doc-level fingerprint a near-dup pass buckets on). Documents

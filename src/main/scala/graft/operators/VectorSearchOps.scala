@@ -76,6 +76,28 @@ object VectorSearchOps {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Filtered exact kNN — the brute-force twin of FAISS's
+    * `SearchParameters(sel=IDSelector)` search (see
+    * [[IvfIndex.searchFiltered]]): top-k nearest to `queryId` among
+    * rows satisfying `pred`, a predicate over the embeddings columns
+    * (metadata selector: label/lang; id selector: a range on vec_id).
+    * The predicate sits BELOW the distance computation and the top-k,
+    * so rejected rows are filtered at the scan (pushed to parquet for
+    * plain column predicates) and never ranked. */
+  def knnFilteredExact(spark: SparkSession, sfDir: String,
+                       pred: Column, queryId: Long = 0L,
+                       k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.filter(pred).join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("dist", l2sq(col("embedding"), col("q_embedding")))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("dist"))
+  }
+
   /** Top-k most cosine-similar vectors to `queryId` (descending). */
   def knnExactCosine(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -11,6 +11,30 @@ class TextAnalyticsSpec extends SparkSpec {
   private def toksRef(s: String): Seq[String] =
     s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
+  test("scrubPii redacts emails, phones, and IPv4s with correct counts and pass order") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "mail bob.smith+x@corp.example.org now"),
+      (1L, "dial 415-555-0142 or 415-555-0143"),
+      (2L, "host 192.168.001.004 up"),
+      (3L, "mixed a@b.io then 212-555-0100 at 10.0.0.1"),
+      (4L, "clean text with no pii at all"),
+      // a digits-only mail host has no alphabetic TLD, so the EMAIL
+      // pass skips it and the IPv4 pass redacts the address part
+      (5L, "edge user@1.2.3.4 case"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.scrubPii(rows, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(got(0L) == ((1, 0, 0), "mail <EMAIL> now"))
+    assert(got(1L) == ((0, 2, 0), "dial <PHONE> or <PHONE>"))
+    assert(got(2L) == ((0, 0, 1), "host <IP> up"))
+    assert(got(3L) == ((1, 1, 1), "mixed <EMAIL> then <PHONE> at <IP>"))
+    assert(got(4L) == ((0, 0, 0), "clean text with no pii at all"))
+    assert(got(5L) == ((0, 0, 1), "edge user@<IP> case"))
+  }
+
   test("textStats matches driver-side recomputation on sf0.001 rows") {
     val docs = graft.sources.Ingest.corpusFromDocuments(spark, sfSmall)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
