@@ -367,6 +367,10 @@ object Bench {
         IvfIndex.removedForEmbeddings(spark, sfDir, compacted = false).postings.count(); () }),
       "ivf_remove_compact_build" -> (() => {
         IvfIndex.removedForEmbeddings(spark, sfDir, compacted = true).postings.count(); () }),
+      // r13: the merge_from lifecycle (shared quantizer, even/odd
+      // split saved as two generations, file-motion merge)
+      "ivf_merge_build" -> (() => {
+        IvfIndex.mergedForEmbeddings(spark, sfDir).postings.count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

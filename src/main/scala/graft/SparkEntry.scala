@@ -446,6 +446,17 @@ object SparkEntry {
           q, k = 10, nprobe = 4, excludeId = Some(0L))
         .withColumnRenamed("id", "vec_id")
     }),
+    // --- merge_from (FAISS IndexIVF.merge_from): two generations
+    // sharing one quantizer merged by pure file motion; nprobe = nlist
+    // over the merged index ≡ exact over the whole corpus ---
+    "ivf_merge_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.search(IvfIndex.mergedForEmbeddings(s, d),
+          q, k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
     // --- reconstruct (FAISS reconstruct_batch): id → stored vector,
     // bit-exact for IVFFlat; dist-to-original restated as 0 ---
     "ivf_reconstruct" -> ((s, d) => {
@@ -1508,6 +1519,14 @@ object SparkEntry {
          |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.vec_id % 10 <> 3) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // merge_from: the merged index holds every vector exactly once,
+    // so nprobe = nlist search ≡ the plain exact kNN
+    "ivf_merge_search" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
     // reconstruct: IVFFlat stores raw vectors, so the reconstruction
     // is the original embedding bit-for-bit — first component and

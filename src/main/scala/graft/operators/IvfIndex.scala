@@ -728,6 +728,111 @@ object IvfIndex {
     cache.getOrElseUpdate(spark, (sfDir, nlist))(
       build(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist))
 
+  /** Merge another persisted index into `dir` — FAISS
+    * `IndexIVF.merge_from(other)` (other's vectors move in; other is
+    * emptied). FAISS requires the two indexes to share nlist/metric
+    * and assumes one trained quantizer; here that is REQUIRED
+    * bit-for-bit (differing centroids would silently misfile every
+    * moved vector, so the merge fails loudly instead). The merge is
+    * pure metadata motion: postings files move per list-partition
+    * directory (no data-plane job — both sides already bucketed by the
+    * same quantizer), tombstone logs union, and other's commit markers
+    * carry so a replay of one of its appended batches no-ops against
+    * the merged directory. File-name collisions (same batch tag
+    * appended to both sides — two writers sharing a marker namespace)
+    * fail loudly rather than clobber. Holds both postings leases for
+    * the duration. Returns the number of vectors moved. */
+  def mergeFrom(spark: SparkSession, dir: String, otherDir: String): Long =
+    BatchFs.withLease(dir, "postings") { fence =>
+      BatchFs.withLease(otherDir, "postings") { _ =>
+        import java.nio.file.{Files, Paths}
+        val a = load(spark, dir)
+        val b = load(spark, otherDir)
+        val ca = a.centroidArrays.sortBy(_._1)
+        val cb = b.centroidArrays.sortBy(_._1)
+        require(ca.length == cb.length &&
+          ca.zip(cb).forall { case ((la, va), (lb, vb)) =>
+            la == lb && va.sameElements(vb) },
+          s"merge_from requires bit-identical quantizers: $dir vs $otherDir")
+        val moved = b.postings.count()
+        fence()
+        // postings: move each file under its matching list partition
+        val srcRoot = Paths.get(s"$otherDir/postings")
+        BatchFs.children(srcRoot)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("list_id="))
+          .foreach { listDir =>
+            val dstDir = Paths.get(s"$dir/postings").resolve(listDir.getFileName)
+            Files.createDirectories(dstDir)
+            BatchFs.children(listDir)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach { f =>
+                val dst = dstDir.resolve(f.getFileName)
+                require(!Files.exists(dst),
+                  s"merge_from file collision: $dst (marker namespaces shared across writers?)")
+                Files.move(f, dst)
+              }
+          }
+        // tombstones: union (removals on either side stay visible)
+        val srcTombs = Paths.get(s"$otherDir/tombstones")
+        if (Files.exists(srcTombs)) {
+          val dstTombs = Paths.get(s"$dir/tombstones")
+          Files.createDirectories(dstTombs)
+          BatchFs.children(srcTombs)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { f =>
+              var dst = dstTombs.resolve(f.getFileName)
+              if (Files.exists(dst))
+                dst = dstTombs.resolve(s"merged-${f.getFileName}")
+              require(!Files.exists(dst), s"merge_from tombstone collision: $dst")
+              Files.move(f, dst)
+            }
+        }
+        // markers: carry so other's batch replays no-op here
+        val srcMarkers =
+          Paths.get(s"$otherDir/_committed/${BatchFs.MarkerSchemeVersion}")
+        if (Files.exists(srcMarkers)) {
+          val dstMarkers =
+            Paths.get(s"$dir/_committed/${BatchFs.MarkerSchemeVersion}")
+          Files.createDirectories(dstMarkers)
+          BatchFs.children(srcMarkers).foreach { m =>
+            val dst = dstMarkers.resolve(m.getFileName)
+            require(!Files.exists(dst),
+              s"merge_from marker collision: ${m.getFileName} (use distinct append namespaces)")
+            Files.move(m, dst)
+          }
+        }
+        // other is emptied, FAISS-style: its directory stays loadable
+        // with zero postings
+        BatchFs.children(srcRoot).foreach(BatchFs.deleteRecursively)
+        moved
+      }
+    }
+
+  private val mergeCache = JvmCaches.sessionMap[String, Index]()
+
+  /** merge_from as a registered-query surface: one quantizer trained
+    * on the sf corpus, postings split even/odd across two generations,
+    * odd merged into even, live view returned. Memoized per sfDir
+    * (the merge mutates both directories). */
+  def mergedForEmbeddings(spark: SparkSession, sfDir: String,
+                          nlist: Int = 4): Index =
+    mergeCache.getOrElseUpdate(spark, sfDir) {
+      val base = s"/root/repo/target/ivf-merge/${new java.io.File(sfDir).getName}"
+      val dirA = s"$base-even"
+      val dirB = s"$base-odd"
+      deleteRecursively(dirA); deleteRecursively(dirB)
+      val full = build(graft.Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", nlist)
+      val even = Index(full.centroids, full.postings.filter(col("id") % 2 === 0))
+      val odd = Index(full.centroids, full.postings.filter(col("id") % 2 === 1))
+      save(even, dirA)
+      save(odd, dirB)
+      full.postings.unpersist(blocking = false)
+      mergeFrom(spark, dirA, dirB)
+      loadLive(spark, dirA)
+    }
+
   private val removeCache = JvmCaches.sessionMap[(String, Boolean), Index]()
 
   /** The remove_ids lifecycle as a registered-query surface: build and

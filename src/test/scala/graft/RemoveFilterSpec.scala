@@ -139,6 +139,49 @@ class RemoveFilterSpec extends SparkSpec {
     assert(got.forall(_ >= 5L))
   }
 
+  // ---- merge_from ----------------------------------------------------------
+
+  test("mergeFrom moves every vector once, empties the other index, and carries tombstones") {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.embeddings(spark, sfSmall)
+    val full = IvfIndex.build(emb, "vec_id", "embedding", nlist = 4)
+    val dirA = tmpDir("merge-a-")
+    val dirB = tmpDir("merge-b-")
+    IvfIndex.save(IvfIndex.Index(full.centroids,
+      full.postings.filter(col("id") % 2 === 0)), dirA)
+    IvfIndex.save(IvfIndex.Index(full.centroids,
+      full.postings.filter(col("id") % 2 === 1)), dirB)
+    full.postings.unpersist(blocking = false)
+    // a removal on the other side must stay visible after the merge
+    IvfIndex.removeIds(spark, dirB,
+      emb.filter(col("vec_id") === 1L), "vec_id")
+    val nOdd = corpus.count(_._1 % 2 == 1)
+    assert(IvfIndex.mergeFrom(spark, dirA, dirB) == nOdd.toLong)
+    // other emptied but still a valid directory shell
+    assert(graft.operators.BatchFs.children(Paths.get(s"$dirB/postings")).isEmpty)
+    val live = IvfIndex.loadLive(spark, dirA)
+    assert(live.postings.count() == corpus.length - 1) // minus the tombstoned id
+    assert(live.postings.filter(col("id") === 1L).isEmpty)
+    val got = IvfIndex.search(live, q, k = 10, nprobe = 4, excludeId = Some(qid))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exactFiltered(q, qid, 10, _._1 != 1L))
+  }
+
+  test("mergeFrom refuses indexes with differing quantizers") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val a = IvfIndex.build(emb, "vec_id", "embedding", nlist = 4)
+    val b = IvfIndex.build(emb, "vec_id", "embedding", nlist = 4, seed = 7L)
+    val dirA = tmpDir("merge-qa-")
+    val dirB = tmpDir("merge-qb-")
+    IvfIndex.save(a, dirA); IvfIndex.save(b, dirB)
+    a.postings.unpersist(blocking = false)
+    b.postings.unpersist(blocking = false)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFrom(spark, dirA, dirB)
+    }
+    assert(e.getMessage.contains("bit-identical quantizers"))
+  }
+
   // ---- reconstruct --------------------------------------------------------
 
   test("reconstruct returns the stored vectors bit-exactly with their list assignment") {
