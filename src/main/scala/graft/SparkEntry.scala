@@ -2739,13 +2739,31 @@ object SparkEntry {
          |      (a, x) -> a + x) AS usig
          |  FROM th),
          |s2 AS (
-         |  SELECT id, CAST(CASE WHEN usig >= 9223372036854775808::HUGEINT
+         |  SELECT id, usig, CAST(CASE WHEN usig >= 9223372036854775808::HUGEINT
          |       THEN usig - 18446744073709551616::HUGEINT ELSE usig END AS BIGINT) AS sig
-         |  FROM sigs)
-         |SELECT a.id AS a_id, b.id AS b_id,
-         |  bit_count(xor(a.sig, b.sig))::INT AS hamming
-         |FROM s2 a JOIN s2 b ON a.id < b.id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |  FROM sigs),
+         |-- the engine's banded candidate generation, restated: 4x16-bit
+         |-- band keys, whole buckets over the degenerate-key cap dropped
+         |-- (deterministic). Below the cap the pigeonhole guarantee makes
+         |-- this identical to the all-pairs scan; past it (first hit at
+         |-- the sf1 scale point, 50k docs into 65k buckets/band) the
+         |-- capped semantics ARE the engine's contract, so the oracle
+         |-- states them rather than the O(n^2) ideal.
+         |bands AS (
+         |  SELECT id, sig, t.b AS band, ((usig >> (16*t.b)) & 65535)::INT AS key
+         |  FROM s2, range(0, 4) t(b)),
+         |kept AS (
+         |  SELECT id, sig, band, key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bucket_n
+         |    FROM bands)
+         |  WHERE bucket_n <= ${graft.operators.Dedup.MaxBandBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+         |SELECT a_id, b_id, bit_count(xor(sa, sb))::INT AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
     // deterministic md5-prefix split: DuckDB computes the identical
     // assignment (hex-string thresholds, no numeric conversion)

@@ -415,7 +415,15 @@ object IndexAudits {
                      rerank: Int = 200, dOut: Int = 24, minHits: Int = 6): DataFrame = {
     val emb = embeddings(spark, sfDir)
     val q = queryVec(spark, sfDir, 0L)
-    val res = Pca.knnPcaRerank(spark, sfDir, 0L, k, rerank, dOut) // (vec_id, dist)
+    // shortlist tracks corpus size (max(rerank, n/10)) — the r12
+    // chained-index lesson, re-learned on the sf1 scale point: a FIXED
+    // shortlist is a shrinking fraction of a growing corpus, and
+    // recall@k decays with it (measured: r=200 clears the 6/10 floor
+    // at 2k rows but fails it at 4k; r=n/10 clears it at both).
+    // Production sizing keeps the shortlist a corpus fraction (or a
+    // per-list bound), never a constant.
+    val r = math.max(rerank, (emb.count() / 10L).toInt)
+    val res = Pca.knnPcaRerank(spark, sfDir, 0L, k, r, dOut) // (vec_id, dist)
     val dmatch = res
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .agg(count(lit(1)).as("n_hits"),
