@@ -426,6 +426,9 @@ object SparkEntry {
           pred = col("label") === 1, excludeId = Some(0L))
         .withColumnRenamed("id", "vec_id")
     }),
+    // pruned + filtered (the production shape): deterministic flags +
+    // recall floor via the self-audit, like range_search_pruned
+    "knn_filtered_pruned" -> ((s, d) => IndexAudits.filteredPrunedAudit(s, d)),
     // --- remove_ids (FAISS IndexIVF.remove_ids): tombstone log +
     // read-side anti-join; nprobe = nlist ≡ exact over survivors ---
     "ivf_remove_search" -> ((s, d) => {
@@ -1506,6 +1509,15 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.label = 1) t
          |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // pruned filtered search: n_exact is deterministic (the id-range
+    // filtered corpus exceeds k at every sf); the flags are engine
+    // invariants (see IndexAudits.filteredPrunedAudit)
+    "knn_filtered_pruned" ->
+      """SELECT LEAST(10, count(*))::BIGINT AS n_exact,
+        |  TRUE AS dists_match_ok, TRUE AS selector_ok,
+        |  TRUE AS topk_exhaustive_ok, TRUE AS recall_ok
+        |FROM embeddings
+        |WHERE vec_id >= 100 AND vec_id < 400 AND vec_id <> 0""".stripMargin,
     // remove_ids: search over the survivors — the tombstoned ids
     // (vec_id ≡ 3 mod 10) never appear; compacted form identical
     "ivf_remove_search" ->

@@ -243,6 +243,49 @@ object IndexAudits {
         (col("n_hits") >= col("n_exact") * minRecall).as("recall_ok"))
   }
 
+  /** Audit of pruned FILTERED search (registered `knn_filtered_pruned`
+    * — the production shape: IDSelector + nprobe < nlist). Flags:
+    * result distances recompute bit-identically from the raw vectors;
+    * every hit satisfies the selector; the result is EXHAUSTIVE within
+    * the probed+filtered candidate set (max result distance ≤ min
+    * distance of any probed+filtered non-result row — the defining
+    * top-k property, so pruning lists never silently degrades to
+    * pruning candidates); and recall against the exact filtered top-k
+    * clears the floor. `n_exact` (the filtered-exact hit count) is
+    * deterministic and restated by the oracle. */
+  def filteredPrunedAudit(spark: SparkSession, sfDir: String,
+                          nlist: Int = 4, nprobe: Int = 2, k: Int = 10,
+                          minRecall: Double = 0.3): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val q = queryVec(spark, sfDir, 0L)
+    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val sel = col("id") >= 100L && col("id") < 400L
+    val res = IvfIndex.searchFiltered(idx, q, k, nprobe, sel, Some(0L))
+    val probed = IvfIndex.probeLists(idx, q, nprobe)
+    val pf = idx.postings.filter(col("list_id").isin(probed: _*))
+      .filter(sel).filter(col("id") =!= 0L)
+      .select(col("id"), l2sq(col("embedding"), typedlit(q)).as("cdist"))
+    val dmatch = res
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(col("dist") === l2sq(col("embedding"), typedlit(q))).as("dists_match_ok"),
+        forall(col("id") >= 100L && col("id") < 400L).as("selector_ok"),
+        max(col("dist")).as("max_res"))
+    val outside = pf.join(res.select(col("id")), Seq("id"), "left_anti")
+      .agg(coalesce(min(col("cdist")), lit(Double.MaxValue)).as("min_out"))
+    val exact = VectorSearchOps.knnFilteredExact(spark, sfDir,
+        col("vec_id") >= 100L && col("vec_id") < 400L, 0L, k)
+      .select(col("vec_id").as("id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val inExact = res.join(exact, Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("n_in_exact"))
+    dmatch.crossJoin(broadcast(outside)).crossJoin(broadcast(nExact))
+      .crossJoin(broadcast(inExact))
+      .select(col("n_exact"), col("dists_match_ok"), col("selector_ok"),
+        (col("max_res") <= col("min_out")).as("topk_exhaustive_ok"),
+        (col("n_in_exact") >= col("n_exact") * minRecall).as("recall_ok"))
+  }
+
   /** Audit of batch IVF kNN (registered `knn_batch_ivf`) — one row per
     * query vector: every query produced exactly k candidates with
     * contiguous ranks and exactly-recomputing distances (ALL queries);

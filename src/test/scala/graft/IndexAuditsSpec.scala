@@ -48,6 +48,16 @@ class IndexAuditsSpec extends SparkSpec {
     assert(a.head.getLong(a.head.fieldIndex("n_hits")) == 10L)
   }
 
+  test("filtered pruned audit: selector honored, exhaustive within probed+filtered, recall floor") {
+    val a = IndexAudits.filteredPrunedAudit(spark, sfSmall)
+    allFlagsTrue(a)
+    assert(a.head.getLong(a.head.fieldIndex("n_exact")) == 10L)
+    // the floor is live: demanding full recall from a 2/4-probe pruned
+    // search must be able to fail (guards against a vacuous flag)
+    val strict = IndexAudits.filteredPrunedAudit(spark, sfSmall, minRecall = 1.01)
+    assert(!strict.head.getBoolean(strict.head.fieldIndex("recall_ok")))
+  }
+
   test("persisted pruned audit adds bit-identical disk/memory equality") {
     val a = IndexAudits.prunedSearchAudit(spark, sfSmall, persisted = true)
     assert(a.columns.contains("matches_memory_ok"))
