@@ -114,7 +114,17 @@ object Bench {
     // r13: ε range search (measured warm medians 0.95/0.93/2.6 s at
     // sf0.1 local[16]; the pruned audit rebuilds its exact twin per rep)
     "range_search" -> 2.0, "range_search_ivf" -> 2.0,
-    "range_search_pruned" -> 4.0
+    "range_search_pruned" -> 4.0,
+    // r13 lifecycle additions: measured 0.10-0.45 s across the four
+    // archival runs (warm builds 2.5-4.1 s); uppers leave the usual
+    // noise headroom
+    "knn_filtered" -> 1.0, "knn_filtered_ivf" -> 1.0,
+    "knn_filtered_meta" -> 1.0, "knn_filtered_pruned" -> 1.5,
+    "ivf_remove_search" -> 1.0, "ivf_remove_compacted" -> 1.0,
+    "ivf_reconstruct" -> 1.0, "ivf_merge_search" -> 1.0,
+    "pii_scrub" -> 1.0,
+    "ivf_remove_build" -> 6.0, "ivf_remove_compact_build" -> 7.0,
+    "ivf_merge_build" -> 6.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
