@@ -60,6 +60,22 @@ class RemoveFilterSpec extends SparkSpec {
     }
   }
 
+  test("id-range selector pushes to the persisted postings scan alongside the partition pruning") {
+    // the "filtered search reads no more bytes than unfiltered" claim
+    // (IvfIndex.searchFiltered scaladoc): an IDSelectorRange over a
+    // persisted index must reach the parquet scan BOTH as list_id
+    // PartitionFilters (nprobe pruning) and as a pushed data filter on
+    // the id column (selector pruning)
+    val persisted = IvfIndex.persistedForEmbeddings(spark, sfSmall, nlist = 4)
+    val plan = IvfIndex.searchFiltered(persisted, q, k = 10, nprobe = 2,
+        sel = col("id") >= 100L && col("id") < 400L, excludeId = Some(qid))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"expected list_id PartitionFilters in:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(id,100)"),
+      s"expected the id-range selector in PushedFilters in:\n$plan")
+  }
+
   // ---- remove_ids lifecycle ----------------------------------------------
 
   private def freshIndexDir(): String = {
