@@ -381,6 +381,14 @@ object Bench {
       // split saved as two generations, file-motion merge)
       "ivf_merge_build" -> (() => {
         IvfIndex.mergedForEmbeddings(spark, sfDir).postings.count(); () }),
+      // r13: the IP-metric postings (re-filed under max-dot centroids;
+      // the centroids themselves come from the shared nlist-4 build)
+      // shared by knn_ip_ivf / ip_search_pruned, and the two
+      // independently-trained IndexShards generations
+      "ip_postings" -> (() => {
+        IpSearch.forEmbeddingsIp(spark, sfDir, 4).postings.count(); () }),
+      "shard_indexes" -> (() => {
+        IvfIndex.shardsForEmbeddings(spark, sfDir).foreach(_.postings.count()); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

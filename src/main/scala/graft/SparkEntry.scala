@@ -397,6 +397,45 @@ object SparkEntry {
     // distances, subset-of-exact, exhaustive-within-probed, recall
     // floor); raw hits via IvfIndex.rangeSearch
     "range_search_pruned" -> ((s, d) => IndexAudits.rangeSearchPrunedAudit(s, d)),
+    // --- METRIC_INNER_PRODUCT (MIPS; FAISS IndexFlatIP / IVFFlat-IP) ---
+    // exact top-k by dot product descending, (ip DESC, id ASC) tiebreak
+    "knn_ip" -> ((s, d) => IpSearch.knnExactIp(s, d)),
+    // IP-metric IVF at nprobe = nlist scans every list (raw vectors),
+    // so it equals the exact MIPS scan — same oracle SQL
+    "knn_ip_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IpSearch.searchIp(IpSearch.forEmbeddingsIp(s, d, nlist = 4), q,
+          k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // pruned IP search: list visibility is k-means-dependent, so the
+    // registered surface is the self-audit (exact-recompute scores,
+    // top-k tight within probed lists, measured IP recall floor)
+    "ip_search_pruned" -> ((s, d) => IndexAudits.ipPrunedAudit(s, d)),
+    // --- index_factory (the FAISS constructor-string surface) ---
+    // "IVF4,Flat" at nprobe = nlist ≡ the exact scan — the factory
+    // string drives the same engine family the constructor form does
+    "factory_search" -> ((s, d) =>
+      IndexFactory.search(s, d, "IVF4,Flat", queryId = 0L, k = 10, nprobe = 4)),
+    // the parser itself under the oracle gate: deterministic
+    // (pos, kind, param) rows for a four-component factory string
+    "factory_parse" -> ((s, d) => IndexFactory.parseToDf(s, "IDMap,PCA24,IVF4,PQ8")),
+    // --- nprobe autotune (FAISS ParameterSpace): the recall/cost curve
+    // with its deterministic contract flags (see IndexAudits) ---
+    "autotune_nprobe" -> ((s, d) => IndexAudits.autotuneNprobe(s, d)),
+    // --- IndexShards: two independently-trained shards over a
+    // vec_id-mod-2 partition of the corpus; per-shard top-k merge at
+    // nprobe = nlist ≡ the exact global scan ---
+    "sharded_search" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.searchShards(IvfIndex.shardsForEmbeddings(s, d, nShards = 2, nlist = 2),
+          q, k = 10, nprobe = 2, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
     // --- filtered search (FAISS SearchParameters.sel / IDSelector) ---
     // exact twin: metadata selector (label) below the top-k
     "knn_filtered" -> ((s, d) => {
@@ -1487,6 +1526,51 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |WHERE d < 1.6""".stripMargin,
+    // MIPS (METRIC_INNER_PRODUCT): exact top-k by dot DESC; the IVF
+    // form at nprobe = nlist scans every list and equals it exactly
+    "knn_ip" ->
+      s"""SELECT vec_id, p AS ip FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlDot("a.embedding", "b.embedding")} AS p
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY p DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_ip_ivf" ->
+      s"""SELECT vec_id, p AS ip FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlDot("a.embedding", "b.embedding")} AS p
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY p DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "ip_search_pruned" ->
+      """SELECT 10 AS n_hits, TRUE AS ips_match_ok,
+        |  TRUE AS topk_tight_ok, TRUE AS recall_ok""".stripMargin,
+    // index_factory: "IVF4,Flat" at nprobe = nlist ≡ exact scan
+    "factory_search" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // the parser's deterministic component rows
+    "factory_parse" ->
+      """SELECT * FROM (VALUES (0, 'IDMap', 0), (1, 'PCA', 24),
+        |  (2, 'IVF', 4), (3, 'PQ', 8)) t(pos, kind, param)
+        |ORDER BY pos""".stripMargin,
+    // autotune sweep: cost axis is arithmetic; flags are invariants
+    // (recall monotone by candidate-set growth; exact at full probe)
+    "autotune_nprobe" ->
+      """SELECT * FROM (VALUES
+        |  (1, CAST(0.25 AS DOUBLE), TRUE, TRUE, TRUE),
+        |  (2, CAST(0.5  AS DOUBLE), TRUE, TRUE, TRUE),
+        |  (4, CAST(1.0  AS DOUBLE), TRUE, TRUE, TRUE))
+        |  t(nprobe, scan_frac, monotone_ok, full_probe_exact_ok, target_reached_ok)
+        |ORDER BY nprobe""".stripMargin,
+    // IndexShards at nprobe = nlist over a partitioned corpus ≡ exact
+    "sharded_search" ->
+      s"""SELECT vec_id, d AS dist FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
     // filtered search: the selector predicate below the top-k — exact
     // metadata form, id-range IVF form at nprobe = nlist, and the
     // semi-join metadata form (same contract as the exact one)

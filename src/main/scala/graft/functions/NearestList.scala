@@ -19,8 +19,15 @@ import org.apache.spark.sql.types._
   * assignment is a NARROW map — appended vectors are bucketed without
   * a join, a broadcast, or a shuffle. At 100 TB ingest rate that is
   * the difference between a streaming append and a nightly batch.
+  *
+  * `ip = true` flips the metric to inner product (position of the
+  * MAXIMUM-dot row, strict-greater so the first maximum wins) — the
+  * coarse-quantizer step of a `METRIC_INNER_PRODUCT` IVF index, whose
+  * quantizer is an `IndexFlatIP` (FAISS `IndexIVFFlat(quantizer, d,
+  * nlist, METRIC_INNER_PRODUCT)`; see [[graft.operators.IpSearch]]).
   */
-case class NearestList(child: Expression, cents: Array[Array[Float]])
+case class NearestList(child: Expression, cents: Array[Array[Float]],
+                       ip: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "nearest_list"
@@ -44,15 +51,21 @@ case class NearestList(child: Expression, cents: Array[Array[Float]])
       throw new IllegalArgumentException(
         s"nearest_list: vector dimension mismatch (${a.numElements()} vs $dim)")
     }
-    var best = 0; var bestD = Double.MaxValue
+    var best = 0
+    var bestD = if (ip) Double.MinValue else Double.MaxValue
     var j = 0
     while (j < cents.length) {
       val c = cents(j)
       var acc = 0.0; var i = 0
-      while (i < c.length) {
-        val d = a.getFloat(i).toDouble - c(i); acc += d * d; i += 1
+      if (ip) {
+        while (i < c.length) { acc += a.getFloat(i).toDouble * c(i); i += 1 }
+        if (acc > bestD) { bestD = acc; best = j }
+      } else {
+        while (i < c.length) {
+          val d = a.getFloat(i).toDouble - c(i); acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = j }
       }
-      if (acc < bestD) { bestD = acc; best = j }
       j += 1
     }
     best
@@ -65,20 +78,27 @@ case class NearestList(child: Expression, cents: Array[Array[Float]])
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       val c = ctx.freshName("c")
+      val (init, accum, better) =
+        if (ip) ("-Double.MAX_VALUE",
+          s"$acc += (double)$a.getFloat($i) * (double)$c[$i];",
+          ">")
+        else ("Double.MAX_VALUE",
+          s"""double $d = (double)$a.getFloat($i) - (double)$c[$i];
+             |    $acc += $d * $d;""".stripMargin,
+          "<")
       s"""
          |if ($a.numElements() != ${dim}) {
          |  throw new IllegalArgumentException(
          |    "nearest_list: vector dimension mismatch (" + $a.numElements() + " vs ${dim})");
          |}
-         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |int $best = 0; double $bestD = $init;
          |for (int $j = 0; $j < $mat.length; $j++) {
          |  float[] $c = $mat[$j];
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $c.length; $i++) {
-         |    double $d = (double)$a.getFloat($i) - (double)$c[$i];
-         |    $acc += $d * $d;
+         |    $accum
          |  }
-         |  if ($acc < $bestD) { $bestD = $acc; $best = $j; }
+         |  if ($acc $better $bestD) { $bestD = $acc; $best = $j; }
          |}
          |${ev.value} = $best;
        """.stripMargin

@@ -57,6 +57,12 @@ package object functions {
   def nearest_list(emb: Column, cents: Array[Array[Float]]): Column =
     GraftSqlBridge.column(NearestList(col2e(emb), cents))
 
+  /** Inner-product variant of [[nearest_list]]: position of the
+    * MAXIMUM-dot centroid (first-max tie-break) — the coarse assignment
+    * of a `METRIC_INNER_PRODUCT` IVF index (see [[NearestList]]). */
+  def nearest_list_ip(emb: Column, cents: Array[Array[Float]]): Column =
+    GraftSqlBridge.column(NearestList(col2e(emb), cents, ip = true))
+
   /** Dense matrix × float-vector (the OPQ-lite rotation kernel; see
     * [[MatVec]]). */
   def mat_vec(emb: Column, mat: Array[Array[Float]]): Column =

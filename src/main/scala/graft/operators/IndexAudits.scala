@@ -192,6 +192,114 @@ object IndexAudits {
     }
   }
 
+  /** nprobe autotune sweep (registered `autotune_nprobe`) — FAISS
+    * `ParameterSpace` / `AutoTuneCriterion`: sweep nprobe over
+    * {1, 2, nlist}, measure recall@k against the exact sampled twin,
+    * and report the operating curve. WHICH recall a mid-sweep nprobe
+    * achieves is k-means-dependent, so the registered columns are the
+    * sweep's deterministic contract:
+    *  - `nprobe`, `scan_frac` = nprobe/nlist — the cost axis, pure
+    *    arithmetic the oracle restates;
+    *  - `monotone_ok` — recall is non-decreasing in nprobe. This is
+    *    an INVARIANT, not a measurement: raising nprobe only grows the
+    *    candidate set, and a candidate that displaces a current top-k
+    *    member must be strictly closer than it, hence itself a member
+    *    of the exact top-k — overlap with the exact top-k can never
+    *    shrink (same (dist, id) tiebreak on both sides);
+    *  - `full_probe_exact_ok` — recall is exactly 1.0 at nprobe =
+    *    nlist (all lists scanned, raw vectors);
+    *  - `target_reached_ok` — some swept nprobe meets the target
+    *    recall (guaranteed by the previous flag for target ≤ 1; the
+    *    autotuner always terminates).
+    * No collect, no window: three bounded aggregates pivoted through a
+    * single-row conditional aggregation and cross-joined back onto the
+    * sweep rows. */
+  def autotuneNprobe(spark: SparkSession, sfDir: String, nlist: Int = 4,
+                     k: Int = 5, sampleMod: Int = 10,
+                     target: Double = 0.9): DataFrame = {
+    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    val emb = embeddings(spark, sfDir)
+    val sampled = emb.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val exact = exactBatchTwin(spark, sfDir, k, sampleMod)
+      .select(col("src_id"), col("dst_id"))
+    val sweep = Seq(1, 2, nlist).distinct.sorted
+    val hits = sweep.map { np =>
+      IvfIndex.searchAll(idx, sampled, "vec_id", "embedding", k, np)
+        .select(col("src_id"), col("dst_id"))
+        .join(exact, Seq("src_id", "dst_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("n_hit"))
+    }.reduce(_ union _)
+    val total = sampled.agg((count(lit(1)) * k).as("n_tot"))
+    val aggs = sweep.map(np =>
+      max(when(col("nprobe") === np, col("n_hit"))).as(s"h$np")) :+
+      max(col("n_tot")).as("n_tot")
+    val piv = hits.crossJoin(broadcast(total))
+      .agg(aggs.head, aggs.tail: _*)
+    val monotone = sweep.zip(sweep.tail)
+      .map { case (a, b) => col(s"h$a") <= col(s"h$b") }
+      .reduce(_ && _)
+    val flags = piv.select(
+      monotone.as("monotone_ok"),
+      (col(s"h${sweep.last}") === col("n_tot")).as("full_probe_exact_ok"),
+      sweep.map(np => col(s"h$np") >= lit(target) * col("n_tot"))
+        .reduce(_ || _).as("target_reached_ok"))
+    val sweepRows = spark.createDataFrame(
+        sweep.map(np => (np, np.toDouble / nlist)))
+      .toDF("nprobe", "scan_frac")
+    sweepRows.crossJoin(broadcast(flags))
+      .orderBy(col("nprobe").asc)
+  }
+
+  /** Audit of the pruned METRIC_INNER_PRODUCT IVF search (registered
+    * `ip_search_pruned`; see [[IpSearch]]) — the descending mirror of
+    * [[prunedSearchAudit]]:
+    *  - `n_hits` — exactly k rows returned;
+    *  - `ips_match_ok` — every returned score recomputes exactly as
+    *    the dot against the original vectors;
+    *  - `topk_tight_ok` — exactly k probed candidates rank at or
+    *    before the boundary element under `(ip DESC, id ASC)`: the
+    *    result is the true top-k of the probed lists, not merely k
+    *    members of them;
+    *  - `recall_ok` — overlap with the exact MIPS top-k clears the
+    *    measured floor. L2-trained cells are not aligned with
+    *    dot-product level sets (the documented IP-IVF caveat), so the
+    *    floor is measured for THIS metric: 8/10 at BOTH gate scales
+    *    (sf0.01 and sf0.1) with nprobe=2 of 4; minHits=5 keeps 1.6×
+    *    margin. */
+  def ipPrunedAudit(spark: SparkSession, sfDir: String,
+                    nlist: Int = 4, nprobe: Int = 2,
+                    k: Int = 10, minHits: Int = 5): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val q = queryVec(spark, sfDir, 0L)
+    val idx = IpSearch.forEmbeddingsIp(spark, sfDir, nlist)
+    val res = IpSearch.searchIp(idx, q, k, nprobe, Some(0L)) // (id, ip)
+    val probed = IpSearch.probeListsIp(idx, q, nprobe)
+    val cands = idx.postings.filter(col("list_id").isin(probed: _*))
+      .filter(col("id") =!= 0L)
+      .select(col("id"),
+        graft.functions.vec_dot(col("embedding"), typedlit(q)).as("cip"))
+    // boundary = the k-th (last) element under (ip DESC, id ASC):
+    // minimum ip, and among ip ties the MAXIMUM id — min(struct(ip, -id))
+    val mn = res.agg(min(struct(col("ip"), (-col("id")).as("nid"))).as("mn"))
+    val tight = cands.crossJoin(broadcast(mn))
+      .agg(sum(when(col("cip") > col("mn.ip") ||
+        (col("cip") === col("mn.ip") && col("id") <= -col("mn.nid")),
+        lit(1)).otherwise(lit(0))).as("n_ge"))
+    val dmatch = res
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(col("ip") === graft.functions.vec_dot(col("embedding"), typedlit(q)))
+          .as("ips_match_ok"))
+    val exact = IpSearch.knnExactIp(spark, sfDir, 0L, k)
+      .select(col("vec_id").as("id"))
+    val hit = res.join(exact, Seq("id"), "left_semi").agg(count(lit(1)).as("n_hit"))
+    dmatch.crossJoin(broadcast(tight)).crossJoin(broadcast(hit))
+      .select(col("n_hits"), col("ips_match_ok"),
+        (col("n_ge") === k).as("topk_tight_ok"),
+        (col("n_hit") >= minHits).as("recall_ok"))
+  }
+
   /** Audit of the IVF-pruned ε range search (registered
     * `range_search_pruned`): at nprobe < nlist WHICH candidates are
     * visible is k-means-dependent, so the registered surface is the

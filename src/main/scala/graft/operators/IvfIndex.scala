@@ -728,6 +728,43 @@ object IvfIndex {
     cache.getOrElseUpdate(spark, (sfDir, nlist))(
       build(graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist))
 
+  /** Search a set of independently-trained shards and merge — FAISS
+    * `IndexShards` (`shard = true` sharding: each shard holds a slice
+    * of the corpus; a query fans out to every shard and the per-shard
+    * top-k lists merge into one global top-k). The 100 TB posture this
+    * models: a corpus ingested as N generations/slices, each trained
+    * and persisted independently, queried WITHOUT the re-bucketing
+    * cost of [[mergeFrom]] — the merge is k·S rows, driver-free, and
+    * each shard search keeps its own partition pruning. Distances are
+    * exact per shard (IVFFlat raw vectors), so with `nprobe = nlist`
+    * on every shard the merged result over a shard-PARTITIONED corpus
+    * equals the exact global scan bit-for-bit: each shard's top-k is
+    * complete for its slice, and the global top-k is a subset of the
+    * union of slice top-ks. */
+  def searchShards(indexes: Seq[Index], q: Array[Float], k: Int, nprobe: Int,
+                   excludeId: Option[Long] = None): DataFrame = {
+    require(indexes.nonEmpty, "searchShards: no shards")
+    indexes.map(ix => search(ix, q, k, nprobe, excludeId))
+      .reduce(_ union _)
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  private val shardCache = JvmCaches.sessionMap[(String, Int, Int), Seq[Index]]()
+
+  /** Two-or-more shard split of the sf embeddings (vec_id mod
+    * `nShards`), each shard trained independently — the IndexShards
+    * test/registration fixture. Memoized like [[forEmbeddings]]. */
+  def shardsForEmbeddings(spark: SparkSession, sfDir: String,
+                          nShards: Int = 2, nlist: Int = 2): Seq[Index] =
+    shardCache.getOrElseUpdate(spark, (sfDir, nShards, nlist)) {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      (0 until nShards).map { s =>
+        build(emb.filter(pmod(col("vec_id"), lit(nShards.toLong)) === s.toLong),
+          "vec_id", "embedding", nlist)
+      }
+    }
+
   /** Merge another persisted index into `dir` — FAISS
     * `IndexIVF.merge_from(other)` (other's vectors move in; other is
     * emptied). FAISS requires the two indexes to share nlist/metric
