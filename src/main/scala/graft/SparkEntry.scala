@@ -563,6 +563,9 @@ object SparkEntry {
     // --- text analytics (north star; BASELINE.json) ---
     "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
+    // C4/CCNet boilerplate-line removal over the derived corpus (see
+    // TextAnalytics.scrubBoilerplate — df-based line drop, order kept)
+    "boilerplate_scrub" -> ((s, d) => TextAnalytics.boilerplateLines(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
     // fixed-width alpha-ratio histogram: exact integer counts +
     // cumulative, the one-pass scale path for quantile questions
@@ -2307,6 +2310,33 @@ object SparkEntry {
          |  len(regexp_extract_all(t2, '${TextAnalytics.Ipv4Re}'))::BIGINT AS n_ips,
          |  regexp_replace(t2, '${TextAnalytics.Ipv4Re}', '<IP>', 'g') AS clean
          |FROM s2 ORDER BY doc_id""".stripMargin,
+    // boilerplate-line removal: df >= 5 lines dropped, order kept
+    "boilerplate_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    ['SUBSCRIBE TO OUR NEWSLETTER','Accept all cookies to continue',
+        |     'Share this article on social media','Copyright 2024 Example Corp',
+        |     'Click here to read more'][CAST(doc_id % 5 AS INT) + 1]
+        |    || chr(10) || text || chr(10) ||
+        |    ['All rights reserved','Terms of service apply',
+        |     'Powered by Example CMS'][CAST(doc_id % 3 AS INT) + 1]
+        |    || (CASE WHEN doc_id % 50 = 0
+        |         THEN chr(10) || 'Limited time offer - subscribe today' ELSE '' END)
+        |      AS text
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus),
+        |lines AS (
+        |  SELECT doc_id, u.i - 1 AS pos, trim(p[u.i]) AS line
+        |  FROM parts, LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) u),
+        |dfc AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        |kept AS (SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l JOIN dfc USING (line) WHERE df < 5),
+        |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT k.doc_id, nl.n_lines, count(*) AS n_kept,
+        |  string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text
+        |FROM kept k JOIN nl USING (doc_id)
+        |GROUP BY k.doc_id, nl.n_lines
+        |ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH $sqlCorpusToks
          |SELECT id, length(sentence) AS n_chars, len(toks) AS n_tokens,

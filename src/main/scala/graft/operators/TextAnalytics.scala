@@ -383,6 +383,77 @@ object TextAnalytics {
     * mod 3, phones ≡ 0 mod 4, IPv4 ≡ 0 mod 5 — both engines derive the
     * SAME text from the same parquet, so the scrub is exercised on
     * real matches and real non-matches, not no-ops). */
+  /** C4/CCNet-style boilerplate-line removal: a line whose DOCUMENT
+    * frequency (distinct docs containing the trimmed line) reaches
+    * `minDf` is boilerplate — navigation chrome, cookie banners,
+    * copyright footers — and is dropped from every document; unique
+    * content lines survive with their order intact. This is the
+    * cross-document twin of the within-corpus span dedup
+    * ([[SpanDedup]]): the unit is the LINE, the signal is document
+    * frequency, and removal is total (boilerplate carries no
+    * training value, unlike a first-occurrence span which is kept).
+    *
+    * The synthetic docs are single-line and globally distinct, so
+    * (the [[piiScrub]] discipline) the registered query derives a
+    * boilerplated corpus IDENTICALLY in engine and oracle: a header
+    * pool of 5, a footer pool of 3 (df ≈ n/5, n/3 — far above any
+    * sensible threshold), and a promo line on every 50th doc (df =
+    * n/50 = 10 at the 500-doc test corpora — above `minDf`, removed).
+    * A df below the threshold keeps the line; that path is pinned by
+    * the spec on a corpus where the promo is genuinely rare. Both
+    * engines agree at every scale because df is COMPUTED, not assumed.
+    *
+    * Scale: explode → per-line partial-aggregated distinct-doc count
+    * (one shuffle on the line key) → anti-join (boilerplate lines are
+    * few but unbounded, so an equi-join, not a broadcast assumption) →
+    * per-doc ordered reassembly via sort_array(collect_list(struct)) —
+    * grouped, never a global window. */
+  def scrubBoilerplate(corpus: DataFrame, minDf: Long): DataFrame = {
+    val lines = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos"), trim(col("col")).as("line"))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("line"))
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val nl = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"))
+      .join(nl, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The registered derived-corpus form of [[scrubBoilerplate]] (see
+    * that scaladoc for semantics and the injection recipe). */
+  def boilerplateLines(spark: SparkSession, sfDir: String,
+                       minDf: Long = 5L): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val headers = array(
+      lit("SUBSCRIBE TO OUR NEWSLETTER"),
+      lit("Accept all cookies to continue"),
+      lit("Share this article on social media"),
+      lit("Copyright 2024 Example Corp"),
+      lit("Click here to read more"))
+    val footers = array(
+      lit("All rights reserved"),
+      lit("Terms of service apply"),
+      lit("Powered by Example CMS"))
+    val corpus = docs.select(col("doc_id"),
+      concat(
+        element_at(headers, (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        lit("\n"), col("text"), lit("\n"),
+        element_at(footers, (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+        when(pmod(col("doc_id"), lit(50)) === 0,
+          lit("\nLimited time offer - subscribe today"))
+          .otherwise(lit(""))).as("text"))
+    scrubBoilerplate(corpus, minDf)
+  }
+
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
     val withPii = docs.select(col("doc_id"),

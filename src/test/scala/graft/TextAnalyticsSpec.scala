@@ -204,4 +204,40 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(got(1L) == ((4L, 0.25, 3L, 0.0, 1.0 / 3.0)))
     assert(got(2L) == ((1L, 1.0, 0L, 0.0, 0.0)))
   }
+
+  test("scrubBoilerplate: df-threshold drop, order kept, rare lines survive") {
+    import spark.implicits._
+    // "FOOTER" in 3 docs (df=3 >= minDf=3 -> dropped everywhere);
+    // "rare promo" in 2 docs (df=2 < 3 -> KEPT); bodies unique
+    val corpus = Seq(
+      (0L, "FOOTER\nbody zero\nrare promo"),
+      (1L, "body one\nFOOTER"),
+      (2L, "rare promo\nFOOTER\nbody two"),
+      (3L, "only body three"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.scrubBoilerplate(corpus, minDf = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((3L, 2L, "body zero\nrare promo")))
+    assert(got(1L) == ((2L, 1L, "body one")))
+    assert(got(2L) == ((3L, 2L, "rare promo\nbody two")))
+    assert(got(3L) == ((1L, 1L, "only body three")))
+  }
+
+  test("boilerplate_scrub registered form: headers/footers removed, body kept, promo df computed") {
+    val rows = TextAnalytics.boilerplateLines(spark, sfSmall).collect()
+    val docs = Tables.documents(spark, sfSmall)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, nLines, nKept, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val expectLines = if (id % 50 == 0) 4L else 3L
+      assert(nLines == expectLines, s"doc $id n_lines")
+      // 500-doc corpora: header df=100, footer >= 166, promo df=10 —
+      // all >= 5, so exactly the body survives
+      assert(nKept == 1L, s"doc $id n_kept")
+      assert(clean == docs(id).trim, s"doc $id body drift")
+    }
+  }
 }
