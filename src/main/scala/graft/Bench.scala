@@ -389,6 +389,10 @@ object Bench {
         IpSearch.forEmbeddingsIp(spark, sfDir, 4).postings.count(); () }),
       "shard_indexes" -> (() => {
         IvfIndex.shardsForEmbeddings(spark, sfDir).foreach(_.postings.count()); () }),
+      // r13: the cosine-metric index (unit-trained quantizer + raw
+      // postings re-join) behind knn_cosine_ivf
+      "cosine_index" -> (() => {
+        CosineIvf.forEmbeddings(spark, sfDir, 4).postings.count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

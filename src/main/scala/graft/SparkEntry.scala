@@ -414,6 +414,35 @@ object SparkEntry {
     // registered surface is the self-audit (exact-recompute scores,
     // top-k tight within probed lists, measured IP recall floor)
     "ip_search_pruned" -> ((s, d) => IndexAudits.ipPrunedAudit(s, d)),
+    // --- cosine-metric IVF (normalize-and-use-L2, the FAISS cosine
+    // recipe): unit-trained quantizer, raw vectors scored by
+    // cosine_sim, nprobe = nlist ≡ the exact cosine scan bit-for-bit
+    "knn_cosine_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      CosineIvf.search(CosineIvf.forEmbeddings(s, d, nlist = 4), q,
+          k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // --- search_and_reconstruct: top-k + the stored vectors in one
+    // probed scan (bit-exact for IVFFlat; dim/c0/recon-dist projected
+    // so the oracle can restate the payload from the parquet) ---
+    "search_reconstruct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val res = IvfIndex.searchAndReconstruct(
+        IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
+        k = 10, nprobe = 4, excludeId = Some(0L))
+      res.join(emb.select(col("vec_id").as("id"), col("embedding").as("orig")), Seq("id"))
+        .select(col("id").as("vec_id"), col("dist"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding")(0).cast("double").as("c0"),
+          graft.functions.l2sq(col("embedding"), col("orig")).as("recon_dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
     // --- index_factory (the FAISS constructor-string surface) ---
     // "IVF4,Flat" at nprobe = nlist ≡ the exact scan — the factory
     // string drives the same engine family the constructor form does
@@ -1546,6 +1575,27 @@ object SparkEntry {
     "ip_search_pruned" ->
       """SELECT 10 AS n_hits, TRUE AS ips_match_ok,
         |  TRUE AS topk_tight_ok, TRUE AS recall_ok""".stripMargin,
+    // cosine IVF at nprobe = nlist ≡ the exact cosine scan
+    "knn_cosine_ivf" ->
+      s"""SELECT vec_id, s AS sim FROM (
+         |  SELECT b.vec_id AS vec_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS s
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // search_and_reconstruct: exact top-k + payload restated from the
+    // parquet (recon_dist 0 = the stored vector is the original)
+    "search_reconstruct" ->
+      s"""SELECT t.vec_id, t.d AS dist, len(e.embedding)::BIGINT AS dim,
+         |  CAST(e.embedding[1] AS DOUBLE) AS c0, CAST(0 AS DOUBLE) AS recon_dist
+         |FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
+         |  ORDER BY d ASC, b.vec_id ASC LIMIT 10) t
+         |JOIN embeddings e ON e.vec_id = t.vec_id
+         |ORDER BY dist ASC, t.vec_id ASC""".stripMargin,
     // index_factory: "IVF4,Flat" at nprobe = nlist ≡ exact scan
     "factory_search" ->
       s"""SELECT vec_id, d AS dist FROM (

@@ -109,3 +109,64 @@ object IpSearch {
       .select(col("id"), col("ip"))
   }
 }
+
+/** Cosine-metric IVF — the third point of the FAISS metric triangle,
+  * built the way FAISS's own guidelines say to serve cosine: NORMALIZE
+  * and use the L2/IP machinery (cosine order ≡ L2 order on unit
+  * vectors). The quantizer trains on unit vectors (spherical-k-means
+  * shape: centroids of unit vectors), assignment and probing run as
+  * plain L2 against those centroids, and the inverted lists store the
+  * RAW vectors — the emitted score is `cosine_sim` recomputed on the
+  * originals with the engine's standard kernel, so `nprobe = nlist`
+  * reproduces [[VectorSearchOps.knnExactCosine]] bit-for-bit (same
+  * expression, same `(sim DESC, id ASC)` tiebreak) rather than a
+  * derived `1 - d/2` approximation that would drift in the last ulp.
+  *
+  * Scale posture: identical to the L2 family — the normalization is a
+  * narrow map paid once at build; search is partition-pruned postings
+  * + TakeOrdered. */
+object CosineIvf {
+
+  private val cache = JvmCaches.sessionMap[(String, Int), IvfIndex.Index]()
+
+  /** Build (memoized): k-means over UNIT vectors for the quantizer and
+    * list assignment; postings re-joined to the raw embeddings. */
+  def forEmbeddings(spark: SparkSession, sfDir: String,
+                    nlist: Int): IvfIndex.Index =
+    cache.getOrElseUpdate(spark, (sfDir, nlist)) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val unit = emb.select(col("vec_id").as("id"),
+        transform(col("embedding"),
+          x => x.cast("double") / graft.functions.vec_norm(col("embedding")))
+          .as("embedding"))
+      val idxN = IvfIndex.build(unit, "id", "embedding", nlist)
+      val postings = idxN.postings.select("list_id", "id")
+        .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .select(col("list_id"), col("id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      postings.count()
+      idxN.postings.unpersist(blocking = false)
+      IvfIndex.Index(idxN.centroids, postings)
+    }
+
+  /** Probe by L2 against the unit-trained centroids using the
+    * NORMALIZED query (cosine order on the raw query), then score the
+    * probed lists' RAW vectors with `cosine_sim`, descending. */
+  def search(index: IvfIndex.Index, q: Array[Float], k: Int, nprobe: Int,
+             excludeId: Option[Long] = None): DataFrame = {
+    val n = {
+      var acc = 0.0; var i = 0
+      while (i < q.length) { acc += q(i).toDouble * q(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val qUnit = q.map(x => (x / n).toFloat)
+    val probed = IvfIndex.probeLists(index, qUnit, nprobe)
+    val base = index.postings.filter(col("list_id").isin(probed: _*))
+    val noSelf = excludeId.fold(base)(id => base.filter(col("id") =!= id))
+    noSelf
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), typedlit(q)))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
+}

@@ -134,6 +134,27 @@ object IvfIndex {
       .select(col("id"), col("dist"))
   }
 
+  /** FAISS `search_and_reconstruct`: top-k search that returns the
+    * STORED vectors alongside ids and distances — the one-call form a
+    * retrieval pipeline uses when the hit payload is needed (rerank by
+    * a second model, context assembly) without a second index
+    * round-trip. For IVFFlat the stored vector IS the original, so no
+    * join back to the source table is needed: the probed postings scan
+    * already carries the embeddings, and the plan is [[search]]'s plus
+    * one projected column — same pruning, same TakeOrdered, no extra
+    * shuffle. */
+  def searchAndReconstruct(index: Index, q: Array[Float], k: Int, nprobe: Int,
+                           excludeId: Option[Long] = None): DataFrame = {
+    val probed = probeLists(index, q, nprobe)
+    val base = index.postings.filter(col("list_id").isin(probed: _*))
+    val noSelf = excludeId.fold(base)(id => base.filter(col("id") =!= id))
+    noSelf
+      .withColumn("dist", l2sq(col("embedding"), typedlit(q)))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("dist"), col("embedding"))
+  }
+
   /** IVF range search (FAISS `IndexIVF.range_search`): the strict
     * `dist < eps` predicate (app.py:93's P3 semantics from a single
     * query) over the PROBED lists only — partition-pruned exactly like

@@ -96,4 +96,40 @@ class IpSearchSpec extends SparkSpec {
     assert(row.getBoolean(2))           // topk_tight_ok
     assert(row.getBoolean(3))           // recall_ok
   }
+
+  // ---- cosine IVF ----------------------------------------------------
+
+  test("CosineIvf at nprobe = nlist equals the exact cosine scan bit-for-bit") {
+    val idx = graft.operators.CosineIvf.forEmbeddings(spark, sfSmall, nlist = 4)
+    val got = graft.operators.CosineIvf.search(idx, q, k = 10, nprobe = 4,
+        excludeId = Some(qid))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.operators.VectorSearchOps.knnExactCosine(spark, sfSmall, qid, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("CosineIvf postings store RAW vectors and partition the corpus") {
+    val idx = graft.operators.CosineIvf.forEmbeddings(spark, sfSmall, nlist = 4)
+    assert(idx.postings.count() == corpus.length.toLong)
+    val raw = corpus.toMap
+    idx.postings.select("id", "embedding").collect().foreach { r =>
+      assert(r.getSeq[Float](1).toArray.sameElements(raw(r.getLong(0))))
+    }
+  }
+
+  // ---- search_and_reconstruct ----------------------------------------
+
+  test("searchAndReconstruct returns the search top-k with bit-exact stored vectors") {
+    val idx = IvfIndex.forEmbeddings(spark, sfSmall, nlist = 4)
+    val got = IvfIndex.searchAndReconstruct(idx, q, k = 10, nprobe = 4,
+        excludeId = Some(qid)).collect()
+    val plain = IvfIndex.search(idx, q, k = 10, nprobe = 4, excludeId = Some(qid))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == plain)
+    val raw = corpus.toMap
+    got.foreach { r =>
+      assert(r.getSeq[Float](2).toArray.sameElements(raw(r.getLong(0))))
+    }
+  }
 }
