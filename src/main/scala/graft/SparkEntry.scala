@@ -414,6 +414,20 @@ object SparkEntry {
     // registered surface is the self-audit (exact-recompute scores,
     // top-k tight within probed lists, measured IP recall floor)
     "ip_search_pruned" -> ((s, d) => IndexAudits.ipPrunedAudit(s, d)),
+    // persisted IP index (same directory layout as the L2 family —
+    // the metric lives in the kernels, not the storage); nprobe =
+    // nlist ≡ the exact MIPS scan, same oracle
+    "knn_ip_persisted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IpSearch.searchIp(IpSearch.persistedForEmbeddingsIp(s, d, nlist = 4), q,
+          k = 10, nprobe = 4, excludeId = Some(0L))
+        .withColumnRenamed("id", "vec_id")
+    }),
+    // --- fp16 scalar quantizer (FAISS SQ QT_fp16): DuckDB has no
+    // binary16, so the registered surface is the contract audit ---
+    "knn_f16" -> ((s, d) => IndexAudits.f16Audit(s, d)),
     // --- cosine-metric IVF (normalize-and-use-L2, the FAISS cosine
     // recipe): unit-trained quantizer, raw vectors scored by
     // cosine_sim, nprobe = nlist ≡ the exact cosine scan bit-for-bit
@@ -1575,6 +1589,16 @@ object SparkEntry {
     "ip_search_pruned" ->
       """SELECT 10 AS n_hits, TRUE AS ips_match_ok,
         |  TRUE AS topk_tight_ok, TRUE AS recall_ok""".stripMargin,
+    "knn_ip_persisted" ->
+      s"""SELECT vec_id, p AS ip FROM (
+         |  SELECT b.vec_id AS vec_id, ${sqlDot("a.embedding", "b.embedding")} AS p
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
+         |ORDER BY p DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // fp16 SQ: binary16 has no DuckDB type; deterministic contract flags
+    "knn_f16" ->
+      """SELECT 10 AS n_hits, TRUE AS roundtrip_err_ok,
+        |  TRUE AS dists_close_ok, TRUE AS recall_ok""".stripMargin,
     // cosine IVF at nprobe = nlist ≡ the exact cosine scan
     "knn_cosine_ivf" ->
       s"""SELECT vec_id, s AS sim FROM (

@@ -107,6 +107,15 @@ package object functions {
   def dot_i8(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotI8(col2e(a), col2e(b)))
 
+  /** IEEE binary16 encode: array<float> → array<smallint> of half bits
+    * (FAISS ScalarQuantizer QT_fp16; see [[F16]]). */
+  def quantize_f16(a: Column): Column =
+    GraftSqlBridge.column(QuantizeF16(col2e(a)))
+
+  /** IEEE binary16 decode: array<smallint> → array<float>, exact. */
+  def dequantize_f16(a: Column): Column =
+    GraftSqlBridge.column(DequantizeF16(col2e(a)))
+
   /** Register the vector functions for SQL use (`SELECT l2sq(a, b) ...`). */
   def registerVectorFunctions(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "l2sq", es => L2Sq(es(0), es(1)))

@@ -192,6 +192,54 @@ object IndexAudits {
     }
   }
 
+  /** fp16 scalar-quantizer audit (registered `knn_f16`) — FAISS
+    * `ScalarQuantizer(QT_fp16)`. DuckDB has no binary16 type, so the
+    * registered surface is the deterministic contract of the coded
+    * search ([[Quantization.knnF16]]):
+    *  - `n_hits` — exactly k rows;
+    *  - `roundtrip_err_ok` — EVERY component of every dequantized
+    *    code is within the binary16 RNE bound of its original:
+    *    |dq(q(x)) − x| ≤ max(2^-10·|x|, 2^-24) (theoretical relative
+    *    bound 2^-11 for normals; 2× margin, absolute floor covers the
+    *    subnormal range);
+    *  - `dists_close_ok` — every returned coded distance is within 1%
+    *    relative (+1e-9 absolute) of the exact distance on the
+    *    original floats;
+    *  - `recall_ok` — overlap with the exact top-k clears the floor
+    *    (measured 10/10 at both gate scales — half precision barely
+    *    perturbs the ranking; floor 8 = margin for tie flips). */
+  def f16Audit(spark: SparkSession, sfDir: String,
+               k: Int = 10, minHits: Int = 8): DataFrame = {
+    import graft.functions.{dequantize_f16, quantize_f16}
+    val emb = embeddings(spark, sfDir)
+    val q = queryVec(spark, sfDir, 0L)
+    val res = Quantization.knnF16(spark, sfDir, 0L, k) // (vec_id, dist)
+    val rtBad = emb.select(
+        aggregate(
+          zip_with(col("embedding"),
+            dequantize_f16(quantize_f16(col("embedding"))),
+            (x, d) => when(abs(d.cast("double") - x.cast("double")) <=
+              greatest(abs(x.cast("double")) * lit(math.pow(2, -10)),
+                lit(math.pow(2, -24))), lit(0)).otherwise(lit(1))),
+          lit(0), (acc, v) => acc + v).as("bad"))
+      .agg(sum(col("bad")).as("n_bad"))
+    val dclose = res
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("ed", l2sq(col("embedding"), typedlit(q)))
+      .agg(count(lit(1)).as("n_hits"),
+        forall(abs(col("dist") - col("ed")) <= col("ed") * 0.01 + 1e-9)
+          .as("dists_close_ok"))
+    val exact = VectorSearchOps.knnExactL2(spark, sfDir, 0L, k)
+      .select(col("vec_id"))
+    val hit = res.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    dclose.crossJoin(broadcast(rtBad)).crossJoin(broadcast(hit))
+      .select(col("n_hits"),
+        (col("n_bad") === 0).as("roundtrip_err_ok"),
+        col("dists_close_ok"),
+        (col("n_hit") >= minHits).as("recall_ok"))
+  }
+
   /** nprobe autotune sweep (registered `autotune_nprobe`) — FAISS
     * `ParameterSpace` / `AutoTuneCriterion`: sweep nprobe over
     * {1, 2, nlist}, measure recall@k against the exact sampled twin,

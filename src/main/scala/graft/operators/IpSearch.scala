@@ -77,6 +77,21 @@ object IpSearch {
 
   private val cache = JvmCaches.sessionMap[(String, Int), IvfIndex.Index]()
 
+  /** Persisted IP index: the SAME directory layout as the L2 family
+    * ([[IvfIndex.save]]/[[IvfIndex.load]] unchanged — the metric lives
+    * in the assignment and search kernels, not the storage), so the
+    * whole persisted lifecycle (partitioned postings, tombstones,
+    * leases, merge) carries over. Memoized per (sfDir, nlist). */
+  def persistedForEmbeddingsIp(spark: SparkSession, sfDir: String,
+                               nlist: Int): IvfIndex.Index =
+    persistedCache.getOrElseUpdate(spark, (sfDir, nlist)) {
+      val dir = s"/root/repo/target/ivf-ip-index/${new java.io.File(sfDir).getName}-nlist$nlist"
+      IvfIndex.save(forEmbeddingsIp(spark, sfDir, nlist), dir)
+      IvfIndex.load(spark, dir)
+    }
+
+  private val persistedCache = JvmCaches.sessionMap[(String, Int), IvfIndex.Index]()
+
   /** Top-`nprobe` centroids by inner product (descending, first-max —
     * the IP mirror of [[IvfIndex.probeLists]]; driver-side over the
     * ≤nlist centroid matrix, the same bounded-collect class). */

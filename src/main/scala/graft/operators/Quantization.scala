@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{cosine_sim, dot_i8, quant_scale, quantize_i8}
+import graft.functions.{cosine_sim, dequantize_f16, dot_i8, l2sq,
+  quant_scale, quantize_f16, quantize_i8}
 
 /** Int8-quantized similarity search over the `embeddings` table — the
   * memory-compression scale path (4× smaller postings than float32;
@@ -32,6 +33,32 @@ object Quantization {
         array_min(col("q")).cast("long").as("q_min"),
         array_max(col("q")).cast("long").as("q_max"))
       .orderBy(col("vec_id").asc)
+
+  /** fp16 (binary16) scalar-quantized kNN — FAISS
+    * `ScalarQuantizer(QT_fp16)`, the most-used SQ variant: 2×
+    * compression, no training pass, ~2^-11 relative error. The FAISS
+    * search contract exactly: codes DEQUANTIZE to float and the query
+    * stays full-precision, so the distance is
+    * `l2sq(dequant(codes), q_float32)` — both kernels are codegen'd
+    * expressions that fuse into one whole-stage loop over the coded
+    * scan (no float postings read). Half conversion has no JDK-17
+    * intrinsic; see [[graft.functions.F16]] for the bit-exact RNE
+    * implementation. DuckDB has no half type, so the registered
+    * surface is the audit ([[IndexAudits.f16Audit]]); this is the raw
+    * search path. */
+  def knnF16(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+             k: Int = 10): DataFrame = {
+    val coded = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), quantize_f16(col("embedding")).as("codes"))
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select("embedding").head.getSeq[Float](0).toArray
+    coded.filter(col("vec_id") =!= queryId)
+      .withColumn("dist", l2sq(dequantize_f16(col("codes")), typedlit(q)))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("dist"))
+  }
 
   /** Top-k by quantized cosine similarity (descending, vec_id
     * tie-break): integer dot products over array<tinyint>, one double
