@@ -393,6 +393,11 @@ object Bench {
       // postings re-join) behind knn_cosine_ivf
       "cosine_index" -> (() => {
         CosineIvf.forEmbeddings(spark, sfDir, 4).postings.count(); () }),
+      // r13: the trained QT_8bit model + coded corpus behind
+      // sq8t_stats / knn_sq8t, and the persisted IP generation
+      "sq8t_codes" -> (() => { Sq8Trained.codedFor(spark, sfDir).count(); () }),
+      "ip_persisted" -> (() => {
+        IpSearch.persistedForEmbeddingsIp(spark, sfDir, 4).postings.count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

@@ -27,6 +27,19 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Trained-SQ8 (QT_8bit) shared oracle fragments: the clamped
+    * floor(r+0.5) code and the decode error vs the query — spelled as
+    * the IDENTICAL binary float ops the engine executes (no round()
+    * dialect seam). Expect tables aliased e (embeddings), m (model),
+    * q (qv) and lambda variable i. */
+  private val sq8tCode: String =
+    "(CASE WHEN m.vd[i] = 0 THEN 0.0 ELSE " +
+      "least(greatest(floor(255.0 * (CAST(e.embedding[i] AS DOUBLE) - m.vm[i]) " +
+      "/ m.vd[i] + 0.5), 0.0), 255.0) END)"
+
+  private val sq8tErr: String =
+    s"(m.vm[i] + ($sq8tCode / 255.0) * m.vd[i] - CAST(q.qe[i] AS DOUBLE))"
+
   /** Shared oracle CTE: 64-bit sign-bit signatures over the embeddings
     * table (bit b = 1 iff embedding[b] > 0; dim is 64 at every oracle
     * scale). Packing mirrors dedup_simhash's: HUGEINT accumulation,
@@ -428,6 +441,11 @@ object SparkEntry {
     // --- fp16 scalar quantizer (FAISS SQ QT_fp16): DuckDB has no
     // binary16, so the registered surface is the contract audit ---
     "knn_f16" -> ((s, d) => IndexAudits.f16Audit(s, d)),
+    // --- trained per-dim 8-bit SQ (FAISS QT_8bit proper): seedless
+    // min/max model, floor(r+0.5) codes, PqAdc LUT search — both
+    // hash-exact (the knn_quantized precedent) ---
+    "sq8t_stats" -> ((s, d) => Sq8Trained.stats(s, d)),
+    "knn_sq8t" -> ((s, d) => Sq8Trained.knn(s, d)),
     // --- cosine-metric IVF (normalize-and-use-L2, the FAISS cosine
     // recipe): unit-trained quantizer, raw vectors scored by
     // cosine_sim, nprobe = nlist ≡ the exact cosine scan bit-for-bit
@@ -1599,6 +1617,45 @@ object SparkEntry {
     "knn_f16" ->
       """SELECT 10 AS n_hits, TRUE AS roundtrip_err_ok,
         |  TRUE AS dists_close_ok, TRUE AS recall_ok""".stripMargin,
+    // trained QT_8bit: the oracle re-derives the per-dim model and
+    // replays the identical floor/decode/square arithmetic
+    "sq8t_stats" ->
+      s"""WITH dims AS (
+         |  SELECT u.i AS i,
+         |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS vmin,
+         |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS vmax
+         |  FROM embeddings e,
+         |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
+         |  GROUP BY u.i),
+         |model AS (SELECT list(vmin ORDER BY i) AS vm,
+         |  list(vmax - vmin ORDER BY i) AS vd FROM dims),
+         |codes AS (
+         |  SELECT e.vec_id,
+         |    list_transform(range(1, len(e.embedding) + 1), i -> ${sq8tCode}) AS c
+         |  FROM embeddings e, model m)
+         |SELECT vec_id, list_sum(list_transform(c, x -> CAST(x AS BIGINT)))::BIGINT AS code_sum,
+         |  CAST(list_min(c) AS BIGINT) AS code_min,
+         |  CAST(list_max(c) AS BIGINT) AS code_max
+         |FROM codes ORDER BY vec_id""".stripMargin,
+    "knn_sq8t" ->
+      s"""WITH dims AS (
+         |  SELECT u.i AS i,
+         |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS vmin,
+         |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS vmax
+         |  FROM embeddings e,
+         |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
+         |  GROUP BY u.i),
+         |model AS (SELECT list(vmin ORDER BY i) AS vm,
+         |  list(vmax - vmin ORDER BY i) AS vd FROM dims),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id AS vec_id,
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+         |      ${sq8tErr} * ${sq8tErr})) AS d
+         |  FROM embeddings e, model m, qv q
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id, d AS dist FROM scored
+         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
     // cosine IVF at nprobe = nlist ≡ the exact cosine scan
     "knn_cosine_ivf" ->
       s"""SELECT vec_id, s AS sim FROM (
