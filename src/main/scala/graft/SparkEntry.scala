@@ -446,6 +446,8 @@ object SparkEntry {
     // hash-exact (the knn_quantized precedent) ---
     "sq8t_stats" -> ((s, d) => Sq8Trained.stats(s, d)),
     "knn_sq8t" -> ((s, d) => Sq8Trained.knn(s, d)),
+    // invlists.imbalance_factor: restated count + invariant bounds
+    "ivf_imbalance" -> ((s, d) => IndexAudits.imbalanceAudit(s, d)),
     // --- cosine-metric IVF (normalize-and-use-L2, the FAISS cosine
     // recipe): unit-trained quantizer, raw vectors scored by
     // cosine_sim, nprobe = nlist ≡ the exact cosine scan bit-for-bit
@@ -1637,6 +1639,10 @@ object SparkEntry {
          |  CAST(list_min(c) AS BIGINT) AS code_min,
          |  CAST(list_max(c) AS BIGINT) AS code_max
          |FROM codes ORDER BY vec_id""".stripMargin,
+    "ivf_imbalance" ->
+      """SELECT count(*) AS n_vectors, 4 AS n_lists,
+        |  TRUE AS imbalance_ge_one_ok, TRUE AS imbalance_le_nlists_ok
+        |FROM embeddings""".stripMargin,
     "knn_sq8t" ->
       s"""WITH dims AS (
          |  SELECT u.i AS i,

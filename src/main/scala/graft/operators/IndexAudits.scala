@@ -192,6 +192,29 @@ object IndexAudits {
     }
   }
 
+  /** FAISS `invlists.imbalance_factor()` (registered `ivf_imbalance`)
+    * — the standard IVF skew diagnostic: nlist·Σsz²/(Σsz)², 1.0 for
+    * perfectly balanced lists, nlist when one list holds everything
+    * (expected search slowdown factor vs balanced). WHICH value a
+    * build lands on is k-means-dependent, so the registered columns
+    * are the restated count plus the two INVARIANT bounds (≥1 by
+    * Cauchy-Schwarz; ≤ n_lists by convexity), with the raw factor
+    * available from this method's `imbalance` column for operators. */
+  def imbalanceAudit(spark: SparkSession, sfDir: String,
+                     nlist: Int = 4): DataFrame = {
+    val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
+    idx.postings.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")).as("n"),
+        sum(col("sz") * col("sz")).as("s2"),
+        count(lit(1)).as("nl"))
+      .select(col("n").as("n_vectors"), col("nl").cast("int").as("n_lists"),
+        ((col("nl") * col("s2")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("imbalance"))
+      .select(col("n_vectors"), col("n_lists"),
+        (col("imbalance") >= 1.0).as("imbalance_ge_one_ok"),
+        (col("imbalance") <= col("n_lists").cast("double")).as("imbalance_le_nlists_ok"))
+  }
+
   /** fp16 scalar-quantizer audit (registered `knn_f16`) — FAISS
     * `ScalarQuantizer(QT_fp16)`. DuckDB has no binary16 type, so the
     * registered surface is the deterministic contract of the coded

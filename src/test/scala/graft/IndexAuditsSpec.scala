@@ -113,4 +113,11 @@ class IndexAuditsSpec extends SparkSpec {
     allFlagsTrue(a)
     assert(a.head.getLong(a.head.fieldIndex("n_hits")) == 10L)
   }
+
+  test("imbalanceAudit: count restated and the invariant bounds hold") {
+    val row = IndexAudits.imbalanceAudit(spark, sfSmall).collect().head
+    assert(row.getLong(0) == Tables.embeddings(spark, sfSmall).count())
+    assert(row.getInt(1) == 4)
+    assert(row.getBoolean(2) && row.getBoolean(3))
+  }
 }
