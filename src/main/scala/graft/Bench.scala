@@ -124,7 +124,20 @@ object Bench {
     "ivf_reconstruct" -> 1.0, "ivf_merge_search" -> 1.0,
     "pii_scrub" -> 1.0,
     "ivf_remove_build" -> 6.0, "ivf_remove_compact_build" -> 7.0,
-    "ivf_merge_build" -> 6.0
+    "ivf_merge_build" -> 6.0,
+    // r13 second wave: measured sf0.1 local[32] probe medians 0.04-1.2 s
+    // (warm: ip_postings 0.23, ip_persisted 0.73, shard_indexes 13.3 —
+    // two full k-means trains, cosine_index 3.0, sq8t_codes 1.5);
+    // uppers leave the usual noise headroom
+    "knn_ip" -> 1.0, "knn_ip_ivf" -> 1.0, "knn_ip_persisted" -> 1.0,
+    "ip_search_pruned" -> 1.5, "knn_cosine_ivf" -> 1.0,
+    "factory_search" -> 1.0, "factory_parse" -> 0.5,
+    "autotune_nprobe" -> 3.0, "sharded_search" -> 1.0,
+    "search_reconstruct" -> 1.0, "boilerplate_scrub" -> 2.0,
+    "knn_f16" -> 2.0, "sq8t_stats" -> 1.0, "knn_sq8t" -> 1.0,
+    "ivf_imbalance" -> 0.5,
+    "ip_postings" -> 1.5, "ip_persisted" -> 2.0, "shard_indexes" -> 16.0,
+    "cosine_index" -> 4.5, "sq8t_codes" -> 3.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
