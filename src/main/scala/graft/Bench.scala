@@ -141,7 +141,7 @@ object Bench {
     "knn_f16" -> 2.0, "sq8t_stats" -> 1.0, "knn_sq8t" -> 1.0,
     "ivf_imbalance" -> 0.5,
     "ip_postings" -> 1.5, "ip_persisted" -> 2.0, "shard_indexes" -> 16.0,
-    "cosine_index" -> 4.5, "sq8t_codes" -> 3.0
+    "cosine_index" -> 4.5, "sq8t_codes" -> 3.0, "range_search_batch" -> 2.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000

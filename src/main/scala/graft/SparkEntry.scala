@@ -410,6 +410,10 @@ object SparkEntry {
     // distances, subset-of-exact, exhaustive-within-probed, recall
     // floor); raw hits via IvfIndex.rangeSearch
     "range_search_pruned" -> ((s, d) => IndexAudits.rangeSearchPrunedAudit(s, d)),
+    // batched range search (FAISS range_search over nq queries → the
+    // lims/CSR result as a long frame); broadcast query batch, corpus
+    // never shuffles
+    "range_search_batch" -> ((s, d) => VectorSearchOps.rangeSearchBatch(s, d)),
     // --- METRIC_INNER_PRODUCT (MIPS; FAISS IndexFlatIP / IVFFlat-IP) ---
     // exact top-k by dot product descending, (ip DESC, id ASC) tiebreak
     "knn_ip" -> ((s, d) => IpSearch.knnExactIp(s, d)),
@@ -1592,6 +1596,15 @@ object SparkEntry {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
          |WHERE d < 1.6""".stripMargin,
+    // batched range search: all sampled queries' ε balls in one frame
+    "range_search_batch" ->
+      s"""SELECT src_id, dst_id, d AS dist FROM (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |    ${sqlL2sq("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id) t
+         |WHERE d < 1.6
+         |ORDER BY src_id ASC, d ASC, dst_id ASC""".stripMargin,
     // MIPS (METRIC_INNER_PRODUCT): exact top-k by dot DESC; the IVF
     // form at nprobe = nlist scans every list and equals it exactly
     "knn_ip" ->

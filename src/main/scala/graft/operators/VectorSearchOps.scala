@@ -76,6 +76,30 @@ object VectorSearchOps {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Batched ε range search — FAISS `range_search` over a BATCH of
+    * queries (`xq` with nq rows; FAISS returns a lims/CSR result, here
+    * a long frame `(src_id, dst_id, dist)`). The query batch rides in
+    * as a broadcast (a search batch is bounded by construction — the
+    * registered fixture samples vec_id ≡ 0 mod `sampleMod`); the
+    * corpus side is one narrow scan + filter, never shuffled, so the
+    * plan is nq-ways-parallel with no exchange. A corpus×corpus ε
+    * join is NOT this API — that is the similarity-join family with
+    * its bucketed LSH/IVF scale paths. Strict `<`, self excluded,
+    * deterministic `(src, dist, dst)` order. */
+  def rangeSearchBatch(spark: SparkSession, sfDir: String,
+                       eps: Double = 1.6, sampleMod: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+    emb.select(col("vec_id").as("dst_id"), col("embedding").as("dst_emb"))
+      .join(broadcast(qs))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("dist", l2sq(col("src_emb"), col("dst_emb")))
+      .filter(col("dist") < eps)
+      .select(col("src_id"), col("dst_id"), col("dist"))
+      .orderBy(col("src_id").asc, col("dist").asc, col("dst_id").asc)
+  }
+
   /** Filtered exact kNN — the brute-force twin of FAISS's
     * `SearchParameters(sel=IDSelector)` search (see
     * [[IvfIndex.searchFiltered]]): top-k nearest to `queryId` among

@@ -71,4 +71,18 @@ class RangeSearchSpec extends SparkSpec {
     assert(row.getLong(1) == exactOracle.size) // n_exact
     Seq(2, 3, 4, 5).foreach(i => assert(row.getBoolean(i), s"flag $i"))
   }
+
+  test("batched range search equals the per-query exact range search for every sampled query") {
+    val batch = VectorSearchOps.rangeSearchBatch(spark, sfSmall, Eps, sampleMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(t => (t._2, t._3)).toSeq }
+    val sampled = corpus.filter(_._1 % 50 == 0)
+    assert(batch.keySet == sampled.map(_._1).filter(id =>
+      batch.contains(id)).toSet) // queries with empty balls simply absent
+    sampled.foreach { case (qid, _) =>
+      val single = VectorSearchOps.rangeSearch(spark, sfSmall, qid, Eps)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"query $qid batch/single drift")
+    }
+  }
 }
