@@ -451,7 +451,10 @@ object SparkEntry {
     "sq8t_stats" -> ((s, d) => Sq8Trained.stats(s, d)),
     "knn_sq8t" -> ((s, d) => Sq8Trained.knn(s, d)),
     // invlists.imbalance_factor: restated count + invariant bounds
-    "ivf_imbalance" -> ((s, d) => IndexAudits.imbalanceAudit(s, d)),
+    // all_lists_nonempty is k-means-dependent (informational) — the
+    // oracle pins only the configured nlist and the two invariants
+    "ivf_imbalance" -> ((s, d) => IndexAudits.imbalanceAudit(s, d)
+      .drop("all_lists_nonempty")),
     // --- cosine-metric IVF (normalize-and-use-L2, the FAISS cosine
     // recipe): unit-trained quantizer, raw vectors scored by
     // cosine_sim, nprobe = nlist ≡ the exact cosine scan bit-for-bit
@@ -2481,11 +2484,14 @@ object SparkEntry {
         |dfc AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
         |kept AS (SELECT l.doc_id, l.pos, l.line
         |  FROM lines l JOIN dfc USING (line) WHERE df < 5),
-        |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
-        |SELECT k.doc_id, nl.n_lines, count(*) AS n_kept,
-        |  string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text
-        |FROM kept k JOIN nl USING (doc_id)
-        |GROUP BY k.doc_id, nl.n_lines
+        |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT nl.doc_id, nl.n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM nl LEFT JOIN ka USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH $sqlCorpusToks

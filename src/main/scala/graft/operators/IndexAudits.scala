@@ -199,7 +199,14 @@ object IndexAudits {
     * build lands on is k-means-dependent, so the registered columns
     * are the restated count plus the two INVARIANT bounds (≥1 by
     * Cauchy-Schwarz; ≤ n_lists by convexity), with the raw factor
-    * available from this method's `imbalance` column for operators. */
+    * available from this method's `imbalance` column for operators.
+    * `n_lists` is the CONFIGURED nlist (the oracle's literal), not the
+    * observed distinct-list count — a k-means run that leaves a list
+    * empty must not flip the gate; that event is surfaced separately
+    * as `all_lists_nonempty` (informational, k-means-dependent, so
+    * the registered query DROPS it rather than oracle-pin it). The
+    * imbalance factor itself uses the configured nlist, matching
+    * FAISS's invlists denominator (empty lists count as size 0). */
   def imbalanceAudit(spark: SparkSession, sfDir: String,
                      nlist: Int = 4): DataFrame = {
     val idx = IvfIndex.forEmbeddings(spark, sfDir, nlist)
@@ -207,10 +214,11 @@ object IndexAudits {
       .agg(sum(col("sz")).as("n"),
         sum(col("sz") * col("sz")).as("s2"),
         count(lit(1)).as("nl"))
-      .select(col("n").as("n_vectors"), col("nl").cast("int").as("n_lists"),
-        ((col("nl") * col("s2")).cast("double") /
+      .select(col("n").as("n_vectors"), lit(nlist).as("n_lists"),
+        (col("nl") === nlist).as("all_lists_nonempty"),
+        ((lit(nlist) * col("s2")).cast("double") /
           (col("n") * col("n")).cast("double")).as("imbalance"))
-      .select(col("n_vectors"), col("n_lists"),
+      .select(col("n_vectors"), col("n_lists"), col("all_lists_nonempty"),
         (col("imbalance") >= 1.0).as("imbalance_ge_one_ok"),
         (col("imbalance") <= col("n_lists").cast("double")).as("imbalance_le_nlists_ok"))
   }
@@ -224,27 +232,42 @@ object IndexAudits {
     *    code is within the binary16 RNE bound of its original:
     *    |dq(q(x)) − x| ≤ max(2^-10·|x|, 2^-24) (theoretical relative
     *    bound 2^-11 for normals; 2× margin, absolute floor covers the
-    *    subnormal range);
+    *    subnormal range). PRECONDITION: the bound is only meaningful
+    *    for finite components inside the binary16 range — a component
+    *    with |x| > 65504 saturates to ±Inf and a NaN roundtrips to
+    *    NaN, so both are excluded from the bound check (the quantizer
+    *    behaves as specified on them; the audit would otherwise go
+    *    permanently red on any out-of-range embedding);
     *  - `dists_close_ok` — every returned coded distance is within 1%
     *    relative (+1e-9 absolute) of the exact distance on the
     *    original floats;
     *  - `recall_ok` — overlap with the exact top-k clears the floor
     *    (measured 10/10 at both gate scales — half precision barely
     *    perturbs the ranking; floor 8 = margin for tie flips). */
+  /** Per-vector count of components that violate the binary16 RNE
+    * roundtrip bound (see [[f16Audit]]'s contract). Components outside
+    * the binary16 finite range (|x| > 65504) and NaN are EXCLUDED —
+    * saturation to ±Inf / NaN passthrough is the quantizer's specified
+    * behavior there, not a roundtrip error. */
+  def f16RoundtripBad(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.{dequantize_f16, quantize_f16}
+    aggregate(
+      zip_with(vec, dequantize_f16(quantize_f16(vec)),
+        (x, d) => when(isnan(x) || abs(x.cast("double")) > lit(65504.0),
+          lit(0)) // outside binary16 finite range: saturation/NaN is the contract
+          .when(abs(d.cast("double") - x.cast("double")) <=
+            greatest(abs(x.cast("double")) * lit(math.pow(2, -10)),
+              lit(math.pow(2, -24))), lit(0)).otherwise(lit(1))),
+      lit(0), (acc, v) => acc + v)
+  }
+
   def f16Audit(spark: SparkSession, sfDir: String,
                k: Int = 10, minHits: Int = 8): DataFrame = {
     import graft.functions.{dequantize_f16, quantize_f16}
     val emb = embeddings(spark, sfDir)
     val q = queryVec(spark, sfDir, 0L)
     val res = Quantization.knnF16(spark, sfDir, 0L, k) // (vec_id, dist)
-    val rtBad = emb.select(
-        aggregate(
-          zip_with(col("embedding"),
-            dequantize_f16(quantize_f16(col("embedding"))),
-            (x, d) => when(abs(d.cast("double") - x.cast("double")) <=
-              greatest(abs(x.cast("double")) * lit(math.pow(2, -10)),
-                lit(math.pow(2, -24))), lit(0)).otherwise(lit(1))),
-          lit(0), (acc, v) => acc + v).as("bad"))
+    val rtBad = emb.select(f16RoundtripBad(col("embedding")).as("bad"))
       .agg(sum(col("bad")).as("n_bad"))
     val dclose = res
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * Engine mapping (declared deviations in [brackets]):
   *  - `Flat`            → exact scan ([[VectorSearchOps.knnExactL2]])
   *  - `IVF{n},Flat`     → [[IvfIndex]]
-  *  - `PQ{m}[x{b}]`     → [[Pq.searchPq]] [engine codebook default is
-  *                        16 centers = PQ{m}x4; `x8` trains 256]
+  *  - `PQ{m}[x{b}]`     → [[Pq.searchPq]] [bare `PQ{m}` means nbits=8
+  *                        (256 centers), matching FAISS
+  *                        index_factory's default; `x4` is the
+  *                        explicit 16-center opt-in]
   *  - `IVF{n},PQ{m}`    → [[Pq.ivfSearchPq]] (residual encoding, as
   *                        FAISS IndexIVFPQ)
   *  - `PCA{d},IVF{n},PQ{m}` → [[ChainedIndex]] [the engine's PCA
@@ -93,9 +95,13 @@ object IndexFactory {
         case "SQ8"       => Sq8
         case "LSH"       => Lsh
         case PqRe(m, b)  =>
-          val nbits = Option(b).map(_.toInt).getOrElse(4)
+          // FAISS's index_factory default for bare PQ{m} is nbits=8
+          // (256-center codebooks); x4 is the explicit coarse opt-in.
+          val nbits = Option(b).map(_.toInt).getOrElse(8)
           require(nbits == 4 || nbits == 8,
             s"index_factory: PQ nbits must be 4 or 8, got $nbits in '$s'")
+          require(m.toInt > 0,
+            s"index_factory: PQ m must be positive in '$s'")
           PqEnc(m.toInt, nbits)
         case other =>
           throw new IllegalArgumentException(

@@ -418,13 +418,18 @@ object TextAnalytics {
       .select(col("line"))
     val kept = lines.join(boiler, Seq("line"), "left_anti")
     val nl = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
-    kept.groupBy(col("doc_id"))
+    val keptAgg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line")), "\n").as("clean_text"))
-      .join(nl, Seq("doc_id"))
-      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+    // Left-join from the per-doc line counts so a document whose EVERY
+    // line is boilerplate still surfaces as (n_kept = 0, clean_text = '')
+    // instead of vanishing from the datacard view.
+    nl.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id").asc)
   }
 

@@ -73,6 +73,21 @@ class F16Spec extends SparkSpec {
     assert(overlap >= 8, s"fp16 recall only $overlap/10")
   }
 
+  test("f16RoundtripBad excludes out-of-range and NaN components (finite-range precondition)") {
+    import spark.implicits._
+    // 1e6f saturates to +Inf, -1e9f to -Inf, NaN roundtrips to NaN —
+    // all specified behavior, none may count as a roundtrip error;
+    // the genuinely-representable components must still be checked.
+    val df = Seq(
+      (0L, Array(1.0f, 1e6f, Float.NaN, -1e9f, 65504.0f)),
+      (1L, Array(0.25f, -3.5f)))
+      .toDF("vec_id", "embedding")
+    val bad = df.select(col("vec_id"),
+        IndexAudits.f16RoundtripBad(col("embedding")).as("bad"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bad == Map(0L -> 0, 1L -> 0))
+  }
+
   test("f16Audit flags are green at test scale") {
     val row = IndexAudits.f16Audit(spark, sfSmall).collect().head
     assert(row.getLong(0) == 10L)

@@ -114,10 +114,25 @@ class IndexAuditsSpec extends SparkSpec {
     assert(a.head.getLong(a.head.fieldIndex("n_hits")) == 10L)
   }
 
-  test("imbalanceAudit: count restated and the invariant bounds hold") {
+  test("imbalanceAudit: count restated, configured nlist reported, invariant bounds hold") {
     val row = IndexAudits.imbalanceAudit(spark, sfSmall).collect().head
     assert(row.getLong(0) == Tables.embeddings(spark, sfSmall).count())
+    // n_lists is the CONFIGURED nlist, not the observed distinct count —
+    // an empty list must not change the reported value (it flips the
+    // informational all_lists_nonempty flag instead)
     assert(row.getInt(1) == 4)
-    assert(row.getBoolean(2) && row.getBoolean(3))
+    assert(row.getBoolean(3) && row.getBoolean(4))
+  }
+
+  test("imbalanceAudit: n_lists stays the configured value even when lists outnumber points") {
+    // nlist=600 over the 500-vector table: at least 100 lists MUST be
+    // empty, so the observed distinct count is below the configured
+    // one — the audit must still report 600 and flag
+    // all_lists_nonempty = false, and both invariant bounds must hold
+    // with the configured denominator (empty lists count as size 0).
+    val row = IndexAudits.imbalanceAudit(spark, sfSmall, nlist = 600).collect().head
+    assert(row.getInt(1) == 600)
+    assert(!row.getBoolean(2), "500 points cannot fill 600 lists")
+    assert(row.getBoolean(3) && row.getBoolean(4))
   }
 }

@@ -15,13 +15,14 @@ class IndexFactorySpec extends SparkSpec {
   test("parse covers the supported grammar") {
     assert(parse("Flat") == Plan(false, None, None, Flat))
     assert(parse("IVF256,Flat") == Plan(false, None, Some(Ivf(256)), Flat))
-    assert(parse("PQ8") == Plan(false, None, None, PqEnc(8, 4)))
+    assert(parse("PQ8") == Plan(false, None, None, PqEnc(8, 8)))  // FAISS default nbits=8
+    assert(parse("PQ8x4") == Plan(false, None, None, PqEnc(8, 4)))
     assert(parse("PQ8x8") == Plan(false, None, None, PqEnc(8, 8)))
-    assert(parse("IVF64,PQ8") == Plan(false, None, Some(Ivf(64)), PqEnc(8, 4)))
+    assert(parse("IVF64,PQ8") == Plan(false, None, Some(Ivf(64)), PqEnc(8, 8)))
     assert(parse("PCA24,IVF4,PQ8") ==
-      Plan(false, Some(PcaPre(24)), Some(Ivf(4)), PqEnc(8, 4)))
+      Plan(false, Some(PcaPre(24)), Some(Ivf(4)), PqEnc(8, 8)))
     assert(parse("OPQ8,IVF64,PQ8") ==
-      Plan(false, Some(OpqPre(8)), Some(Ivf(64)), PqEnc(8, 4)))
+      Plan(false, Some(OpqPre(8)), Some(Ivf(64)), PqEnc(8, 8)))
     assert(parse("SQ8") == Plan(false, None, None, Sq8))
     assert(parse("LSH") == Plan(false, None, None, Lsh))
     assert(parse("IDMap,IVF16,Flat") == Plan(true, None, Some(Ivf(16)), Flat))
@@ -37,6 +38,8 @@ class IndexFactorySpec extends SparkSpec {
     assert(e3.getMessage.contains("missing encoding"))
     val e4 = intercept[IllegalArgumentException](parse("PQ8x3"))
     assert(e4.getMessage.contains("nbits"))
+    val e5 = intercept[IllegalArgumentException](parse("PQ0"))
+    assert(e5.getMessage.contains("PQ m must be positive"))
     intercept[IllegalArgumentException](parse("IVF4,,Flat"))
   }
 

@@ -223,6 +223,23 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, "only body three")))
   }
 
+  test("scrubBoilerplate: a doc that is ALL boilerplate survives as (n_kept=0, clean_text='')") {
+    import spark.implicits._
+    // doc 3 is nothing but the df>=3 footer — it must still appear in
+    // the datacard view with zero kept lines, not vanish from the output
+    val corpus = Seq(
+      (0L, "FOOTER\nbody zero"),
+      (1L, "body one\nFOOTER"),
+      (2L, "FOOTER\nbody two"),
+      (3L, "FOOTER"))
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.scrubBoilerplate(corpus, minDf = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(3L) == ((1L, 0L, "")))
+    assert(got(0L) == ((2L, 1L, "body zero")))
+  }
+
   test("boilerplate_scrub registered form: headers/footers removed, body kept, promo df computed") {
     val rows = TextAnalytics.boilerplateLines(spark, sfSmall).collect()
     val docs = Tables.documents(spark, sfSmall)
