@@ -17,3339 +17,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** DuckDB squared-L2 over two float-list columns (computed in double,
-    * sequential accumulation — bitwise-matches the engine's kernel). */
-  private def sqlL2sq(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
-      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+  /** Per-family registry slices, composed in SURVEY §2 order. Keys
+    * are globally unique across slices ([[graft.RegistrySpec]] pins
+    * this — `++` would otherwise mask a collision silently). */
+  private def slices = Seq(
+    registry.RelationalRegistry.queries   -> registry.RelationalRegistry.oracles,
+    registry.VectorIndexRegistry.queries  -> registry.VectorIndexRegistry.oracles,
+    registry.IngestRegistry.queries       -> registry.IngestRegistry.oracles,
+    registry.TextRegistry.queries         -> registry.TextRegistry.oracles,
+    registry.DedupRegistry.queries        -> registry.DedupRegistry.oracles,
+    registry.StreamingRegistry.queries    -> registry.StreamingRegistry.oracles)
 
-  private def sqlDot(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
-      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
-  /** Trained-SQ8 (QT_8bit) shared oracle fragments: the clamped
-    * floor(r+0.5) code and the decode error vs the query — spelled as
-    * the IDENTICAL binary float ops the engine executes (no round()
-    * dialect seam). Expect tables aliased e (embeddings), m (model),
-    * q (qv) and lambda variable i. */
-  private val sq8tCode: String =
-    "(CASE WHEN m.vd[i] = 0 THEN 0.0 ELSE " +
-      "least(greatest(floor(255.0 * (CAST(e.embedding[i] AS DOUBLE) - m.vm[i]) " +
-      "/ m.vd[i] + 0.5), 0.0), 255.0) END)"
-
-  private val sq8tErr: String =
-    s"(m.vm[i] + ($sq8tCode / 255.0) * m.vd[i] - CAST(q.qe[i] AS DOUBLE))"
-
-  /** Shared oracle CTE: 64-bit sign-bit signatures over the embeddings
-    * table (bit b = 1 iff embedding[b] > 0; dim is 64 at every oracle
-    * scale). Packing mirrors dedup_simhash's: HUGEINT accumulation,
-    * then two's-complement conversion to a signed BIGINT so
-    * bit_count(xor(...)) runs on the same 64-bit lanes as the engine. */
-  private val sqlBinarySig: String =
-    """usig AS (
-      |  SELECT vec_id,
-      |    list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64), b ->
-      |      CASE WHEN embedding[b+1] > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)),
-      |      (a, x) -> a + x) AS u
-      |  FROM embeddings),
-      |bsig AS (
-      |  SELECT vec_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-      |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS sig
-      |  FROM usig)""".stripMargin
-
-  /** Shared oracle CTE: the tokenized corpus — mirrors
-    * Ingest.corpusFromDocuments + TextAnalytics.tokens exactly. */
-  private val sqlCorpusToks: String =
-    """corpus AS (
-      |  SELECT doc_id AS id, trim(text) AS sentence,
-      |    list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
-      |                t -> length(t) > 0) AS toks
-      |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
-
-  /** Shared oracle CTE chain for MinHash: shingles + salted-md5
-    * signatures — mirrors Dedup.minhashSignatures exactly (md5 is the
-    * hash on both sides by construction). */
-  private val sqlMinhashSig: String =
-    sqlCorpusToks + """,
-      |tokenized AS (SELECT * FROM corpus WHERE len(toks) > 0),
-      |sh AS (
-      |  SELECT id, toks,
-      |    CASE WHEN len(toks) >= 3
-      |      THEN list_transform(range(1, len(toks) - 1),
-      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      |      ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END AS shingles
-      |  FROM tokenized),
-      |sig AS (
-      |  SELECT id, toks,
-      |    list_transform(range(0, 8),
-      |      h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || ' ' || s)))) AS sig
-      |  FROM sh)""".stripMargin
-
-  /** Unrolled exact-integer PageRank iteration CTEs for the
-    * pagerank_docs oracle: rN from rN-1 via one join + one integer
-    * sum, damping as the overflow-safe split (s//100)*85 +
-    * ((s%100)*85)//100 — mirrors GraphRank term-for-term. */
-  private def sqlPagerankIters(n: Int): String =
-    (1 to n).map { i =>
-      s"""c$i AS (
-         |  SELECT ed.dst AS id, SUM(r.rank // ed.deg) AS s
-         |  FROM r${i - 1} r JOIN ed ON r.id = ed.src GROUP BY ed.dst),
-         |r$i AS (
-         |  SELECT n.id, CAST(150000000000 + COALESCE(
-         |      (c.s // 100) * 85 + ((c.s % 100) * 85) // 100, 0) AS BIGINT) AS rank
-         |  FROM nodes n LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
-    }.mkString(",\n")
-
-  /** Shared oracle CTE chain for the stupid-backoff LM: exact
-    * uni/bi/trigram count tables over the tokenized corpus — mirrors
-    * NgramLm.train (space-joined keys, collision-free over [a-z0-9]+
-    * tokens). */
-  private val sqlLmCounts: String =
-    sqlCorpusToks + """,
-      |docs AS (SELECT id, toks FROM corpus WHERE len(toks) > 0),
-      |uni AS (
-      |  SELECT w, count(*)::BIGINT AS c1
-      |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
-      |tot AS (SELECT sum(c1)::BIGINT AS n_total FROM uni),
-      |bi AS (
-      |  SELECT k, count(*)::BIGINT AS c2
-      |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
-      |                i -> toks[i] || ' ' || toks[i+1])) AS k
-      |        FROM docs WHERE len(toks) >= 2) GROUP BY k),
-      |tri AS (
-      |  SELECT k, count(*)::BIGINT AS c3
-      |  FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
-      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS k
-      |        FROM docs WHERE len(toks) >= 3) GROUP BY k)""".stripMargin
-
-  /** sqlLmCounts + per-token stupid-backoff scoring (`sc`: one rounded
-    * DECIMAL log10 score per token position) — mirrors NgramLm.score's
-    * longest-available-context branch selection and α factors. */
-  private val sqlLmScored: String =
-    sqlLmCounts + """,
-      |pos AS (
-      |  SELECT id, i, toks[i] AS w,
-      |    CASE WHEN i >= 2 THEN toks[i-1] END AS u,
-      |    CASE WHEN i >= 3 THEN toks[i-2] END AS v
-      |  FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS i FROM docs)),
-      |keyed AS (
-      |  SELECT id, w, u, v,
-      |    CASE WHEN v IS NOT NULL THEN v || ' ' || u || ' ' || w END AS k3,
-      |    CASE WHEN v IS NOT NULL THEN v || ' ' || u END AS kc2,
-      |    CASE WHEN u IS NOT NULL THEN u || ' ' || w END AS k2
-      |  FROM pos),
-      |sc AS (
-      |  SELECT kd.id,
-      |    CAST(round(log10(CASE
-      |      WHEN kd.v IS NOT NULL AND t3.c3 IS NOT NULL
-      |        THEN t3.c3::DOUBLE / bc.c2::DOUBLE
-      |      WHEN kd.u IS NOT NULL AND b2.c2 IS NOT NULL
-      |        THEN (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
-      |             * b2.c2::DOUBLE / uc.c1::DOUBLE
-      |      ELSE (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
-      |                 WHEN kd.u IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
-      |           * uw.c1::DOUBLE / tot.n_total::DOUBLE END), 6) AS DECIMAL(18,6)) AS lp
-      |  FROM keyed kd
-      |  LEFT JOIN tri t3 ON kd.k3 = t3.k
-      |  LEFT JOIN bi bc ON kd.kc2 = bc.k
-      |  LEFT JOIN bi b2 ON kd.k2 = b2.k
-      |  LEFT JOIN uni uc ON kd.u = uc.w
-      |  LEFT JOIN uni uw ON kd.w = uw.w
-      |  CROSS JOIN tot)""".stripMargin
-
-  /** BM25 oracle, shared by the ad-hoc and persisted-index queries
-    * (identical ranking by construction). Every floating-point step
-    * mirrors the Spark expression tree op-for-op — decimal literals
-    * forced to DOUBLE so DuckDB doesn't fall into decimal arithmetic;
-    * the per-term pivot fixes the score summation order; round(6)
-    * absorbs ln() ulps. */
-  private val sqlBm25: String =
-    s"""WITH $sqlCorpusToks,
-       |docs AS (SELECT id, toks, len(toks)::BIGINT AS dl FROM corpus),
-       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
-       |tf AS (
-       |  SELECT id, dl, term, count(*)::BIGINT AS tf
-       |  FROM (SELECT id, dl, unnest(toks) AS term FROM docs)
-       |  WHERE term IN ('hash', 'join', 'window')
-       |  GROUP BY id, dl, term),
-       |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
-       |contrib AS (
-       |  SELECT tf.id, tf.term,
-       |    (ln(((s.n_docs - d.df)::DOUBLE + 0.5::DOUBLE) / (d.df::DOUBLE + 0.5::DOUBLE)
-       |        + 1.0::DOUBLE)
-       |     * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
-       |    / (tf.tf::DOUBLE + 1.2::DOUBLE *
-       |       (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * tf.dl::DOUBLE / s.avgdl)) AS c
-       |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s),
-       |pv AS (
-       |  SELECT id,
-       |    max(CASE WHEN term = 'hash' THEN c END) AS c1,
-       |    max(CASE WHEN term = 'join' THEN c END) AS c2,
-       |    max(CASE WHEN term = 'window' THEN c END) AS c3
-       |  FROM contrib GROUP BY id)
-       |SELECT id,
-       |  round(coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE)
-       |        + coalesce(c3, 0.0::DOUBLE), 6) AS score
-       |FROM pv ORDER BY score DESC, id LIMIT 10""".stripMargin
-
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- relational coverage (SURVEY §2.2-2.8) ---
-    "pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(s, d)),
-    "filter_project" -> ((s, d) => RelationalOps.filterProject(s, d)),
-    "revenue_by_nation" -> ((s, d) => RelationalOps.revenueByNation(s, d)),
-    "semi_join" -> ((s, d) => RelationalOps.semiJoin(s, d)),
-    "anti_join" -> ((s, d) => RelationalOps.antiJoin(s, d)),
-    "window_topn" -> ((s, d) => RelationalOps.windowTopN(s, d)),
-    "window_running" -> ((s, d) => RelationalOps.windowRunning(s, d)),
-    "global_topk" -> ((s, d) => RelationalOps.globalTopK(s, d)),
-    "distinct_flags" -> ((s, d) => RelationalOps.distinctFlags(s, d)),
-    "set_ops" -> ((s, d) => RelationalOps.setOps(s, d)),
-    "rollup_customers" -> ((s, d) => RelationalOps.rollupCustomers(s, d)),
-    "json_extract" -> ((s, d) => RelationalOps.jsonExtract(s, d)),
-    "events_hourly" -> ((s, d) => RelationalOps.eventsHourly(s, d)),
-    "user_sessions" -> ((s, d) => RelationalOps.userSessions(s, d)),
-    "asof_join" -> ((s, d) => RelationalOps.asofJoin(s, d)),
-    "interval_join" -> ((s, d) => RelationalOps.intervalJoinCounts(s, d)),
-    "events_rolling" -> ((s, d) => RelationalOps.eventsRolling(s, d)),
-    "events_hourly_dense" -> ((s, d) => RelationalOps.eventsHourlyDense(s, d)),
-    "events_hopping" -> ((s, d) => RelationalOps.eventsHopping(s, d)),
-    "grouping_sets_docs" -> ((s, d) => RelationalOps.docsGroupingSets(s, d)),
-    "user_conversion" -> ((s, d) => RelationalOps.userConversion(s, d)),
-    // weekly retention matrix: cohort = ISO week of first activity,
-    // counted per active-week offset — all partial-aggregable shuffles
-    "retention_cohorts" -> ((s, d) => RelationalOps.retentionCohorts(s, d)),
-    "cube_events" -> ((s, d) => RelationalOps.cubeEvents(s, d)),
-    // cube over a NULLABLE dimension: grouping_id() disambiguates the
-    // NULL group from the aggregated-out marker
-    "cube_events_gid" -> ((s, d) => RelationalOps.cubeEventsGid(s, d)),
-    // TPC-H Q21 shape: semi + anti self-join on lineitem, equi-keyed
-    "late_sole_suppliers" -> ((s, d) => RelationalOps.lateSoleSuppliers(s, d)),
-    // zero-Exchange co-located join over bucketed tables (plan-asserted
-    // in BucketedQuerySpec)
-    "bucketed_customer_orders" -> ((s, d) => RelationalOps.bucketedCustomerOrders(s, d)),
-    // salted join over a 90%-hot derived key (plan-asserted in
-    // ScaleToolsSpec; the oracle states the join unsalted)
-    "salted_events_join" -> ((s, d) => SkewTools.saltedEventsJoin(s, d)),
-    "correlation_stats" -> ((s, d) => RelationalOps.correlationStats(s, d)),
-    "value_deciles" -> ((s, d) => RelationalOps.valueDeciles(s, d)),
-    "min_cost_supplier" -> ((s, d) => RelationalOps.minCostSupplier(s, d)),
-    "shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
-    "late_priority_orders" -> ((s, d) => RelationalOps.latePriorityOrders(s, d)),
-    "promo_revenue" -> ((s, d) => RelationalOps.promoRevenue(s, d)),
-    "small_qty_revenue" -> ((s, d) => RelationalOps.smallQtyRevenue(s, d)),
-    "big_orders" -> ((s, d) => RelationalOps.bigOrders(s, d)),
-    "value_ranks" -> ((s, d) => RelationalOps.valueRanks(s, d)),
-    "events_pivot" -> ((s, d) => RelationalOps.eventsPivot(s, d)),
-    "value_percentiles" -> ((s, d) => RelationalOps.valuePercentiles(s, d)),
-    // sketch twin: mergeable GK sketches. The estimates are engine-
-    // specific, but GK's rank guarantee is deterministic, so the
-    // registered projection keeps the exact columns plus the
-    // self-audited per-quantile bound flags the oracle states TRUE
-    // (vocab_cms pattern); the raw estimates stay in the operator frame
-    "value_percentiles_approx" -> ((s, d) =>
-      RelationalOps.valuePercentilesApprox(s, d)
-        .select("event_type", "n", "gk_ok_p50", "gk_ok_p90", "gk_ok_p99")),
-    // --- vector search, exact mode (SURVEY §2.3 J1/J4, §2.6 T1, F5) ---
-    "knn_exact_l2" -> ((s, d) => VectorSearchOps.knnExactL2(s, d)),
-    "knn_exact_cosine" -> ((s, d) => VectorSearchOps.knnExactCosine(s, d)),
-    "knn_batch_exact" -> ((s, d) => VectorSearchOps.knnBatchExact(s, d)),
-    "label_centroids" -> ((s, d) => VectorOps.centroidsByLabel(s, d)),
-    // embedding-space anomaly detection: top-k farthest-from-centroid
-    // per label (decimal-sum centroids + the l2sq sequential fold)
-    "centroid_outliers" -> ((s, d) => VectorOps.centroidOutliers(s, d)),
-    "hard_negatives" -> ((s, d) => VectorSearchOps.hardNegatives(s, d)),
-    // corpus-wide LSH-bucketed mining: registered surface is the
-    // self-audit (cross-label/cosine/rank invariants + the measured
-    // recall floor vs the exact mode, stated literal TRUE by the
-    // oracle — the vocab_cms pattern); raw pairs via
-    // VectorSearchOps.hardNegativesLsh
-    "hard_negatives_lsh" -> ((s, d) => IndexAudits.hardNegativesLshAudit(s, d)),
-    "similarity_join_exact" -> ((s, d) => VectorSearchOps.similarityJoinExact(s, d)),
-    "similarity_join_stats" -> ((s, d) => VectorSearchOps.similarityJoinStats(s, d)),
-    // --- ingest + embed (SURVEY §2.1 S1/S2/S6, §2.8 F6, §2.2 P1) ---
-    // int8 quantization: oracled integer audit + approximate search
-    // twin (recall-tested, not SQL-expressible)
-    "quantize_stats" -> ((s, d) => Quantization.quantizeStats(s, d)),
-    "knn_quantized" -> ((s, d) => Quantization.knnQuantized(s, d)),
-    "ivf_search_quantized" -> ((s, d) => IndexAudits.ivfQuantAudit(s, d)),
-    // binary (1-bit) quantization: sign-bit signatures + Hamming scan
-    // (FAISS IndexBinaryFlat) and its exact-L2 refine — seedless, so
-    // both are hash-exact oracled (DuckDB re-derives the identical
-    // signatures; the knnQuantized precedent)
-    "knn_binary" -> ((s, d) => Quantization.knnBinary(s, d)),
-    "knn_binary_rerank" -> ((s, d) => Quantization.knnBinaryRerank(s, d)),
-    // IVF-binary (IndexBinaryIVF shape): list membership is k-means-
-    // dependent, so the registered surface is the deterministic
-    // self-audit (probed-membership/bounds/recall flags) — the
-    // ivf_search_quantized pattern; raw rows via ivfSearchBinary
-    "ivf_search_binary" -> ((s, d) => IndexAudits.ivfBinaryAudit(s, d)),
-    // product quantization (IVF-PQ shape): codebooks are learned, so
-    // the raw outputs are engine-specific — each registered surface is
-    // the deterministic self-audit (mass/range invariants, exact-
-    // recompute refine distances, persisted ≡ memory equality, measured
-    // recall floors stated literal TRUE); raw search paths stay on
-    // Pq.searchPq / ivfSearchPq / persistedSearchPq / pqStats
-    // PCA pre-transform (FAISS PCAMatrix / IndexPreTransform): the
-    // covariance means/variances are order-proof decimal sums (hash-
-    // exact oracle); the eigensolve is engine-side, so its invariants
-    // ride as replayable flags, and the search path registers the
-    // deterministic self-audit (exact-recompute re-rank distances +
-    // measured recall floor)
-    "pca_stats" -> ((s, d) => Pca.pcaStats(s, d)),
-    "knn_pca_rerank" -> ((s, d) => IndexAudits.pcaRerankAudit(s, d)),
-    // additive moment log: wave appends + retrain-from-log ≡ one-pass
-    "pca_persisted" -> ((s, d) => IndexAudits.pcaPersistedAudit(s, d)),
-    // MMR diversity re-rank: every number is a fixed-order double
-    // computation over the exact-cosine shortlist, so the DuckDB
-    // oracle replays the whole greedy as a recursive CTE — hash-exact
-    "mmr_rerank" -> ((s, d) => Mmr.mmrRerank(s, d)),
-    // batch MMR: per-query greedy on the executors (flatMapGroups over
-    // the knn_batch shortlist shape) — same fixed-order doubles, so
-    // the oracle replays all greedies in one recursive CTE
-    "mmr_batch" -> ((s, d) => Mmr.mmrBatch(s, d)),
-    // index-backed MMR: the shortlist generator swapped to the IVF
-    // coarse probe (nprobe=nlist ≡ mmr_rerank exactly, test-pinned)
-    "mmr_ivf" -> ((s, d) => IndexAudits.mmrIvfAudit(s, d)),
-    // the composed compression ladder: PCA pre-transform -> coarse IVF
-    // in PCA space -> residual PQ ADC -> exact full-dim refine (the
-    // FAISS IndexPreTransform(PCAMatrix, IndexIVFPQ) shape)
-    "ivf_pq_pca_search" -> ((s, d) => IndexAudits.ivfPqPcaAudit(s, d)),
-    // persisted chained artifact (the reference's index.faiss save/
-    // load-without-retrain lifecycle, app.py:116-145): loaded models
-    // bit-identical + persisted search ≡ in-memory search, hash-exact
-    "ivf_pq_pca_persisted" -> ((s, d) => IndexAudits.ivfPqPcaPersistedAudit(s, d)),
-    // FAISS add() on the trained chained artifact (app.py:55): frozen
-    // models encode a second-half wave; marker-idempotent commit
-    "ivf_pq_pca_append" -> ((s, d) => IndexAudits.ivfPqPcaAppendAudit(s, d)),
-    "pq_stats" -> ((s, d) => IndexAudits.pqStatsAudit(s, d)),
-    "knn_pq" -> ((s, d) => IndexAudits.pqFlatAudit(s, d)),
-    "ivf_search_pq" -> ((s, d) => IndexAudits.ivfPqAudit(s, d)),
-    "pq_persisted_search" -> ((s, d) => IndexAudits.pqPersistedAudit(s, d)),
-    // the corpus source is unordered by design; id order is this
-    // query's output contract, so the sort lives here at the edge
-    "corpus_ingest" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.sources.Ingest.corpusFromDocuments(s, d).orderBy(col("id").asc)
-    }),
-    "embed_documents" -> ((s, d) => EmbedOps.embedDocumentsStats(s, d)),
-    // end-to-end embed→search pipeline: the embedding space is
-    // engine-specific, so the registered surface is the self-audit
-    // (tight top-k re-verified against every candidate, exact distance
-    // recompute); raw hits via EmbedOps.docKnn
-    "doc_knn" -> ((s, d) => IndexAudits.docKnnAudit(s, d)),
-    // --- IVF index (SURVEY §2.4 A1/A2, §2.3 J2/J3, §2.6 T4) ---
-    // list membership is k-means-dependent; the registered surface is
-    // the partition audit (lists cover the corpus bijectively — all
-    // deterministic); per-list counts via IvfIndex.listStats
-    "ivf_build_stats" -> ((s, d) => IndexAudits.ivfBuildAudit(s, d)),
-    // nprobe = nlist probes every list; IVFFlat stores raw vectors, so
-    // this must equal the exact scan (reference semantics,
-    // app.py:47-48,55) — its oracle is the exact-kNN SQL.
-    "ivf_search_full" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.forEmbeddings(s, d, nlist = 4), q,
-          k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // nprobe < nlist prunes lists: which hits survive is k-means-
-    // dependent, so the registered surface is the self-audit (exact
-    // distance recompute, tight top-k over the probed candidate set,
-    // measured recall floor); raw hits via IvfIndex.search
-    "ivf_search_pruned" -> ((s, d) =>
-      IndexAudits.prunedSearchAudit(s, d, persisted = false)),
-    "knn_batch_ivf" -> ((s, d) => IndexAudits.batchIvfAudit(s, d)),
-    // --- streaming index maintenance (SURVEY §7.5): build on half,
-    // append the rest against frozen centroids ---
-    // (list membership is k-means-dependent; the registered surface is
-    // the lifecycle audit — appended lists still partition the full
-    // corpus, shares sum to 1; per-list stats via IvfIndex.listStats,
-    // argmin assignment pinned by IndexMaintenanceSpec)
-    "ivf_append_stats" -> ((s, d) => IndexAudits.ivfAppendAudit(s, d)),
-    // --- clustering (SURVEY §2.4 A3, §2.2 P3/P4, app.py:77-114) ---
-    "cluster_exact" -> ((s, d) => Clustering.clusterExact(s, d, eps = 1.2)),
-    "cluster_sizes" -> ((s, d) =>
-      Clustering.clusterSizes(Clustering.clusterExact(s, d, eps = 1.2))),
-    // IVF-graph clustering: cluster numbering is k-means-dependent,
-    // so the registered surface is the per-vector audit (refinement of
-    // the exact ε-graph is deterministic; canonical agreement clears
-    // the measured floor); raw assignment via Clustering.clusterIvf
-    "cluster_ivf" -> ((s, d) => IndexAudits.clusterIvfAudit(s, d)),
-    // --- persisted-index lifecycle (S3/S4, app.py:116-147): search
-    // runs against the partitionBy(list_id) parquet layout on disk ---
-    "ivf_persisted_search" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
-          k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // persisted + pruned: the audit additionally pins that the disk-
-    // backed index returns bit-identical results to the in-memory one
-    "ivf_persisted_pruned" -> ((s, d) =>
-      IndexAudits.prunedSearchAudit(s, d, persisted = true)),
-    // --- per-query ε range search (FAISS range_search; the P3 strict-<
-    // predicate applied from a single probe, app.py:93/275) ---
-    "range_search" -> ((s, d) => VectorSearchOps.rangeSearch(s, d)),
-    // nprobe = nlist over the persisted index probes every list, so
-    // (IVFFlat stores raw vectors) this equals the exact range search —
-    // its oracle is the same all-pairs ε SQL
-    "range_search_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.rangeSearch(IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
-          eps = 1.6, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // nprobe < nlist prunes lists: visibility is k-means-dependent, so
-    // the registered surface is the self-audit (exact-recompute
-    // distances, subset-of-exact, exhaustive-within-probed, recall
-    // floor); raw hits via IvfIndex.rangeSearch
-    "range_search_pruned" -> ((s, d) => IndexAudits.rangeSearchPrunedAudit(s, d)),
-    // batched range search (FAISS range_search over nq queries → the
-    // lims/CSR result as a long frame); broadcast query batch, corpus
-    // never shuffles
-    "range_search_batch" -> ((s, d) => VectorSearchOps.rangeSearchBatch(s, d)),
-    // --- METRIC_INNER_PRODUCT (MIPS; FAISS IndexFlatIP / IVFFlat-IP) ---
-    // exact top-k by dot product descending, (ip DESC, id ASC) tiebreak
-    "knn_ip" -> ((s, d) => IpSearch.knnExactIp(s, d)),
-    // IP-metric IVF at nprobe = nlist scans every list (raw vectors),
-    // so it equals the exact MIPS scan — same oracle SQL
-    "knn_ip_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IpSearch.searchIp(IpSearch.forEmbeddingsIp(s, d, nlist = 4), q,
-          k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // pruned IP search: list visibility is k-means-dependent, so the
-    // registered surface is the self-audit (exact-recompute scores,
-    // top-k tight within probed lists, measured IP recall floor)
-    "ip_search_pruned" -> ((s, d) => IndexAudits.ipPrunedAudit(s, d)),
-    // persisted IP index (same directory layout as the L2 family —
-    // the metric lives in the kernels, not the storage); nprobe =
-    // nlist ≡ the exact MIPS scan, same oracle
-    "knn_ip_persisted" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IpSearch.searchIp(IpSearch.persistedForEmbeddingsIp(s, d, nlist = 4), q,
-          k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // --- fp16 scalar quantizer (FAISS SQ QT_fp16): DuckDB has no
-    // binary16, so the registered surface is the contract audit ---
-    "knn_f16" -> ((s, d) => IndexAudits.f16Audit(s, d)),
-    // --- trained per-dim 8-bit SQ (FAISS QT_8bit proper): seedless
-    // min/max model, floor(r+0.5) codes, PqAdc LUT search — both
-    // hash-exact (the knn_quantized precedent) ---
-    "sq8t_stats" -> ((s, d) => Sq8Trained.stats(s, d)),
-    "knn_sq8t" -> ((s, d) => Sq8Trained.knn(s, d)),
-    // invlists.imbalance_factor: restated count + invariant bounds
-    // all_lists_nonempty is k-means-dependent (informational) — the
-    // oracle pins only the configured nlist and the two invariants
-    "ivf_imbalance" -> ((s, d) => IndexAudits.imbalanceAudit(s, d)
-      .drop("all_lists_nonempty")),
-    // --- cosine-metric IVF (normalize-and-use-L2, the FAISS cosine
-    // recipe): unit-trained quantizer, raw vectors scored by
-    // cosine_sim, nprobe = nlist ≡ the exact cosine scan bit-for-bit
-    "knn_cosine_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      CosineIvf.search(CosineIvf.forEmbeddings(s, d, nlist = 4), q,
-          k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // --- search_and_reconstruct: top-k + the stored vectors in one
-    // probed scan (bit-exact for IVFFlat; dim/c0/recon-dist projected
-    // so the oracle can restate the payload from the parquet) ---
-    "search_reconstruct" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      val res = IvfIndex.searchAndReconstruct(
-        IvfIndex.persistedForEmbeddings(s, d, nlist = 4), q,
-        k = 10, nprobe = 4, excludeId = Some(0L))
-      res.join(emb.select(col("vec_id").as("id"), col("embedding").as("orig")), Seq("id"))
-        .select(col("id").as("vec_id"), col("dist"),
-          size(col("embedding")).cast("long").as("dim"),
-          col("embedding")(0).cast("double").as("c0"),
-          graft.functions.l2sq(col("embedding"), col("orig")).as("recon_dist"))
-        .orderBy(col("dist").asc, col("vec_id").asc)
-    }),
-    // --- index_factory (the FAISS constructor-string surface) ---
-    // "IVF4,Flat" at nprobe = nlist ≡ the exact scan — the factory
-    // string drives the same engine family the constructor form does
-    "factory_search" -> ((s, d) =>
-      IndexFactory.search(s, d, "IVF4,Flat", queryId = 0L, k = 10, nprobe = 4)),
-    // the parser itself under the oracle gate: deterministic
-    // (pos, kind, param) rows for a four-component factory string
-    "factory_parse" -> ((s, d) => IndexFactory.parseToDf(s, "IDMap,PCA24,IVF4,PQ8")),
-    // --- nprobe autotune (FAISS ParameterSpace): the recall/cost curve
-    // with its deterministic contract flags (see IndexAudits) ---
-    "autotune_nprobe" -> ((s, d) => IndexAudits.autotuneNprobe(s, d)),
-    // --- IndexShards: two independently-trained shards over a
-    // vec_id-mod-2 partition of the corpus; per-shard top-k merge at
-    // nprobe = nlist ≡ the exact global scan ---
-    "sharded_search" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.searchShards(IvfIndex.shardsForEmbeddings(s, d, nShards = 2, nlist = 2),
-          q, k = 10, nprobe = 2, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // --- filtered search (FAISS SearchParameters.sel / IDSelector) ---
-    // exact twin: metadata selector (label) below the top-k
-    "knn_filtered" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      VectorSearchOps.knnFilteredExact(s, d, col("label") === 1)
-    }),
-    // id-range selector (FAISS IDSelectorRange) pushed into the pruned
-    // postings scan; nprobe = nlist ≡ the exact filtered scan
-    "knn_filtered_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.searchFiltered(IvfIndex.persistedForEmbeddings(s, d, nlist = 4),
-          q, k = 10, nprobe = 4,
-          sel = col("id") >= 100L && col("id") < 400L, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // metadata selector via the semi-join path (searchFilteredBy):
-    // same contract as knn_filtered at nprobe = nlist
-    "knn_filtered_meta" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.searchFilteredBy(IvfIndex.persistedForEmbeddings(s, d, nlist = 4),
-          q, k = 10, nprobe = 4, meta = emb, metaIdCol = "vec_id",
-          pred = col("label") === 1, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // pruned + filtered (the production shape): deterministic flags +
-    // recall floor via the self-audit, like range_search_pruned
-    "knn_filtered_pruned" -> ((s, d) => IndexAudits.filteredPrunedAudit(s, d)),
-    // --- remove_ids (FAISS IndexIVF.remove_ids): tombstone log +
-    // read-side anti-join; nprobe = nlist ≡ exact over survivors ---
-    "ivf_remove_search" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.removedForEmbeddings(s, d, compacted = false),
-          q, k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // same removal folded into a physical compaction (tombstone log
-    // cleared, postings rewritten) — identical result by contract
-    "ivf_remove_compacted" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.removedForEmbeddings(s, d, compacted = true),
-          q, k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // --- merge_from (FAISS IndexIVF.merge_from): two generations
-    // sharing one quantizer merged by pure file motion; nprobe = nlist
-    // over the merged index ≡ exact over the whole corpus ---
-    "ivf_merge_search" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
-      IvfIndex.search(IvfIndex.mergedForEmbeddings(s, d),
-          q, k = 10, nprobe = 4, excludeId = Some(0L))
-        .withColumnRenamed("id", "vec_id")
-    }),
-    // --- reconstruct (FAISS reconstruct_batch): id → stored vector,
-    // bit-exact for IVFFlat; dist-to-original restated as 0 ---
-    "ivf_reconstruct" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val emb = Tables.embeddings(s, d)
-      val recon = IvfIndex.reconstruct(
-        IvfIndex.persistedForEmbeddings(s, d, nlist = 4),
-        emb.filter(col("vec_id") < 10L), "vec_id")
-      recon.join(emb.select(col("vec_id").as("id"), col("embedding").as("orig")), Seq("id"))
-        .select(col("id").as("vec_id"),
-          size(col("embedding")).cast("long").as("dim"),
-          col("embedding")(0).cast("double").as("c0"),
-          graft.functions.l2sq(col("embedding"), col("orig")).as("recon_dist"))
-        .orderBy(col("vec_id").asc)
-    }),
-    // --- ingest surface (S1/S2/S5, app.py:199-223, 313-319) ---
-    "ingest_csv" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val dir = s"/root/repo/target/fixtures/csv-${new java.io.File(d).getName}"
-      // fixture rows must land in id order (the re-ingest assigns
-      // positional ids the oracle restates); the corpus source itself
-      // is unordered
-      graft.sources.Ingest.corpusFromDocuments(s, d)
-        .orderBy(col("id").asc)
-        .select(col("sentence").as(graft.sources.Ingest.SentencesCol))
-        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
-      graft.sources.Ingest.fromCsv(s, dir)
-    }),
-    "ingest_lines" -> ((s, _) =>
-      graft.sources.Ingest.fromLines(s, "alpha\n beta \n\ngamma delta\n")),
-    // JSONL source round trip (schema-inferred json scan; the oracle
-    // restates the semantics over the documents view, same pattern as
-    // ingest_csv)
-    "ingest_jsonl" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, length}
-      val dir = s"/root/repo/target/fixtures/jsonl-${new java.io.File(d).getName}"
-      graft.Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .coalesce(1).write.mode("overwrite").json(dir)
-      s.read.json(dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          length(col("text")).cast("long").as("n_chars"))
-        .orderBy(col("doc_id").asc)
-    }),
-    // ORC source round trip (columnar-format coverage next to the
-    // jsonl one; the oracle restates the semantics over documents)
-    "ingest_orc" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, length}
-      val dir = s"/root/repo/target/fixtures/orc-${new java.io.File(d).getName}"
-      graft.Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .coalesce(1).write.mode("overwrite").orc(dir)
-      s.read.orc(dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          length(col("text")).cast("long").as("n_chars"))
-        .orderBy(col("doc_id").asc)
-    }),
-    // F3: the reference's newline display join, capped (app.py:231-233)
-    "corpus_display" -> ((s, d) =>
-      graft.sources.Ingest.joinedDisplay(
-        graft.sources.Ingest.corpusFromDocuments(s, d))),
-    // --- text analytics (north star; BASELINE.json) ---
-    "text_stats" -> ((s, d) => TextAnalytics.textStats(s, d)),
-    "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
-    // C4/CCNet boilerplate-line removal over the derived corpus (see
-    // TextAnalytics.scrubBoilerplate — df-based line drop, order kept)
-    "boilerplate_scrub" -> ((s, d) => TextAnalytics.boilerplateLines(s, d)),
-    "text_quality" -> ((s, d) => TextAnalytics.textQuality(s, d)),
-    // fixed-width alpha-ratio histogram: exact integer counts +
-    // cumulative, the one-pass scale path for quantile questions
-    "quality_hist" -> ((s, d) => ScoreHistogram.qualityHist(s, d)),
-    // tercile cut estimates from the histogram with the rank-error
-    // bound MEASURED against a direct second-path recount (flags)
-    "hist_cuts" -> ((s, d) => ScoreHistogram.histCuts(s, d)),
-    "lang_id" -> ((s, d) => TextAnalytics.langId(s, d)),
-    "lang_confusion" -> ((s, d) => TextAnalytics.langConfusion(s, d)),
-    "token_counts" -> ((s, d) => TextAnalytics.tokenCounts(s, d)),
-    // the per-sequence view of pack_sequences: docs contributing per
-    // fixed-length training sequence, boundary cuts, exact fill
-    "pack_chunks" -> ((s, d) => CorpusPrep.packChunks(s, d)),
-    "doc_fingerprint" -> ((s, d) => TextAnalytics.docFingerprint(s, d)),
-    "repetition_stats" -> ((s, d) => TextAnalytics.repetitionStats(s, d)),
-    "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
-    "token_vocab" -> ((s, d) => TextAnalytics.tokenVocab(s, d)),
-    // CMS sketch estimates aren't SQL-expressible; the n_exact column
-    // and the over-count bound are test-pinned
-    // projected to (term, n_exact, cms_in_bound): the exact head
-    // hash-checks against DuckDB and the (seeded, reproducible) CMS
-    // bound is oracle-asserted as a literal; the raw estimate stays on
-    // the API/test surface
-    "vocab_cms" -> ((s, d) => TextAnalytics.vocabCms(s, d).drop("n_cms")),
-    "corpus_datacard" -> ((s, d) => TextAnalytics.corpusDatacard(s, d)),
-    "bm25_search" -> ((s, d) => TextSearch.bm25Search(s, d)),
-    // same scores through the persisted bucket-partitioned inverted
-    // index — the scan is partition-pruned to the query terms' buckets
-    "bm25_persisted" -> ((s, d) => TextSearch.bm25Persisted(s, d)),
-    // hybrid retrieval: BM25 top-10 + cosine top-10 fused by
-    // reciprocal-rank fusion (rank-only, score-scale-free)
-    "hybrid_search_rrf" -> ((s, d) => HybridSearch.hybridSearchRrf(s, d)),
-    // --- corpus prep (north star): PII scrubbing + context-window
-    // chunking ---
-    "pii_redact" -> ((s, d) => CorpusPrep.piiRedact(s, d)),
-    "doc_chunks" -> ((s, d) => CorpusPrep.docChunks(s, d)),
-    "mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
-    // weight-proportional sampling without replacement (Efraimidis-
-    // Spirakis top-k on u^(1/w)); LCG uniforms + rounded-key rank so
-    // the oracle replays the selection exactly
-    "weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
-    // exact per-stratum counts in a reproducible md5 order; the
-    // thresholded 100 TB variant is test-pinned equal (SamplingSpec)
-    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
-    // the registered 100 TB path: per-stratum hash-threshold pre-filter
-    // (window sort touches O(margin·k·strata) rows), EXACTLY equal to
-    // the exact sampler whenever the threshold retains >= perStratum
-    // rows (guaranteed for small strata, 10-sigma at margin 4 for
-    // large) — so the oracle is the exact sampler's SQL verbatim
-    "stratified_sample_t" -> ((s, d) => Sampling.stratifiedSampleThresholded(s, d)),
-    // keyed CDC upsert into bucket-partitioned parquet: update/insert/
-    // tombstone delta applied by rewriting ONLY the touched buckets;
-    // the final table is read back and hash-checked against the
-    // merge restated in SQL
-    "corpus_upsert" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val dir = s"/root/repo/target/fixtures/upsert-${new java.io.File(d).getName}"
-      val corpus = graft.sources.Ingest.corpusFromDocuments(s, d)
-      Upsert.writeBase(corpus, dir, "id", 16)
-      val updates = corpus
-        .filter(col("id") % 7 === 0 && col("id") % 13 =!= 0)
-        .withColumn("sentence", concat(col("sentence"), lit(" [rev2]")))
-        .withColumn("_deleted", lit(false))
-      val inserts = corpus.filter(col("id") % 11 === 0)
-        .select((col("id") + 1000000L).as("id"),
-          concat(lit("appended doc "), col("id").cast("string")).as("sentence"))
-        .withColumn("_deleted", lit(false))
-      val tombstones = corpus.filter(col("id") % 13 === 0)
-        .withColumn("_deleted", lit(true))
-      // meta-driven entry point: key column and bucket count come from
-      // the table's persisted layout metadata
-      Upsert.upsert(s, dir, updates.unionByName(inserts).unionByName(tombstones))
-      Upsert.read(s, dir).orderBy(col("id").asc)
-    }),
-    "pack_sequences" -> ((s, d) => CorpusPrep.packSequences(s, d)),
-    // composed end-to-end curation decision table (quality × dedup ×
-    // split × mixture, one boolean per stage)
-    "curation_decisions" -> ((s, d) => CorpusPrep.curationDecisions(s, d)),
-    "profile_lineitem" -> ((s, d) => Profiling.profileLineitem(s, d)),
-    // HLL twin's bound audit: exact profile columns next to the sketch,
-    // hll_in_bound oracle-stated TRUE (HLL is deterministic per value
-    // set). Profiling.profileLineitemApprox remains the PRODUCTION
-    // no-Expand path, plan- and accuracy-pinned in ProfilingSpec
-    "profile_lineitem_approx" -> ((s, d) =>
-      Profiling.profileLineitemAudit(s, d).drop("n_hll")),
-    "zorder_layout" -> ((s, d) => ZOrder.zorderLayout(s, d)),
-    // --- dedup (north star; BASELINE.json) ---
-    "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
-    "minhash_signatures" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      Dedup.minhashSignatures(s, d)
-        .select(col("id"), concat_ws("|", col("sig")).as("sig_cat"))
-        .orderBy(col("id").asc)
-    }),
-    "dedup_minhash" -> ((s, d) => Dedup.dedupMinhash(s, d)),
-    // pairs -> groups -> keep-one: CC over the LSH pairs with min-id
-    // canonicals (transitive collapse; oracled via recursive CTE)
-    "minhash_clusters" -> ((s, d) => Dedup.minhashClusters(s, d)),
-    // exact-integer PageRank over the symmetrized near-dup graph
-    // (5 unrolled iterations; BIGINT fixed-point, order-independent)
-    "pagerank_docs" -> ((s, d) => GraphRank.pagerankDocs(s, d)),
-    // same ranks from the PERSISTED two-wave edge log (saveWithEdges
-    // base + appendEdgesBatch wave): the incremental probe+mine
-    // reproduces the fresh graph edge-for-edge, so the integer ranks
-    // are bit-identical and the oracle is pagerank_docs' SQL verbatim
-    "pagerank_persisted" -> ((s, d) => GraphRank.pagerankPersistedFor(s, d)),
-    // connected components from the same persisted log — the
-    // incremental twin of minhash_clusters (its oracle verbatim)
-    "cc_persisted" -> ((s, d) => GraphRank.ccPersistedFor(s, d)),
-    "dedup_ngram" -> ((s, d) => Dedup.dedupNgram(s, d)),
-    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
-    "dedup_embed_exact" -> ((s, d) => Dedup.dedupEmbedExact(s, d)),
-    "neardup_cosine" -> ((s, d) => Dedup.neardupCosine(s, d)),
-    // scale path for the same question — oracled against the EXACT
-    // self-join (every emitted pair is cosine-verified, and at this
-    // threshold the 8-band sketch finds every qualifying pair);
-    // recall-vs-exact also test-pinned in DedupSpec
-    "neardup_cosine_lsh" -> ((s, d) => Dedup.neardupCosineLsh(s, d)),
-    // embed→IVF→CC dedup: group layout is k-means-dependent, so the
-    // registered surface is the per-document audit (min-member
-    // canonicals, one-kept-per-group, identical texts merged — all
-    // deterministic); raw assignment via Dedup.docDedupFor
-    "doc_dedup" -> ((s, d) => IndexAudits.docDedupAudit(s, d)),
-    // persisted MinHash-LSH index probe: the incremental-dedup shape —
-    // a new wave (odd ids) checked against the standing corpus (even
-    // ids, indexed once) via a (band, key) equi-join on stored band
-    // rows; the oracle restates the direct cross-half LSH join
-    "minhash_probe" -> ((s, d) => MinhashIndex.minhashProbeFor(s, d)),
-    // temperature-flattened language mixture (α = 0.5): post-sample
-    // shares ∝ sqrt(p_lang); n_min-relative rates need no
-    // normalization sum, so the whole construction restates in SQL
-    "temperature_mixture" -> ((s, d) => Sampling.temperatureMixture(s, d)),
-    // BPE tokenizer training: first-iteration pair statistics (the
-    // table the first merge argmaxes over) — the iterative trainer and
-    // encoder are deterministic but not SQL-expressible loops; BpeSpec
-    // pins them against a driver-side reference implementation
-    "bpe_pair_counts" -> ((s, d) => Bpe.pairCountsFor(s, d)),
-    // corpus-wide encoder audit over the trained merge table: roundtrip
-    // + bounds flags verified distributively for EVERY vocabulary word,
-    // oracle states them literal TRUE (IndexAudits pattern)
-    "bpe_encode_audit" -> ((s, d) => Bpe.encodeAudit(s, d)),
-    // bloom-filter semi-join: dim key set too big to broadcast-hash,
-    // small as a bloom — codegen'd probe prunes the fact scan BEFORE
-    // its shuffle, residual semi-join restores exactness (no false
-    // negatives by construction). Oracle states the plain semi-join.
-    "bloom_semi_join" -> ((s, d) => BloomJoin.urgentLineitemRevenue(s, d)),
-    // span-level exact substring dedup (Lee et al. 2022 EXACTSUBSTR,
-    // re-expressed without the suffix array): maximal duplicated
-    // token spans + the per-doc duplication fraction curation signal
-    "dup_spans" -> ((s, d) => SpanDedup.dupSpansFor(s, d)),
-    "span_dup_stats" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      SpanDedup.dupStats(graft.sources.Ingest.corpusFromDocuments(s, d))
-        .orderBy(col("id").asc)
-    }),
-    // stupid-backoff trigram LM (Brants et al. 2007): the model-based
-    // quality signal next to the heuristic filters (CCNet scores with
-    // a KenLM and buckets by perplexity) — training is three counting
-    // shuffles, scoring equi-joins positions against the count tables;
-    // per-token log10 rounds to 6 decimals BEFORE the decimal per-doc
-    // sum, so libm ulps and shuffle order never reach the result
-    "lm_trigram_head" -> ((s, d) => NgramLm.trigramHead(s, d)),
-    "lm_score" -> ((s, d) => NgramLm.scoreCorpus(s, d)),
-    "lm_ppl_buckets" -> ((s, d) => NgramLm.pplBuckets(s, d)),
-    // sketch-only scale twin (GK cut points, no refine pass): cuts are
-    // engine-specific, so the registered surface is the deterministic
-    // audit — exact doc count + GK-bound/monotone/within-one-bucket
-    // flags the oracle states literal TRUE (value_percentiles_approx
-    // pattern)
-    "lm_ppl_buckets_t" -> ((s, d) => NgramLm.pplBucketsThresholdedAudit(s, d)),
-    // scoring through the persisted additive count logs must reproduce
-    // lm_score exactly (same counts, different scan) — same oracle
-    "lm_persisted_score" -> ((s, d) => NgramLm.persistedScore(s, d)),
-    // multinomial NB quality classifier (the deterministic counts-based
-    // twin of fastText-style model-based filtering): trains on the
-    // qualityKeep weak labels, self-scores, audits the distillation fit
-    "nb_quality" -> ((s, d) => NbClassifier.nbQuality(s, d)),
-    // the composed per-document verdict table (heuristic quality, NB
-    // classifier, LM perplexity bucket, span-dup fraction, exact-dup
-    // canonical, CCNet-flavored final_keep) — every signal is the
-    // standalone operator's exact value, so the oracle composes the
-    // standalone oracles' SQL and the whole table stays hash-exact
-    "curation_scorecard" -> ((s, d) => CurationScorecard.scorecard(s, d)),
-    // incremental cadence: every 5th doc scored as a "new wave" against
-    // the persisted additive model logs (LM counts, NB sufficient
-    // stats, span window counts, exact-dup min-ids, stored tercile
-    // cuts) — touches only the wave; ScorecardIndexSpec pins
-    // bit-equality with the batch scorecard restricted to the wave
-    "scorecard_wave" -> ((s, d) => ScorecardIndex.scorecardWaveFor(s, d)),
-    // admission-time semantics: the index covers only the ADMITTED
-    // corpus (id % 5 != 0); the wave scores against LAGGING models and
-    // stored cuts while dedup/span signals fold the wave in virtually —
-    // the daily "filter the incoming wave" operator, streamed by
-    // IndexMaintenance.scorecardStream
-    "scorecard_incoming" -> ((s, d) => ScorecardIndex.scorecardIncomingFor(s, d)),
-    // --- pipeline hygiene (north star): reproducible splits +
-    // benchmark decontamination ---
-    "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
-    // split keyed on the near-dup cluster canonical id, so a duplicate
-    // pair can never straddle train/test (the leakage guard per-doc
-    // hash splits lack)
-    "split_leakage_safe" -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
-    "contamination" -> ((s, d) => Dedup.contamination(s, d)),
-    // --- multimodal plumbing (north star; payload stays narrow) ---
-    "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatureStats(s, d)),
-    "frame_sample" -> ((s, d) => MultimodalOps.frameSampleStats(s, d)),
-    // --- streaming (SURVEY §2.9): watermark + tumbling window over a
-    // finite replay must equal the batch aggregate ---
-    // streaming curation: quality filter + state-store fingerprint
-    // dedup over a file-landing replay; the fingerprint SET is
-    // deterministic (which duplicate survives is not — only the set is
-    // compared)
-    "doc_curation_stream" -> ((s, d) =>
-      graft.streaming.DocCuration.curatedFingerprints(s, d)),
-    "events_hourly_stream" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.streaming.EventsStreaming.runToCompletion(
-        graft.streaming.EventsStreaming.eventsHourly(
-          graft.streaming.EventsStreaming.readEvents(s, d)), "events_hourly")
-        .orderBy(col("hour").asc, col("event_type").asc)
-    }),
-    // stream-stream join: click->purchase attribution pairs with
-    // per-side watermarks; single-batch replay emits every pair, so a
-    // full SQL oracle applies
-    "attribution_stream" -> ((s, d) =>
-      graft.streaming.ClickAttribution.attributionReplay(s, d)),
-    // custom-state sessionization (flatMapGroupsWithState +
-    // EventTimeTimeout): append emits watermark-closed sessions only —
-    // a strict, DETERMINISTIC subset of the batch twin (bit-identical
-    // rows, StatefulSessionsSpec), so the oracle is the user_sessions
-    // SQL restricted to sessions whose close (last event + 30 min gap)
-    // the final watermark passed: wm = floor_ms(max ts) − 1 h, the
-    // exact value Spark's EventTimeWatermark computes on replay
-    "user_sessions_stateful" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.streaming.EventsStreaming.runToCompletion(
-        graft.streaming.StatefulSessions.userSessionsStateful(
-          graft.streaming.EventsStreaming.readEvents(s, d)), "sessions_stateful")
-        .orderBy(col("user_id").asc, col("session_start").asc)
-    }),
-  )
-
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  /** Batch curation-scorecard CTE chain (LM + NB + span-dup +
-    * quality/canonical), optionally filtered on the verdict rows —
-    * the wave surface reuses the IDENTICAL chain with a wave
-    * predicate, which is exactly what makes `scorecard_wave`
-    * hash-exact against incremental scoring. */
-  private def scorecardSql(filter: String): String =
-    s"""WITH $sqlLmScored,
-         |agg AS (
-         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
-         |  FROM sc GROUP BY id),
-         |lmq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
-         |lmb AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS ppl_bucket FROM lmq),
-         |qual AS (
-         |  SELECT id,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
-         |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept
-         |  FROM corpus),
-         |lab AS (
-         |  SELECT id, toks,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS label
-         |  FROM corpus),
-         |ex AS (SELECT id, label, unnest(toks) AS w FROM lab),
-         |voc AS (
-         |  SELECT w,
-         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
-         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
-         |  FROM ex GROUP BY w),
-         |nbtot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
-         |                 count(*)::BIGINT AS v FROM voc),
-         |wt AS (
-         |  SELECT w,
-         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
-         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
-         |         AS DECIMAL(18,6)) AS wgt
-         |  FROM voc CROSS JOIN nbtot),
-         |pri AS (
-         |  SELECT CAST(round(log10(
-         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
-         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
-         |    AS DECIMAL(18,6)) AS prior
-         |  FROM lab),
-         |tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM ex GROUP BY id, w),
-         |docsum AS (
-         |  SELECT tf.id, sum(tf.tf * wt.wgt) AS s
-         |  FROM tf JOIN wt USING (w) GROUP BY tf.id),
-         |nbq AS (
-         |  SELECT l.id, (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep
-         |  FROM lab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p),
-         |stok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
-         |swin AS (
-         |  SELECT id, p - 1 AS pos,
-         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
-         |  FROM stok, unnest(range(1, len(toks) - 6)) AS u(p)),
-         |sdup AS (SELECT wtext FROM swin GROUP BY wtext HAVING count(*) >= 2),
-         |smarked AS (SELECT w.id, w.pos FROM swin w JOIN sdup USING (wtext)),
-         |sisl AS (
-         |  SELECT id, pos,
-         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
-         |      (PARTITION BY id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS new_island
-         |  FROM smarked),
-         |sisl2 AS (SELECT id, pos,
-         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
-         |  FROM sisl),
-         |sst AS (
-         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
-         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
-         |        FROM sisl2 GROUP BY id, island) GROUP BY id),
-         |spanq AS (
-         |  SELECT c.id,
-         |    CASE WHEN len(c.toks) = 0 THEN 0.0
-         |         ELSE coalesce(sst.dup_tokens, 0) / len(c.toks) END AS dup_fraction
-         |  FROM corpus c LEFT JOIN sst ON c.id = sst.id)
-         |SELECT q.id, q.keep_quality, n.nb_keep, q.dedup_kept,
-         |  b.ppl, b.ppl_bucket::BIGINT AS ppl_bucket, s.dup_fraction,
-         |  (q.keep_quality AND n.nb_keep AND q.dedup_kept
-         |   AND s.dup_fraction < 1.0/3.0
-         |   AND coalesce(b.ppl_bucket < 3, FALSE)) AS final_keep
-         |FROM qual q
-         |JOIN nbq n ON q.id = n.id
-         |LEFT JOIN lmb b ON q.id = b.id
-         |JOIN spanq s ON q.id = s.id
-         |${filter}ORDER BY q.id""".stripMargin
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val qs = slices.map(_._1)
+    val merged = qs.reduce(_ ++ _)
+    require(merged.size == qs.map(_.size).sum,
+      "registry slices define a duplicate query key")
+    merged
+  }
 
   /** The persisted-graph twins reproduce their fresh-mine originals
     * bit-identically (edge log append ≡ fresh mine, spec-pinned), so
     * their oracles are the originals' SQL verbatim. */
   def oracleSql: Map[String, String] = {
-    val base = oracleSqlBase
+    val os = slices.map(_._2)
+    val base = os.reduce(_ ++ _)
+    require(base.size == os.map(_.size).sum,
+      "registry slices define a duplicate oracle key")
     base ++ Map(
       "pagerank_persisted" -> base("pagerank_docs"),
       "cc_persisted" -> base("minhash_clusters"))
   }
-
-  private def oracleSqlBase: Map[String, String] = Map(
-    "pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
-        |  AND l_discount > 0.08 AND l_quantity < 5
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "revenue_by_nation" ->
-      """SELECT n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin,
-    "semi_join" ->
-      """SELECT c_custkey, c_mktsegment FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin,
-    "anti_join" ->
-      """SELECT c_custkey, c_acctbal FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "window_topn" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) t
-        |WHERE rn <= 3
-        |ORDER BY o_custkey, rn""".stripMargin,
-    "window_running" ->
-      """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-        |  LAG(o_orderkey, 1) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
-        |FROM orders
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "global_topk" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
-    "distinct_flags" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "set_ops" ->
-      """SELECT o_custkey FROM (
-        |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |   INTERSECT
-        |   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        |  EXCEPT
-        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') t
-        |ORDER BY o_custkey""".stripMargin,
-    "rollup_customers" ->
-      """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
-    "json_extract" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    "events_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    // the oracle states the skewed join UNSALTED — salting must be
-    // value-invariant, that is the whole contract
-    "salted_events_join" ->
-      """SELECT n.n_name,
-        |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events e
-        |JOIN nation n
-        |  ON (CASE WHEN e.user_id % 100 < 90 THEN 0
-        |           ELSE e.user_id % 25 END) = n.n_nationkey
-        |GROUP BY n.n_name
-        |ORDER BY n.n_name""".stripMargin,
-    // round(6) is exact here (2-decimal values x <=2-decimal
-    // interpolation fraction -> <=4-decimal true quantile); it absorbs
-    // the engines' 1-ulp interpolation-order difference (r9 sf0.5 catch)
-    "value_percentiles" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90,
-        |  round(quantile_cont(value, 0.99), 6) AS p99,
-        |  COUNT(*) AS n
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    // GK's rank guarantee is deterministic (not probabilistic), so the
-    // audited bound flags are literal TRUE; event_type and n are exact
-    "value_percentiles_approx" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  TRUE AS gk_ok_p50, TRUE AS gk_ok_p90, TRUE AS gk_ok_p99
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    // latest order per (customer, <= ts), max-orderkey tiebreak — the
-    // as-of join's point-lookup formulation.
-    "asof_join" ->
-      """SELECT e.event_id, e.user_id,
-        |  (SELECT o.o_orderkey FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
-        |FROM events e
-        |ORDER BY e.event_id""".stripMargin,
-    // the oracle states the interval join declaratively (inequality
-    // join); the engine computes it as a bucketed equi-join — results
-    // must agree exactly
-    "interval_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts AS cts FROM events WHERE event_type = 'click'),
-        |purchases AS (
-        |  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
-        |j AS (
-        |  SELECT c.event_id, count(*) AS n
-        |  FROM clicks c JOIN purchases p
-        |    ON c.user_id = p.user_id
-        |   AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
-        |  GROUP BY c.event_id)
-        |SELECT c.event_id, coalesce(j.n, 0)::BIGINT AS n_purchases_1h
-        |FROM clicks c LEFT JOIN j USING (event_id)
-        |ORDER BY event_id""".stripMargin,
-    // RANGE frame mirrored on epoch micros; decimal-summed values
-    "events_rolling" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS n_1h,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-    // Q2-flavored correlated-min as a window; per-row division then
-    // MIN is accumulation-order-free
-    "min_cost_supplier" ->
-      """WITH best AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    min(l_extendedprice / l_quantity) AS best_price
-        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
-        |r AS (
-        |  SELECT l_partkey, l_suppkey, best_price,
-        |    row_number() OVER (PARTITION BY l_partkey
-        |                       ORDER BY best_price, l_suppkey) AS rn
-        |  FROM best)
-        |SELECT p.p_partkey, p.p_size, s.s_suppkey, s.s_name, n.n_name,
-        |  r.best_price
-        |FROM r
-        |JOIN part p ON r.l_partkey = p.p_partkey AND p.p_size < 10
-        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
-        |JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |WHERE r.rn = 1
-        |ORDER BY p.p_partkey""".stripMargin,
-    // Q3-shaped unshipped-revenue top-N (decimal revenue, total-order
-    // tiebreak on the orderkey)
-    "shipping_priority" ->
-      """SELECT l_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-07-01'
-        |  AND l_shipdate > TIMESTAMP '1998-07-01'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin,
-    // Q4-shaped (restated on this schema: shipped >30 days after the
-    // order date stands in for commit<receipt)
-    "late_priority_orders" ->
-      """SELECT o_orderpriority, COUNT(*) AS order_count
-        |FROM orders o
-        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |  AND o_orderdate < TIMESTAMP '1997-04-01'
-        |  AND EXISTS (SELECT 1 FROM lineitem l
-        |    WHERE l.l_orderkey = o.o_orderkey
-        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-    // Q14-shaped: CASE without ELSE ≡ Spark sum(when(...)) null-skip;
-    // the pct is one double multiply+divide on identical operands
-    "promo_revenue" ->
-      """WITH x AS (
-        |  SELECT
-        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
-        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-        |    AND l_shipdate < TIMESTAMP '1997-10-01')
-        |SELECT promo_revenue, total_revenue,
-        |  100.0 * promo_revenue / total_revenue AS promo_pct
-        |FROM x""".stripMargin,
-    // Q17-shaped: the 0.2·avg threshold restated multiplicatively
-    // (5·qty·cnt < Σqty) keeps the predicate in exact arithmetic
-    "small_qty_revenue" ->
-      """WITH pp AS (
-        |  SELECT l_partkey,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |    COUNT(*) AS cnt
-        |  FROM lineitem GROUP BY l_partkey)
-        |SELECT
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
-        |  COUNT(*) AS n_lines
-        |FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
-        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * pp.cnt * 5 < pp.sum_qty""".stripMargin,
-    // Q18-shaped: HAVING on the exact decimal quantity sum; detail
-    // joins after the reduction
-    "big_orders" ->
-      """WITH heavy AS (
-        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
-        |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120)
-        |SELECT c_name, c_custkey, o_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
-        |FROM heavy
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_qty DESC, o_orderkey
-        |LIMIT 100""".stripMargin,
-    // rank-ratio windows over a total order: identical doubles in any
-    // engine (rank arithmetic, not accumulation)
-    "value_ranks" ->
-      """WITH r AS (
-        |  SELECT event_type, event_id, value,
-        |    percent_rank() OVER (PARTITION BY event_type
-        |                         ORDER BY value, event_id) AS pct_rank,
-        |    cume_dist() OVER (PARTITION BY event_type
-        |                      ORDER BY value, event_id) AS cume
-        |  FROM events)
-        |SELECT event_type, event_id, value, pct_rank, cume
-        |FROM r WHERE pct_rank >= 0.99
-        |ORDER BY event_type, event_id""".stripMargin,
-    // NTILE with a total-order tiebreak -> engine-exact deciles
-    "value_deciles" ->
-      """WITH d AS (
-        |  SELECT event_type, value,
-        |    ntile(10) OVER (PARTITION BY event_type
-        |                    ORDER BY value, event_id) AS decile
-        |  FROM events)
-        |SELECT event_type, decile::BIGINT AS decile, COUNT(*) AS n,
-        |  min(value) AS lo, max(value) AS hi
-        |FROM d GROUP BY event_type, decile
-        |ORDER BY event_type, decile""".stripMargin,
-    // bivariate moments rounded to 6 (Welford-vs-naive accumulators)
-    "correlation_stats" ->
-      """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
-        |  round(stddev_samp(l_quantity), 6) AS std_q,
-        |  round(stddev_samp(l_extendedprice), 6) AS std_p,
-        |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-    // CUBE: hour() matches because both engines read the event ts in
-    // UTC; NULL-first ordering mirrors Spark's asc_nulls_first
-    "cube_events" ->
-      """SELECT event_type, extract(hour FROM ts)::BIGINT AS hod,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events
-        |GROUP BY CUBE (event_type, hod)
-        |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
-    // CUBE with grouping_id over a nullable dimension: Spark's
-    // grouping_id() bit order (left dim = high bit) restated as
-    // GROUPING(etype)*2 + GROUPING(hod); NULLS FIRST mirrors
-    // asc_nulls_first, and gid leads the sort so the NULL-value group
-    // and the rolled-up marker rows order identically in both engines
-    "cube_events_gid" ->
-      """WITH src AS (
-        |  SELECT nullif(event_type, 'view') AS etype,
-        |         extract(hour FROM ts)::BIGINT AS hod, value
-        |  FROM events)
-        |SELECT (GROUPING(etype)*2 + GROUPING(hod))::BIGINT AS gid,
-        |  etype, hod, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM src
-        |GROUP BY CUBE (etype, hod)
-        |ORDER BY gid, etype NULLS FIRST, hod NULLS FIRST""".stripMargin,
-    // Q21 shape: EXISTS/NOT EXISTS as correlated subqueries; "late" is
-    // restated as a returned line (this schema has no receipt/commit
-    // dates)
-    "late_sole_suppliers" ->
-      """SELECT s_name, COUNT(*) AS numwait
-        |FROM lineitem l1
-        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-        |JOIN supplier ON s_suppkey = l1.l_suppkey
-        |WHERE l1.l_returnflag = 'R'
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_returnflag = 'R')
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name ASC
-        |LIMIT 25""".stripMargin,
-    // bucketed co-located join: values are layout-independent, so the
-    // oracle is the plain join+agg
-    "bucketed_customer_orders" ->
-      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey, c_name
-        |ORDER BY c_custkey""".stripMargin,
-    // dense grid via generate_series; zero-filled cells
-    "events_hourly_dense" ->
-      """WITH b AS (
-        |  SELECT date_trunc('hour', min(ts)) AS h0,
-        |         date_trunc('hour', max(ts)) AS h1 FROM events),
-        |grid AS (
-        |  SELECT strftime(g.h, '%Y-%m-%d %H') AS hour, t.event_type
-        |  FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b) g
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
-        |actual AS (
-        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
-        |    COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |  FROM events GROUP BY 1, 2)
-        |SELECT g.hour, g.event_type,
-        |  coalesce(a.n, 0)::BIGINT AS n,
-        |  coalesce(a.sum_value, 0.0) AS sum_value
-        |FROM grid g LEFT JOIN actual a USING (hour, event_type)
-        |ORDER BY hour, event_type""".stripMargin,
-    "events_pivot" ->
-      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
-        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
-    // weekly retention matrix: ISO-Monday week truncation and exact
-    // week offsets agree across engines
-    "retention_cohorts" ->
-      """WITH f AS (
-        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
-        |  FROM events GROUP BY user_id),
-        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
-        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
-        |  date_diff('week', f.cw, a.week)::BIGINT AS offset_weeks,
-        |  count(*)::BIGINT AS n_users
-        |FROM a JOIN f USING (user_id)
-        |GROUP BY f.cw, offset_weeks
-        |ORDER BY cohort_week, offset_weeks""".stripMargin,
-    // gaps-and-islands replay of session_window: break when the gap to
-    // the previous event is >= 30 min (Spark session is [start, last+gap)).
-    "user_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM o),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM m)
-        |SELECT user_id,
-        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s
-        |GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin,
-    // the stateful twin emits exactly the sessions the final watermark
-    // closed: Spark tracks event-time max in ms (µs floor), subtracts
-    // the 1 h delay, and a session emits iff last_event + 30 min gap
-    // <= that watermark — all deterministic on replay, so the batch SQL
-    // plus the watermark predicate states the streamed output exactly
-    "user_sessions_stateful" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM o),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM m),
-        |g AS (
-        |  SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS last_ts,
-        |    COUNT(*) AS n_events,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |  FROM s GROUP BY user_id, sess),
-        |w AS (SELECT ((epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000)
-        |              - 3600000) * 1000 AS wm_us FROM events)
-        |SELECT user_id,
-        |  strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  n_events, sum_value
-        |FROM g, w
-        |WHERE epoch_us(CAST(last_ts AS TIMESTAMP)) + 1800000000 <= wm_us
-        |ORDER BY user_id, session_start""".stripMargin,
-    "knn_exact_l2" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    "knn_exact_cosine" ->
-      s"""SELECT vec_id, s AS sim FROM (
-         |  SELECT b.vec_id AS vec_id,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS s
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
-    // contrastive hard-negative mining: most-similar cross-label pairs
-    "hard_negatives" ->
-      s"""WITH p AS (
-         |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
-         |  FROM embeddings a JOIN embeddings b ON b.label <> a.label
-         |  WHERE a.vec_id < 20),
-         |r AS (
-         |  SELECT anchor_id, neg_id, sim,
-         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id ASC) AS rank
-         |  FROM p)
-         |SELECT anchor_id, rank::BIGINT AS rank, neg_id, sim FROM r
-         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
-    // decimal-sum mean per (label, component): shuffle-order-proof
-    // (float/double sums are not associative; decimal sums are exact).
-    // The ABS(v) < 5e-11 zero guard mirrors VectorOps.dec10 — a no-op
-    // under HALF_UP that defuses DuckDB's sub-quantum sci-notation
-    // parser misrounding ('6.375e-12' → 1E-10)
-    "label_centroids" ->
-      """SELECT label, pos,
-        |  CAST(SUM(CAST(CAST(CASE WHEN ABS(CAST(v AS DOUBLE)) < 5e-11
-        |      THEN 0 ELSE CAST(v AS DOUBLE) END AS VARCHAR)
-        |    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
-        |FROM (SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
-        |      FROM embeddings, range(1, 65) t(i))
-        |GROUP BY label, pos
-        |ORDER BY label, pos""".stripMargin,
-    // per-label farthest-from-centroid outliers: decimal-sum centroids
-    // (the label_centroids device) + the sequential double dist² fold
-    // (the knn_exact_l2 device) + a rank window tiebroken on vec_id
-    "centroid_outliers" ->
-      """WITH cent AS (
-        |  SELECT label, pos,
-        |    CAST(SUM(CAST(CAST(CASE WHEN ABS(CAST(v AS DOUBLE)) < 5e-11
-        |        THEN 0 ELSE CAST(v AS DOUBLE) END AS VARCHAR)
-        |      AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean
-        |  FROM (SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
-        |        FROM embeddings, range(1, 65) t(i))
-        |  GROUP BY label, pos),
-        |carr AS (SELECT label, list(mean ORDER BY pos) AS c FROM cent GROUP BY label),
-        |d AS (
-        |  SELECT e.vec_id, e.label,
-        |    list_sum(list_transform(range(1, len(c) + 1), i ->
-        |      (CAST(e.embedding[i] AS DOUBLE) - c[i]) *
-        |      (CAST(e.embedding[i] AS DOUBLE) - c[i]))) AS dist2
-        |  FROM embeddings e JOIN carr ON e.label = carr.label),
-        |r AS (
-        |  SELECT label, vec_id, dist2,
-        |    row_number() OVER (PARTITION BY label
-        |      ORDER BY dist2 DESC, vec_id ASC) AS rank
-        |  FROM d)
-        |SELECT label, rank, vec_id, dist2 FROM r
-        |WHERE rank <= 10 ORDER BY label, rank""".stripMargin,
-    "knn_batch_exact" ->
-      s"""SELECT src_id, dst_id, dist, rank FROM (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-         |    ${sqlL2sq("a.embedding", "b.embedding")} AS dist,
-         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${sqlL2sq("a.embedding", "b.embedding")} ASC, b.vec_id ASC) AS rank
-         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 20) t
-         |WHERE rank <= 5
-         |ORDER BY src_id, rank""".stripMargin,
-    "similarity_join_exact" ->
-      s"""SELECT a_id, b_id, d AS dist FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
-         |WHERE d < 1.4
-         |ORDER BY a_id, b_id""".stripMargin,
-    "similarity_join_stats" ->
-      s"""SELECT a_id, COUNT(*) AS n_pairs, MIN(d) AS min_dist, MAX(d) AS max_dist
-         |FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
-         |WHERE d < 1.6
-         |GROUP BY a_id
-         |ORDER BY a_id""".stripMargin,
-    "corpus_ingest" ->
-      """SELECT doc_id AS id, trim(text) AS sentence FROM documents
-        |WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    // The embedder L2-normalizes: norm is exactly 1.0 iff the doc has
-    // ≥1 [a-z0-9] token after lowercasing, else 0.0 (see
-    // EmbedOps.embedDocumentsStats).
-    "embed_documents" ->
-      """SELECT doc_id AS id, 64 AS dim,
-        |  CAST(CASE WHEN regexp_matches(lower(text), '[a-z0-9]')
-        |       THEN 1.0 ELSE 0.0 END AS DOUBLE) AS l2_norm
-        |FROM documents
-        |WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    // nprobe = nlist ≡ exact scan (IVFFlat stores raw vectors): the
-    // IVF path's oracle is the brute-force kNN SQL.
-    "ivf_search_full" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // MATERIALIZED on the edge CTEs (here and in every recursive
-    // oracle below): DuckDB re-evaluates an inlined CTE on each
-    // fixpoint iteration, so the all-pairs ε-mine ran once per
-    // reachability step — 291 s → 9.5 s at sf0.1, results identical
-    "cluster_exact" ->
-      s"""WITH RECURSIVE
-         |edges AS MATERIALIZED (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 1.2),
-         |reach(src, node) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         |comp AS (SELECT src AS vid, MIN(node) AS root, COUNT(*) AS csize
-         |         FROM reach GROUP BY src),
-         |rmap AS (SELECT root, ROW_NUMBER() OVER (ORDER BY root) - 1 AS cid
-         |         FROM (SELECT DISTINCT root FROM comp WHERE csize > 1) t)
-         |SELECT c.vid AS vec_id, COALESCE(r.cid, -1) AS cluster_id
-         |FROM comp c LEFT JOIN rmap r ON c.root = r.root
-         |ORDER BY vec_id""".stripMargin,
-    "cluster_sizes" ->
-      s"""WITH RECURSIVE
-         |edges AS MATERIALIZED (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 1.2),
-         |reach(src, node) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         |comp AS (SELECT src AS vid, MIN(node) AS root, COUNT(*) AS csize
-         |         FROM reach GROUP BY src),
-         |rmap AS (SELECT root, ROW_NUMBER() OVER (ORDER BY root) - 1 AS cid
-         |         FROM (SELECT DISTINCT root FROM comp WHERE csize > 1) t)
-         |SELECT r.cid AS cluster_id, COUNT(*) AS size
-         |FROM comp c JOIN rmap r ON c.root = r.root
-         |GROUP BY r.cid
-         |ORDER BY size DESC, cluster_id ASC
-         |LIMIT 100""".stripMargin,
-    // per-query ε range search, exact: the P3 strict-< predicate from a
-    // single probe — fully deterministic, hash-exact
-    "range_search" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |WHERE d < 1.6
-         |ORDER BY d ASC, vec_id ASC""".stripMargin,
-    // nprobe = nlist ≡ exact range search (IVFFlat stores raw vectors)
-    "range_search_ivf" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |WHERE d < 1.6
-         |ORDER BY d ASC, vec_id ASC""".stripMargin,
-    // pruned range search: n_exact is deterministic (restated below);
-    // the flags are invariants the engine must hold (see
-    // IndexAudits.rangeSearchPrunedAudit)
-    "range_search_pruned" ->
-      s"""SELECT CAST(1.6 AS DOUBLE) AS eps, count(*) AS n_exact,
-         |  TRUE AS dists_match_ok, TRUE AS subset_of_exact_ok,
-         |  TRUE AS complete_in_probed_ok, TRUE AS recall_ok
-         |FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |WHERE d < 1.6""".stripMargin,
-    // batched range search: all sampled queries' ε balls in one frame
-    "range_search_batch" ->
-      s"""SELECT src_id, dst_id, d AS dist FROM (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-         |    ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id) t
-         |WHERE d < 1.6
-         |ORDER BY src_id ASC, d ASC, dst_id ASC""".stripMargin,
-    // MIPS (METRIC_INNER_PRODUCT): exact top-k by dot DESC; the IVF
-    // form at nprobe = nlist scans every list and equals it exactly
-    "knn_ip" ->
-      s"""SELECT vec_id, p AS ip FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlDot("a.embedding", "b.embedding")} AS p
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY p DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "knn_ip_ivf" ->
-      s"""SELECT vec_id, p AS ip FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlDot("a.embedding", "b.embedding")} AS p
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY p DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "ip_search_pruned" ->
-      """SELECT 10 AS n_hits, TRUE AS ips_match_ok,
-        |  TRUE AS topk_tight_ok, TRUE AS recall_ok""".stripMargin,
-    "knn_ip_persisted" ->
-      s"""SELECT vec_id, p AS ip FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlDot("a.embedding", "b.embedding")} AS p
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY p DESC, vec_id ASC LIMIT 10""".stripMargin,
-    // fp16 SQ: binary16 has no DuckDB type; deterministic contract flags
-    "knn_f16" ->
-      """SELECT 10 AS n_hits, TRUE AS roundtrip_err_ok,
-        |  TRUE AS dists_close_ok, TRUE AS recall_ok""".stripMargin,
-    // trained QT_8bit: the oracle re-derives the per-dim model and
-    // replays the identical floor/decode/square arithmetic
-    "sq8t_stats" ->
-      s"""WITH dims AS (
-         |  SELECT u.i AS i,
-         |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS vmin,
-         |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS vmax
-         |  FROM embeddings e,
-         |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
-         |  GROUP BY u.i),
-         |model AS (SELECT list(vmin ORDER BY i) AS vm,
-         |  list(vmax - vmin ORDER BY i) AS vd FROM dims),
-         |codes AS (
-         |  SELECT e.vec_id,
-         |    list_transform(range(1, len(e.embedding) + 1), i -> ${sq8tCode}) AS c
-         |  FROM embeddings e, model m)
-         |SELECT vec_id, list_sum(list_transform(c, x -> CAST(x AS BIGINT)))::BIGINT AS code_sum,
-         |  CAST(list_min(c) AS BIGINT) AS code_min,
-         |  CAST(list_max(c) AS BIGINT) AS code_max
-         |FROM codes ORDER BY vec_id""".stripMargin,
-    "ivf_imbalance" ->
-      """SELECT count(*) AS n_vectors, 4 AS n_lists,
-        |  TRUE AS imbalance_ge_one_ok, TRUE AS imbalance_le_nlists_ok
-        |FROM embeddings""".stripMargin,
-    "knn_sq8t" ->
-      s"""WITH dims AS (
-         |  SELECT u.i AS i,
-         |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS vmin,
-         |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS vmax
-         |  FROM embeddings e,
-         |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
-         |  GROUP BY u.i),
-         |model AS (SELECT list(vmin ORDER BY i) AS vm,
-         |  list(vmax - vmin ORDER BY i) AS vd FROM dims),
-         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |scored AS (
-         |  SELECT e.vec_id AS vec_id,
-         |    list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
-         |      ${sq8tErr} * ${sq8tErr})) AS d
-         |  FROM embeddings e, model m, qv q
-         |  WHERE e.vec_id <> 0)
-         |SELECT vec_id, d AS dist FROM scored
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // cosine IVF at nprobe = nlist ≡ the exact cosine scan
-    "knn_cosine_ivf" ->
-      s"""SELECT vec_id, s AS sim FROM (
-         |  SELECT b.vec_id AS vec_id,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS s
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY s DESC, vec_id ASC LIMIT 10""".stripMargin,
-    // search_and_reconstruct: exact top-k + payload restated from the
-    // parquet (recon_dist 0 = the stored vector is the original)
-    "search_reconstruct" ->
-      s"""SELECT t.vec_id, t.d AS dist, len(e.embedding)::BIGINT AS dim,
-         |  CAST(e.embedding[1] AS DOUBLE) AS c0, CAST(0 AS DOUBLE) AS recon_dist
-         |FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
-         |  ORDER BY d ASC, b.vec_id ASC LIMIT 10) t
-         |JOIN embeddings e ON e.vec_id = t.vec_id
-         |ORDER BY dist ASC, t.vec_id ASC""".stripMargin,
-    // index_factory: "IVF4,Flat" at nprobe = nlist ≡ exact scan
-    "factory_search" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // the parser's deterministic component rows
-    "factory_parse" ->
-      """SELECT * FROM (VALUES (0, 'IDMap', 0), (1, 'PCA', 24),
-        |  (2, 'IVF', 4), (3, 'PQ', 8)) t(pos, kind, param)
-        |ORDER BY pos""".stripMargin,
-    // autotune sweep: cost axis is arithmetic; flags are invariants
-    // (recall monotone by candidate-set growth; exact at full probe)
-    "autotune_nprobe" ->
-      """SELECT * FROM (VALUES
-        |  (1, CAST(0.25 AS DOUBLE), TRUE, TRUE, TRUE),
-        |  (2, CAST(0.5  AS DOUBLE), TRUE, TRUE, TRUE),
-        |  (4, CAST(1.0  AS DOUBLE), TRUE, TRUE, TRUE))
-        |  t(nprobe, scan_frac, monotone_ok, full_probe_exact_ok, target_reached_ok)
-        |ORDER BY nprobe""".stripMargin,
-    // IndexShards at nprobe = nlist over a partitioned corpus ≡ exact
-    "sharded_search" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // filtered search: the selector predicate below the top-k — exact
-    // metadata form, id-range IVF form at nprobe = nlist, and the
-    // semi-join metadata form (same contract as the exact one)
-    "knn_filtered" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.label = 1) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    "knn_filtered_ivf" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
-         |    AND b.vec_id >= 100 AND b.vec_id < 400) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    "knn_filtered_meta" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.label = 1) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // pruned filtered search: n_exact is deterministic (the id-range
-    // filtered corpus exceeds k at every sf); the flags are engine
-    // invariants (see IndexAudits.filteredPrunedAudit)
-    "knn_filtered_pruned" ->
-      """SELECT LEAST(10, count(*))::BIGINT AS n_exact,
-        |  TRUE AS dists_match_ok, TRUE AS selector_ok,
-        |  TRUE AS topk_exhaustive_ok, TRUE AS recall_ok
-        |FROM embeddings
-        |WHERE vec_id >= 100 AND vec_id < 400 AND vec_id <> 0""".stripMargin,
-    // remove_ids: search over the survivors — the tombstoned ids
-    // (vec_id ≡ 3 mod 10) never appear; compacted form identical
-    "ivf_remove_search" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.vec_id % 10 <> 3) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    "ivf_remove_compacted" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0 AND b.vec_id % 10 <> 3) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // merge_from: the merged index holds every vector exactly once,
-    // so nprobe = nlist search ≡ the plain exact kNN
-    "ivf_merge_search" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // reconstruct: IVFFlat stores raw vectors, so the reconstruction
-    // is the original embedding bit-for-bit — first component and
-    // dist-to-original recomputed by the oracle from the parquet
-    "ivf_reconstruct" ->
-      """SELECT vec_id, len(embedding)::BIGINT AS dim,
-        |  CAST(embedding[1] AS DOUBLE) AS c0,
-        |  CAST(0 AS DOUBLE) AS recon_dist
-        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin,
-    // persisted index at nprobe = nlist ≡ exact scan (same contract as
-    // ivf_search_full, now via the on-disk partitioned layout).
-    "ivf_persisted_search" ->
-      s"""SELECT vec_id, d AS dist FROM (
-         |  SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS d
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |ORDER BY d ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // ---- seed-/codebook-dependent index internals: the registered
-    // surfaces are self-audits (IndexAudits) whose columns are either
-    // deterministic counts the oracle restates from the base tables or
-    // invariant flags the oracle states literal TRUE. Distance/cosine
-    // recomputation equality, top-k tightness, probed-list membership,
-    // partition bijectivity, and persisted ≡ memory are deterministic
-    // by construction; recall floors are measured at both gate scales
-    // with ≥ 1.4× margin (see IndexAudits scaladoc).
-    "ivf_build_stats" ->
-      """SELECT 4 AS n_lists, count(*) AS n_vectors,
-        |  TRUE AS all_lists_nonempty, TRUE AS ids_bijective
-        |FROM embeddings""".stripMargin,
-    "ivf_append_stats" ->
-      """SELECT 4 AS n_lists, count(*) AS total_rows,
-        |  TRUE AS all_lists_nonempty, TRUE AS shares_sum_ok, TRUE AS covers_all
-        |FROM embeddings""".stripMargin,
-    "ivf_search_pruned" ->
-      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
-        |  TRUE AS topk_tight_ok, TRUE AS recall_ok""".stripMargin,
-    "ivf_persisted_pruned" ->
-      """SELECT 10 AS n_hits, TRUE AS dists_match_ok, TRUE AS topk_tight_ok,
-        |  TRUE AS recall_ok, TRUE AS matches_memory_ok""".stripMargin,
-    "knn_batch_ivf" ->
-      """SELECT vec_id AS src_id, 5 AS n_hits, TRUE AS dists_match_ok,
-        |  TRUE AS ranks_ok, TRUE AS recall_ok
-        |FROM embeddings ORDER BY src_id""".stripMargin,
-    "cluster_ivf" ->
-      """SELECT vec_id, TRUE AS refinement_ok, TRUE AS agreement_ok
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "hard_negatives_lsh" ->
-      """SELECT TRUE AS pairs_nonempty, TRUE AS cross_label_ok,
-        |  TRUE AS sims_match_ok, TRUE AS ranks_ok, TRUE AS recall_ok""".stripMargin,
-    // per-dimension mean/variance through the label_centroids decimal
-    // route (per-row x·x is an exact double; double → shortest string
-    // → DECIMAL(28,10) HALF_UP is engine-identical; decimal sums are
-    // associative, so any shuffle order hash-matches); the eigensolve
-    // invariants are replayable engine flags stated literal TRUE
-    "pca_stats" ->
-      """WITH pp AS (
-        |  SELECT t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
-        |  FROM embeddings, range(1, 65) t(i)),
-        |q AS (
-        |  SELECT pos,
-        |    CAST(CAST(CASE WHEN ABS(v) < 5e-11 THEN 0 ELSE v END
-        |      AS VARCHAR) AS DECIMAL(28,10)) AS dv,
-        |    CAST(CAST(CASE WHEN v * v < 5e-11 THEN 0 ELSE v * v END
-        |      AS VARCHAR) AS DECIMAL(28,10)) AS dvv
-        |  FROM pp),
-        |agg AS (
-        |  SELECT pos,
-        |    CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS mean,
-        |    CAST(SUM(dvv) AS DOUBLE) / COUNT(*) -
-        |      (CAST(SUM(dv) AS DOUBLE) / COUNT(*)) *
-        |      (CAST(SUM(dv) AS DOUBLE) / COUNT(*)) AS var_pop
-        |  FROM q GROUP BY pos)
-        |SELECT pos, mean, var_pop, TRUE AS mean_match_ok,
-        |  TRUE AS eigen_residual_ok, TRUE AS orthonormal_ok,
-        |  TRUE AS eigvals_ok, TRUE AS trace_matches_ok
-        |FROM agg ORDER BY pos""".stripMargin,
-    "knn_pca_rerank" ->
-      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
-        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
-    "pca_persisted" ->
-      """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
-        |  2::BIGINT AS n_waves, TRUE AS counts_match_ok,
-        |  TRUE AS means_match_ok, TRUE AS trace_match_ok,
-        |  TRUE AS eigvals_match_ok, TRUE AS orthonormal_ok,
-        |  TRUE AS replay_noop_ok""".stripMargin,
-    // full greedy MMR replay: the recursive CTE carries the selected
-    // set, re-ranks the remaining shortlist by
-    // 0.7·sim(q,d) − 0.3·max_sim(d, selected) each step, and picks the
-    // (score DESC, vec_id ASC) head — every double is the same
-    // fixed-order IEEE sequence the engine computes, so the result
-    // hash-matches bit-for-bit (coefficients are literals on both
-    // sides; 1 − 0.7 would differ from 0.3 in the last ulp)
-    "mmr_rerank" ->
-      s"""WITH RECURSIVE short AS MATERIALIZED (
-         |  SELECT b.vec_id, b.embedding,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS simq
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
-         |  ORDER BY simq DESC, b.vec_id ASC LIMIT 30),
-         |pick(rank, vec_id, mmr_score, sel) AS (
-         |  (SELECT 1, vec_id, 0.7 * simq - 0.3 * 0.0, [vec_id] FROM short
-         |   ORDER BY 0.7 * simq - 0.3 * 0.0 DESC, vec_id ASC LIMIT 1)
-         |  UNION ALL
-         |  (SELECT p.rank + 1, c.vec_id,
-         |     0.7 * c.simq - 0.3 * max(${sqlDot("c.embedding", "s.embedding")} /
-         |       (sqrt(${sqlDot("c.embedding", "c.embedding")}) * sqrt(${sqlDot("s.embedding", "s.embedding")}))),
-         |     list_append(p.sel, c.vec_id)
-         |   FROM pick p
-         |   JOIN short c ON NOT list_contains(p.sel, c.vec_id)
-         |   JOIN short s ON list_contains(p.sel, s.vec_id)
-         |   WHERE p.rank < 10
-         |   GROUP BY p.rank, p.sel, c.vec_id, c.simq
-         |   ORDER BY 0.7 * c.simq - 0.3 * max(${sqlDot("c.embedding", "s.embedding")} /
-         |       (sqrt(${sqlDot("c.embedding", "c.embedding")}) * sqrt(${sqlDot("s.embedding", "s.embedding")}))) DESC,
-         |     c.vec_id ASC
-         |   LIMIT 1)
-         |)
-         |SELECT rank::BIGINT AS rank, vec_id, mmr_score FROM pick
-         |ORDER BY rank""".stripMargin,
-    // batch form: one recursive CTE advances EVERY query's greedy one
-    // step per iteration — per-qid argmax via a row_number window
-    // (QUALIFY), selected-set list state per qid; same fixed-order
-    // doubles as the engine's per-group greedy, so it hash-matches
-    "mmr_batch" ->
-      s"""WITH RECURSIVE short AS MATERIALIZED (
-         |  SELECT a.vec_id AS qid, b.vec_id, b.embedding,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS simq
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
-         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
-         |    ORDER BY ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) DESC,
-         |      b.vec_id ASC) <= 20),
-         |pick(qid, rank, vec_id, mmr_score, sel) AS (
-         |  (SELECT qid, 1, vec_id, 0.7 * simq - 0.3 * 0.0, [vec_id] FROM short
-         |   QUALIFY row_number() OVER (PARTITION BY qid
-         |     ORDER BY 0.7 * simq - 0.3 * 0.0 DESC, vec_id ASC) = 1)
-         |  UNION ALL
-         |  (SELECT * FROM (
-         |     SELECT c.qid, p.rank + 1 AS rank, c.vec_id,
-         |       0.7 * c.simq - 0.3 * max(${sqlDot("c.embedding", "s.embedding")} /
-         |         (sqrt(${sqlDot("c.embedding", "c.embedding")}) * sqrt(${sqlDot("s.embedding", "s.embedding")}))) AS mmr_score,
-         |       list_append(p.sel, c.vec_id) AS sel
-         |     FROM pick p
-         |     JOIN short c ON c.qid = p.qid AND NOT list_contains(p.sel, c.vec_id)
-         |     JOIN short s ON s.qid = p.qid AND list_contains(p.sel, s.vec_id)
-         |     WHERE p.rank < 5
-         |     GROUP BY c.qid, p.rank, p.sel, c.vec_id, c.simq)
-         |   QUALIFY row_number() OVER (PARTITION BY qid, rank
-         |     ORDER BY mmr_score DESC, vec_id ASC) = 1)
-         |)
-         |SELECT qid, rank::BIGINT AS rank, vec_id, mmr_score FROM pick
-         |ORDER BY qid, rank""".stripMargin,
-    "knn_pq" ->
-      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
-        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
-    "ivf_search_pq" ->
-      """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
-        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
-    "mmr_ivf" ->
-      """SELECT 10 AS n_rows, TRUE AS ranks_ok, TRUE AS ids_distinct_ok,
-        |  TRUE AS not_self_ok, TRUE AS hits_in_probed_ok,
-        |  TRUE AS first_score_ok, TRUE AS recall_ok""".stripMargin,
-    "ivf_pq_pca_search" ->
-      """SELECT 10 AS n_hits, TRUE AS dists_match_ok, TRUE AS hits_in_probed_ok,
-        |  TRUE AS not_self_ok, TRUE AS recall_ok""".stripMargin,
-    "ivf_pq_pca_persisted" ->
-      """SELECT 10 AS n_hits, TRUE AS results_match_ok,
-        |  TRUE AS model_roundtrip_ok, TRUE AS not_self_ok""".stripMargin,
-    "ivf_pq_pca_append" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-        |  CAST(COUNT(*) - COUNT(*) // 2 AS BIGINT) AS n_appended,
-        |  TRUE AS replay_noop_ok, TRUE AS coverage_ok,
-        |  TRUE AS codes_match_ok, TRUE AS search_ok
-        |FROM embeddings""".stripMargin,
-    "pq_persisted_search" ->
-      """SELECT 10 AS n_hits, TRUE AS matches_memory_ok""".stripMargin,
-    "pq_stats" ->
-      """SELECT 8 AS n_subspaces, TRUE AS mass_ok, TRUE AS codes_in_range_ok""".stripMargin,
-    "ivf_search_quantized" ->
-      """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
-        |  TRUE AS sims_bounded_ok, TRUE AS recall_vs_flat_ok""".stripMargin,
-    "ivf_search_binary" ->
-      """SELECT 10 AS n_hits, TRUE AS hits_in_probed_ok,
-        |  TRUE AS hamming_bounded_ok, TRUE AS recall_vs_flat_ok""".stripMargin,
-    "doc_dedup" ->
-      """SELECT doc_id, TRUE AS canon_min_ok, TRUE AS one_kept_ok,
-        |  TRUE AS dup_merged_ok
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "doc_knn" ->
-      """SELECT 10 AS n_hits, TRUE AS dists_match_ok,
-        |  TRUE AS not_self_ok, TRUE AS topk_tight_ok""".stripMargin,
-    // rate = sqrt(n_min/n_lang): division, sqrt, and truncation are
-    // IEEE-identical in both engines; DuckDB floor == Spark's
-    // nonnegative long cast
-    "temperature_mixture" ->
-      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
-        |m AS (SELECT min(n_lang) AS n_min FROM c),
-        |r AS (SELECT lang, n_lang, n_min,
-        |    CASE WHEN n_lang = n_min THEN 'g'
-        |         ELSE lpad(lower(to_hex(CAST(floor(
-        |           sqrt(n_min::DOUBLE / n_lang) * 4294967296.0) AS BIGINT))), 8, '0')
-        |    END AS hex_threshold
-        |  FROM c CROSS JOIN m)
-        |SELECT d.doc_id, d.lang,
-        |  substr(md5('temp' || d.doc_id::VARCHAR), 1, 8) < r.hex_threshold AS kept
-        |FROM documents d JOIN r USING (lang)
-        |ORDER BY d.doc_id""".stripMargin,
-    // BPE initial segmentation = chars + '</w>' end marker; adjacent
-    // pairs weighted by word frequency, top-25 by (weight, pair)
-    "bpe_pair_counts" ->
-      s"""WITH $sqlCorpusToks,
-         |wf AS (
-         |  SELECT term AS word, count(*) AS freq
-         |  FROM (SELECT unnest(toks) AS term FROM corpus) GROUP BY term),
-         |pr AS (
-         |  SELECT substr(word, i::INT, 1) AS left_sym,
-         |    CASE WHEN i = length(word) THEN '</w>'
-         |         ELSE substr(word, i::INT + 1, 1) END AS right_sym,
-         |    freq
-         |  FROM wf, unnest(range(1, length(word) + 1)) AS u(i))
-         |SELECT left_sym, right_sym, sum(freq)::BIGINT AS weight
-         |FROM pr GROUP BY left_sym, right_sym
-         |ORDER BY weight DESC, left_sym ASC, right_sym ASC
-         |LIMIT 25""".stripMargin,
-    // encoder audit: n_words restates as distinct tokens; the
-    // roundtrip/bounds invariants are engine-verified per word and
-    // oracle-stated TRUE; n_merges interpolates Bpe.DefaultMerges so
-    // the operator default and the oracle cannot drift (the corpus has
-    // far more mergeable pairs than that at every gate scale)
-    "bpe_encode_audit" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT count(DISTINCT term)::BIGINT AS n_words,
-         |  TRUE AS all_roundtrip, TRUE AS all_in_bounds,
-         |  ${Bpe.DefaultMerges}::BIGINT AS n_merges
-         |FROM (SELECT unnest(toks) AS term FROM corpus)""".stripMargin,
-    // the bloom path must reproduce the plain semi-join exactly (the
-    // probe only moves WHERE non-matching rows are dropped)
-    "bloom_semi_join" ->
-      """SELECT l_returnflag, count(*) AS n_items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem
-        |WHERE l_orderkey IN (
-        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-    // span-level exact substring dedup: the oracle restates the whole
-    // construction — 8-token windows (chr(1)-joined, collision-free
-    // over [a-z0-9]+ tokens), global occurrence >= 2, gaps-and-islands
-    // merge of overlapping windows into maximal spans
-    "dup_spans" ->
-      s"""WITH $sqlCorpusToks,
-         |tok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
-         |win AS (
-         |  SELECT id, p - 1 AS pos,
-         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
-         |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(p)),
-         |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
-         |marked AS (SELECT w.id, w.pos FROM win w JOIN dup USING (wtext)),
-         |isl AS (
-         |  SELECT id, pos,
-         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
-         |      (PARTITION BY id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS new_island
-         |  FROM marked),
-         |isl2 AS (SELECT id, pos,
-         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
-         |  FROM isl)
-         |SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end,
-         |  count(*) AS n_windows
-         |FROM isl2 GROUP BY id, island
-         |ORDER BY id, span_start""".stripMargin,
-    "span_dup_stats" ->
-      s"""WITH $sqlCorpusToks,
-         |tok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
-         |win AS (
-         |  SELECT id, p - 1 AS pos,
-         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
-         |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(p)),
-         |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
-         |marked AS (SELECT w.id, w.pos FROM win w JOIN dup USING (wtext)),
-         |isl AS (
-         |  SELECT id, pos,
-         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
-         |      (PARTITION BY id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS new_island
-         |  FROM marked),
-         |isl2 AS (SELECT id, pos,
-         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
-         |  FROM isl),
-         |st AS (
-         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
-         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
-         |        FROM isl2 GROUP BY id, island) GROUP BY id)
-         |SELECT c.id, len(c.toks)::BIGINT AS n_tokens,
-         |  coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
-         |  CASE WHEN len(c.toks) = 0 THEN 0.0
-         |       ELSE coalesce(st.dup_tokens, 0) / len(c.toks) END AS dup_fraction
-         |FROM corpus c LEFT JOIN st USING (id)
-         |ORDER BY c.id""".stripMargin,
-    // stupid-backoff trigram LM: the oracle restates the whole model —
-    // exact n-gram counts, longest-available-context scoring with the
-    // 0.4-discount backoff chain, per-token round(log10, 6) BEFORE the
-    // DECIMAL per-doc sum (order-free; the only libm call is log10 and
-    // its <=1-ulp platform spread dies in the rounding)
-    "lm_trigram_head" ->
-      s"""WITH $sqlLmCounts
-         |SELECT k, c3 FROM tri ORDER BY c3 DESC, k ASC LIMIT 25""".stripMargin,
-    "lm_score" ->
-      s"""WITH $sqlLmScored
-         |SELECT id, count(lp)::BIGINT AS n_scored,
-         |  (count(*) - count(lp))::BIGINT AS n_oov,
-         |  CAST(sum(lp) AS DOUBLE) AS log10_score,
-         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(lp)), 6) AS ppl
-         |FROM sc GROUP BY id ORDER BY id""".stripMargin,
-    // composed curation verdict: LM chain (sqlLmScored) + NB chain
-    // (nbtot avoids the `tot` collision) + span-dup chain + quality/
-    // canonical window, equi-joined on id; 1/3 dup-fraction threshold
-    // and tercile cutoff restated literally
-    "curation_scorecard" -> scorecardSql(""),
-    // incremental wave surface: the SAME chain restricted to the wave
-    // ids (every 5th doc) — the engine side scores ONLY the wave
-    // against the persisted additive logs, so equality here proves
-    // incremental scoring == batch scoring restricted to the wave
-    "scorecard_wave" -> scorecardSql("WHERE q.id % 5 = 0 "),
-    // split-trained incoming oracle: LM/NB counts from the ADMITTED
-    // half only, wave positions scored against them (OOV legal), the
-    // tercile cut ROWS re-derived as the admitted order's NTILE
-    // boundary elements, and dedup/span signals over the FULL corpus
-    // (virtual union ≡ full since admitted ∪ wave = corpus)
-    "scorecard_incoming" ->
-      s"""WITH $sqlCorpusToks,
-         |docs AS (SELECT id, toks FROM corpus WHERE len(toks) > 0 AND id % 5 <> 0),
-         |uni AS (
-         |  SELECT w, count(*)::BIGINT AS c1
-         |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
-         |tot AS (SELECT sum(c1)::BIGINT AS n_total FROM uni),
-         |bi AS (
-         |  SELECT k, count(*)::BIGINT AS c2
-         |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
-         |                i -> toks[i] || ' ' || toks[i+1])) AS k
-         |        FROM docs WHERE len(toks) >= 2) GROUP BY k),
-         |tri AS (
-         |  SELECT k, count(*)::BIGINT AS c3
-         |  FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
-         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS k
-         |        FROM docs WHERE len(toks) >= 3) GROUP BY k),
-         |sdocs AS (SELECT id, toks FROM corpus WHERE len(toks) > 0 AND id % 5 = 0),
-         |pos AS (
-         |  SELECT id, i, toks[i] AS w,
-         |    CASE WHEN i >= 2 THEN toks[i-1] END AS u,
-         |    CASE WHEN i >= 3 THEN toks[i-2] END AS v
-         |  FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS i FROM sdocs)),
-         |keyed AS (
-         |  SELECT id, w, u, v,
-         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u || ' ' || w END AS k3,
-         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u END AS kc2,
-         |    CASE WHEN u IS NOT NULL THEN u || ' ' || w END AS k2
-         |  FROM pos),
-         |sc AS (
-         |  SELECT kd.id,
-         |    CAST(round(log10(CASE
-         |      WHEN kd.v IS NOT NULL AND t3.c3 IS NOT NULL
-         |        THEN t3.c3::DOUBLE / bc.c2::DOUBLE
-         |      WHEN kd.u IS NOT NULL AND b2.c2 IS NOT NULL
-         |        THEN (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
-         |             * b2.c2::DOUBLE / uc.c1::DOUBLE
-         |      ELSE (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
-         |                 WHEN kd.u IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
-         |           * uw.c1::DOUBLE / tot.n_total::DOUBLE END), 6) AS DECIMAL(18,6)) AS lp
-         |  FROM keyed kd
-         |  LEFT JOIN tri t3 ON kd.k3 = t3.k
-         |  LEFT JOIN bi bc ON kd.kc2 = bc.k
-         |  LEFT JOIN bi b2 ON kd.k2 = b2.k
-         |  LEFT JOIN uni uc ON kd.u = uc.w
-         |  LEFT JOIN uni uw ON kd.w = uw.w
-         |  CROSS JOIN tot),
-         |agg AS (
-         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
-         |  FROM sc GROUP BY id),
-         |lmq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
-         |apos AS (
-         |  SELECT id, i, toks[i] AS w,
-         |    CASE WHEN i >= 2 THEN toks[i-1] END AS u,
-         |    CASE WHEN i >= 3 THEN toks[i-2] END AS v
-         |  FROM (SELECT id, toks, unnest(range(1, len(toks) + 1)) AS i FROM docs)),
-         |akeyed AS (
-         |  SELECT id, w, u, v,
-         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u || ' ' || w END AS k3,
-         |    CASE WHEN v IS NOT NULL THEN v || ' ' || u END AS kc2,
-         |    CASE WHEN u IS NOT NULL THEN u || ' ' || w END AS k2
-         |  FROM apos),
-         |asc2 AS (
-         |  SELECT kd.id,
-         |    CAST(round(log10(CASE
-         |      WHEN kd.v IS NOT NULL AND t3.c3 IS NOT NULL
-         |        THEN t3.c3::DOUBLE / bc.c2::DOUBLE
-         |      WHEN kd.u IS NOT NULL AND b2.c2 IS NOT NULL
-         |        THEN (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
-         |             * b2.c2::DOUBLE / uc.c1::DOUBLE
-         |      ELSE (CASE WHEN kd.v IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
-         |                 WHEN kd.u IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END)
-         |           * uw.c1::DOUBLE / tot.n_total::DOUBLE END), 6) AS DECIMAL(18,6)) AS lp
-         |  FROM akeyed kd
-         |  LEFT JOIN tri t3 ON kd.k3 = t3.k
-         |  LEFT JOIN bi bc ON kd.kc2 = bc.k
-         |  LEFT JOIN bi b2 ON kd.k2 = b2.k
-         |  LEFT JOIN uni uc ON kd.u = uc.w
-         |  LEFT JOIN uni uw ON kd.w = uw.w
-         |  CROSS JOIN tot),
-         |aagg AS (
-         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
-         |  FROM asc2 GROUP BY id),
-         |almq AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM aagg),
-         |an AS (SELECT count(*)::BIGINT AS n FROM almq),
-         |crk AS (SELECT 1*(n//3) + LEAST(1::BIGINT, n%3) AS s1,
-         |               2*(n//3) + LEAST(2::BIGINT, n%3) AS s2 FROM an),
-         |aord AS (SELECT ppl, id, row_number() OVER (ORDER BY ppl, id) AS rn FROM almq),
-         |cut1 AS (SELECT a.ppl AS p1, a.id AS i1 FROM aord a, crk WHERE a.rn = crk.s1),
-         |cut2 AS (SELECT a.ppl AS p2, a.id AS i2 FROM aord a, crk WHERE a.rn = crk.s2),
-         |lmb AS (
-         |  SELECT q.id, q.ppl,
-         |    CASE WHEN q.ppl IS NOT NULL THEN
-         |      (1 + (CASE WHEN q.ppl > c1.p1 OR (q.ppl = c1.p1 AND q.id > c1.i1) THEN 1 ELSE 0 END)
-         |         + (CASE WHEN q.ppl > c2.p2 OR (q.ppl = c2.p2 AND q.id > c2.i2) THEN 1 ELSE 0 END))::BIGINT
-         |    END AS ppl_bucket
-         |  FROM lmq q CROSS JOIN cut1 c1 CROSS JOIN cut2 c2),
-         |qual AS (
-         |  SELECT id,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
-         |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept
-         |  FROM corpus),
-         |alab AS (
-         |  SELECT id, toks,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS label
-         |  FROM corpus WHERE id % 5 <> 0),
-         |wlab AS (
-         |  SELECT id, toks,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS label
-         |  FROM corpus WHERE id % 5 = 0),
-         |aex AS (SELECT id, label, unnest(toks) AS w FROM alab),
-         |voc AS (
-         |  SELECT w,
-         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
-         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
-         |  FROM aex GROUP BY w),
-         |nbtot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
-         |                 count(*)::BIGINT AS v FROM voc),
-         |wt AS (
-         |  SELECT w,
-         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
-         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
-         |         AS DECIMAL(18,6)) AS wgt
-         |  FROM voc CROSS JOIN nbtot),
-         |wun AS (
-         |  SELECT CAST(round(log10(1::DOUBLE / (npos + v)::DOUBLE)
-         |            - log10(1::DOUBLE / (nneg + v)::DOUBLE), 6)
-         |        AS DECIMAL(18,6)) AS wu
-         |  FROM nbtot),
-         |pri AS (
-         |  SELECT CAST(round(log10(
-         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
-         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
-         |    AS DECIMAL(18,6)) AS prior
-         |  FROM alab),
-         |wtf AS (SELECT id, w, count(*)::BIGINT AS tf
-         |        FROM (SELECT id, unnest(toks) AS w FROM wlab) GROUP BY id, w),
-         |docsum AS (
-         |  SELECT t.id, sum(t.tf * coalesce(wt.wgt, u.wu)) AS s
-         |  FROM wtf t LEFT JOIN wt USING (w) CROSS JOIN wun u GROUP BY t.id),
-         |nbq AS (
-         |  SELECT l.id, (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep
-         |  FROM wlab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p),
-         |stok AS (SELECT id, toks FROM corpus WHERE len(toks) >= 8),
-         |swin AS (
-         |  SELECT id, p - 1 AS pos,
-         |    array_to_string(list_slice(toks, p, p + 7), chr(1)) AS wtext
-         |  FROM stok, unnest(range(1, len(toks) - 6)) AS u(p)),
-         |sdup AS (SELECT wtext FROM swin GROUP BY wtext HAVING count(*) >= 2),
-         |smarked AS (SELECT w.id, w.pos FROM swin w JOIN sdup USING (wtext)),
-         |sisl AS (
-         |  SELECT id, pos,
-         |    CASE WHEN pos > coalesce(max(pos + 8) OVER
-         |      (PARTITION BY id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS new_island
-         |  FROM smarked),
-         |sisl2 AS (SELECT id, pos,
-         |    sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
-         |  FROM sisl),
-         |sst AS (
-         |  SELECT id, sum(mx - mn + 8) AS dup_tokens
-         |  FROM (SELECT id, island, min(pos) AS mn, max(pos) AS mx
-         |        FROM sisl2 GROUP BY id, island) GROUP BY id),
-         |spanq AS (
-         |  SELECT c.id,
-         |    CASE WHEN len(c.toks) = 0 THEN 0.0
-         |         ELSE coalesce(sst.dup_tokens, 0) / len(c.toks) END AS dup_fraction
-         |  FROM corpus c LEFT JOIN sst ON c.id = sst.id)
-         |SELECT q.id, q.keep_quality, n.nb_keep, q.dedup_kept,
-         |  b.ppl, b.ppl_bucket, s.dup_fraction,
-         |  (q.keep_quality AND n.nb_keep AND q.dedup_kept
-         |   AND s.dup_fraction < 1.0/3.0
-         |   AND coalesce(b.ppl_bucket < 3, FALSE)) AS final_keep
-         |FROM qual q
-         |JOIN nbq n ON q.id = n.id
-         |LEFT JOIN lmb b ON q.id = b.id
-         |JOIN spanq s ON q.id = s.id
-         |WHERE q.id % 5 = 0
-         |ORDER BY q.id""".stripMargin,
-    // persisted-model path: identical counts after the per-key log
-    // sums, so the lm_score oracle applies verbatim
-    "lm_persisted_score" ->
-      s"""WITH $sqlLmScored
-         |SELECT id, count(lp)::BIGINT AS n_scored,
-         |  (count(*) - count(lp))::BIGINT AS n_oov,
-         |  CAST(sum(lp) AS DOUBLE) AS log10_score,
-         |  round(pow(10.0::DOUBLE, -(CAST(sum(lp) AS DOUBLE)) / count(lp)), 6) AS ppl
-         |FROM sc GROUP BY id ORDER BY id""".stripMargin,
-    "lm_ppl_buckets" ->
-      s"""WITH $sqlLmScored,
-         |agg AS (
-         |  SELECT id, count(lp)::BIGINT AS n_scored, CAST(sum(lp) AS DOUBLE) AS lsum
-         |  FROM sc GROUP BY id),
-         |p AS (SELECT id, round(pow(10.0::DOUBLE, -lsum / n_scored), 6) AS ppl FROM agg),
-         |b AS (SELECT id, ppl, ntile(3) OVER (ORDER BY ppl, id) AS bucket FROM p)
-         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
-         |  min(ppl) AS min_ppl, max(ppl) AS max_ppl,
-         |  CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS sum_ppl
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
-    // sketch-only twin: GK cut values are engine-specific, so the
-    // oracle pins the deterministic contract — exact scored-doc count
-    // plus the GK rank-guarantee / monotonicity / within-one-bucket
-    // flags, all literal TRUE (value_percentiles_approx pattern)
-    "lm_ppl_buckets_t" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT count(*)::BIGINT AS n_docs,
-         |  TRUE AS cut1_ok, TRUE AS cut2_ok,
-         |  TRUE AS monotone_ok, TRUE AS within_one_ok
-         |FROM corpus WHERE len(toks) > 0""".stripMargin,
-    // multinomial NB on qualityKeep weak labels: the oracle restates
-    // the full model — exact class counts, Laplace weights rounded to
-    // DECIMAL(18,6) before any sum, tf·weight decimal accumulation
-    "nb_quality" ->
-      s"""WITH $sqlCorpusToks,
-         |lab AS (
-         |  SELECT id, toks,
-         |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |     AND len(toks) >= 5 AND len(toks) <= 100000
-         |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |         / greatest(len(toks), 1) > 0.0) AS label
-         |  FROM corpus),
-         |ex AS (SELECT id, label, unnest(toks) AS w FROM lab),
-         |voc AS (
-         |  SELECT w,
-         |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS cpos,
-         |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS cneg
-         |  FROM ex GROUP BY w),
-         |tot AS (SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
-         |               count(*)::BIGINT AS v FROM voc),
-         |wt AS (
-         |  SELECT w,
-         |    CAST(round(log10((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
-         |             - log10((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE), 6)
-         |         AS DECIMAL(18,6)) AS wgt
-         |  FROM voc CROSS JOIN tot),
-         |pri AS (
-         |  SELECT CAST(round(log10(
-         |      sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
-         |      sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE), 6)
-         |    AS DECIMAL(18,6)) AS prior
-         |  FROM lab),
-         |tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM ex GROUP BY id, w),
-         |docsum AS (
-         |  SELECT tf.id, sum(tf.tf * wt.wgt) AS s
-         |  FROM tf JOIN wt USING (w) GROUP BY tf.id)
-         |SELECT l.id, len(l.toks)::BIGINT AS n_tokens,
-         |  CAST(coalesce(d.s, 0) + p.prior AS DOUBLE) AS log_odds,
-         |  (coalesce(d.s, 0) + p.prior) > 0 AS nb_keep,
-         |  l.label AS heuristic_keep,
-         |  ((coalesce(d.s, 0) + p.prior) > 0) = l.label AS agree
-         |FROM lab l LEFT JOIN docsum d ON l.id = d.id CROSS JOIN pri p
-         |ORDER BY l.id""".stripMargin,
-    // CSV sink → CSV source round trip must reproduce the corpus with
-    // positional ids (file order = id order).
-    "ingest_csv" ->
-      """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id,
-        |  trim(text) AS sentence
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    "ingest_lines" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), 'alpha'),
-        |  (CAST(1 AS BIGINT), 'beta'),
-        |  (CAST(2 AS BIGINT), 'gamma delta')) AS t(id, sentence)
-        |ORDER BY id""".stripMargin,
-    "ingest_jsonl" ->
-      """SELECT doc_id, lang, source, length(text) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "ingest_orc" ->
-      """SELECT doc_id, lang, source, length(text) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // cogroup funnel: first-click anchoring restated as SQL aggregates;
-    // exact epoch-micros arithmetic end to end
-    "user_conversion" ->
-      """WITH c AS (
-        |  SELECT user_id, count(*) AS n_clicks, min(epoch_us(ts)) AS first_click
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
-        |p AS (
-        |  SELECT user_id, count(*) AS n_purchases
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-        |f AS (
-        |  SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv
-        |  FROM events e JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.first_click
-        |  GROUP BY e.user_id)
-        |SELECT c.user_id, c.n_clicks,
-        |  coalesce(p.n_purchases, 0) AS n_purchases,
-        |  f.first_conv - c.first_click AS conv_latency_us
-        |FROM c
-        |LEFT JOIN p ON c.user_id = p.user_id
-        |LEFT JOIN f ON c.user_id = f.user_id
-        |ORDER BY c.user_id""".stripMargin,
-    // GROUPING SETS marginals; NULLS FIRST mirrored (Spark asc default)
-    "grouping_sets_docs" ->
-      """SELECT lang, source, count(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents WHERE length(trim(text)) > 0
-        |GROUP BY GROUPING SETS ((lang), (source), ())
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-    // hopping windows: every event lands in exactly size/slide = 4
-    // windows; the cross join against range(4) reconstructs them
-    "events_hopping" ->
-      """SELECT strftime(to_timestamp(floor(epoch(ts) / 900) * 900)
-        |          - k.range * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M') AS w_start,
-        |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events, range(4) k
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    "corpus_display" ->
-      """SELECT COUNT(*) AS n_docs,
-        |  string_agg(sentence, chr(10) ORDER BY id) AS joined
-        |FROM (SELECT doc_id AS id, trim(text) AS sentence FROM documents
-        |      WHERE length(trim(text)) > 0 ORDER BY id LIMIT 500)""".stripMargin,
-    // PII scrub: same injected-PII derivation, same regexes (restated
-    // from TextAnalytics.EmailRe/PhoneRe/Ipv4Re), same email → phone →
-    // IP pass order with counts on the previous pass's output
-    "pii_scrub" ->
-      s"""WITH p AS (
-         |  SELECT doc_id,
-         |    text ||
-         |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR
-         |      || '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END ||
-         |    CASE WHEN doc_id % 4 = 0 THEN ' call ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
-         |      || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR
-         |      || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS text
-         |  FROM documents),
-         |s1 AS (SELECT doc_id, text,
-         |  regexp_replace(text, '${TextAnalytics.EmailRe}', '<EMAIL>', 'g') AS t1 FROM p),
-         |s2 AS (SELECT doc_id, text, t1,
-         |  regexp_replace(t1, '${TextAnalytics.PhoneRe}', '<PHONE>', 'g') AS t2 FROM s1)
-         |SELECT doc_id,
-         |  len(regexp_extract_all(text, '${TextAnalytics.EmailRe}'))::BIGINT AS n_emails,
-         |  len(regexp_extract_all(t1, '${TextAnalytics.PhoneRe}'))::BIGINT AS n_phones,
-         |  len(regexp_extract_all(t2, '${TextAnalytics.Ipv4Re}'))::BIGINT AS n_ips,
-         |  regexp_replace(t2, '${TextAnalytics.Ipv4Re}', '<IP>', 'g') AS clean
-         |FROM s2 ORDER BY doc_id""".stripMargin,
-    // boilerplate-line removal: df >= 5 lines dropped, order kept
-    "boilerplate_scrub" ->
-      """WITH corpus AS (
-        |  SELECT doc_id,
-        |    ['SUBSCRIBE TO OUR NEWSLETTER','Accept all cookies to continue',
-        |     'Share this article on social media','Copyright 2024 Example Corp',
-        |     'Click here to read more'][CAST(doc_id % 5 AS INT) + 1]
-        |    || chr(10) || text || chr(10) ||
-        |    ['All rights reserved','Terms of service apply',
-        |     'Powered by Example CMS'][CAST(doc_id % 3 AS INT) + 1]
-        |    || (CASE WHEN doc_id % 50 = 0
-        |         THEN chr(10) || 'Limited time offer - subscribe today' ELSE '' END)
-        |      AS text
-        |  FROM documents),
-        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus),
-        |lines AS (
-        |  SELECT doc_id, u.i - 1 AS pos, trim(p[u.i]) AS line
-        |  FROM parts, LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) u),
-        |dfc AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
-        |kept AS (SELECT l.doc_id, l.pos, l.line
-        |  FROM lines l JOIN dfc USING (line) WHERE df < 5),
-        |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
-        |ka AS (SELECT doc_id, count(*) AS n_kept,
-        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT nl.doc_id, nl.n_lines,
-        |  coalesce(ka.n_kept, 0) AS n_kept,
-        |  coalesce(ka.clean_text, '') AS clean_text
-        |FROM nl LEFT JOIN ka USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    "text_stats" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT id, length(sentence) AS n_chars, len(toks) AS n_tokens,
-         |  len(list_distinct(toks)) AS n_distinct_tokens,
-         |  coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS max_token_len
-         |FROM corpus ORDER BY id""".stripMargin,
-    "text_quality" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT id,
-         |  length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) AS alpha_ratio,
-         |  length(regexp_replace(sentence, '[^0-9]', '', 'g'))::DOUBLE / length(sentence) AS digit_ratio,
-         |  length(regexp_replace(sentence, '[^ ]', '', 'g'))::DOUBLE / length(sentence) AS space_ratio,
-         |  len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |    / greatest(len(toks), 1) AS stopword_ratio,
-         |  (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |   AND len(toks) >= 5 AND len(toks) <= 100000
-         |   AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |       / greatest(len(toks), 1) > 0.0) AS keep
-         |FROM corpus ORDER BY id""".stripMargin,
-    // fixed-width alpha-ratio histogram: bin = least(floor(score*20), 19)
-    // rounds the same IEEE double once on both sides; counts and the
-    // cumulative are exact integers — hash-exact
-    "quality_hist" ->
-      s"""WITH $sqlCorpusToks,
-         |s AS (
-         |  SELECT LEAST(FLOOR((length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE
-         |    / length(sentence)) * 20), 19)::INT AS bin
-         |  FROM corpus),
-         |hist AS (SELECT bin, count(*)::BIGINT AS n FROM s GROUP BY bin)
-         |SELECT bin, n, SUM(n) OVER (ORDER BY bin)::BIGINT AS cum
-         |FROM hist ORDER BY bin""".stripMargin,
-    // tercile cuts from the histogram, flags recomputed end-to-end:
-    // target ranks floor(n/3) / floor(2n/3), cut bin = first bin whose
-    // cumulative reaches the target, estimate = its upper edge, and
-    // the direct second-path recount with the bin-population rank
-    // bound — every value and flag derived identically in both engines
-    "hist_cuts" ->
-      s"""WITH $sqlCorpusToks,
-         |s AS (
-         |  SELECT LEAST(FLOOR((length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE
-         |    / length(sentence)) * 20), 19)::INT AS bin
-         |  FROM corpus),
-         |hist AS (SELECT bin, count(*)::BIGINT AS n FROM s GROUP BY bin),
-         |h AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin)::BIGINT AS cum FROM hist),
-         |t AS (SELECT MAX(cum) AS nd, MAX(cum) // 3 AS t1, 2 * MAX(cum) // 3 AS t2 FROM h),
-         |c1 AS (SELECT MIN(bin) AS b FROM h, t WHERE cum >= t1),
-         |c2 AS (SELECT MIN(bin) AS b FROM h, t WHERE cum >= t2),
-         |k1 AS (SELECT h.bin, h.n, h.cum FROM h, c1 WHERE h.bin = c1.b),
-         |k2 AS (SELECT h.bin, h.n, h.cum FROM h, c2 WHERE h.bin = c2.b),
-         |d AS (
-         |  SELECT SUM(CASE WHEN s.bin <= c1.b THEN 1 ELSE 0 END)::BIGINT AS le1,
-         |         SUM(CASE WHEN s.bin <= c2.b THEN 1 ELSE 0 END)::BIGINT AS le2
-         |  FROM s, c1, c2)
-         |SELECT t.nd AS n_docs, t.t1, t.t2,
-         |  (k1.bin + 1)::DOUBLE / 20 AS c1_est,
-         |  (k2.bin + 1)::DOUBLE / 20 AS c2_est,
-         |  (d.le1 = k1.cum AND d.le2 = k2.cum) AS faithful_ok,
-         |  (d.le1 >= t.t1 AND d.le1 - t.t1 <= k1.n) AS rank1_bound_ok,
-         |  (d.le2 >= t.t2 AND d.le2 - t.t2 <= k2.n) AS rank2_bound_ok,
-         |  ((k1.bin + 1)::DOUBLE / 20 <= (k2.bin + 1)::DOUBLE / 20) AS monotone_ok
-         |FROM t, c1, c2, k1, k2, d""".stripMargin,
-    "lang_id" ->
-      s"""WITH $sqlCorpusToks,
-         |hits AS (
-         |  SELECT id,
-         |    len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','that','it','for'))) AS en_hits,
-         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de_hits,
-         |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','las','un','una','por'))) AS es_hits,
-         |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS fr_hits
-         |  FROM corpus)
-         |SELECT id, en_hits, de_hits, es_hits, fr_hits,
-         |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
-         |       WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
-         |       WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
-         |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
-         |       ELSE 'fr' END AS lang_pred
-         |FROM hits ORDER BY id""".stripMargin,
-    "lang_confusion" ->
-      s"""WITH $sqlCorpusToks,
-         |hits AS (
-         |  SELECT id,
-         |    len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','that','it','for'))) AS en_hits,
-         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS de_hits,
-         |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','las','un','una','por'))) AS es_hits,
-         |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS fr_hits
-         |  FROM corpus),
-         |pred AS (
-         |  SELECT id,
-         |    CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
-         |         WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
-         |         WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
-         |         WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
-         |         ELSE 'fr' END AS lang_pred
-         |  FROM hits)
-         |SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
-         |FROM documents d JOIN pred p ON d.doc_id = p.id
-         |WHERE length(trim(d.text)) > 0
-         |GROUP BY d.lang, p.lang_pred
-         |ORDER BY d.lang, p.lang_pred""".stripMargin,
-    // per-sequence packing view: offsets restated as the plain
-    // cumulative window (exactly what the blocked prefix sum avoids
-    // at scale), then the lateral chunk expansion — exact integers
-    // throughout, hash-exact. Zero-token docs excluded on both sides
-    // (they occupy no space; their absence moves no offset).
-    "pack_chunks" ->
-      s"""WITH $sqlCorpusToks,
-         |d AS (SELECT id, len(toks)::BIGINT AS n_tokens FROM corpus WHERE len(toks) > 0),
-         |c AS (
-         |  SELECT id, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-         |      AS start_offset
-         |  FROM d),
-         |e AS (
-         |  SELECT c.id, c.n_tokens, c.start_offset, t.ch AS chunk_id
-         |  FROM c, LATERAL unnest(generate_series(c.start_offset // 512,
-         |    (c.start_offset + c.n_tokens - 1) // 512)) t(ch))
-         |SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
-         |  SUM(CASE WHEN start_offset < chunk_id * 512
-         |        OR start_offset + n_tokens > (chunk_id + 1) * 512 THEN 1 ELSE 0 END)::BIGINT AS n_cut_docs,
-         |  SUM(LEAST(start_offset + n_tokens, (chunk_id + 1) * 512)
-         |    - GREATEST(start_offset, chunk_id * 512))::BIGINT AS n_tokens_filled
-         |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
-    "token_counts" ->
-      """SELECT doc_id AS id,
-        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS ws_tokens,
-        |  len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    "doc_fingerprint" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT id,
-         |  md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) AS md5_norm,
-         |  CASE WHEN len(toks) >= 3
-         |    THEN list_min(list_transform(range(1, len(toks) - 1),
-         |           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
-         |    ELSE md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) END AS min_shingle_md5
-         |FROM corpus ORDER BY id""".stripMargin,
-    // token/bigram repetition: unnest + group mirrors the Spark
-    // explode/lead construction; ratios are single double divisions
-    "repetition_stats" ->
-      s"""WITH $sqlCorpusToks,
-         |tokc AS (
-         |  SELECT id, tk, count(*) AS c
-         |  FROM (SELECT id, unnest(toks) AS tk FROM corpus) GROUP BY id, tk),
-         |tok_agg AS (
-         |  SELECT id, sum(c) AS n_tokens, max(c) AS top_tok FROM tokc GROUP BY id),
-         |bgc AS (
-         |  SELECT id, bg, count(*) AS c
-         |  FROM (SELECT id, unnest(list_transform(range(1, len(toks)),
-         |                 i -> toks[i] || ' ' || toks[i+1])) AS bg
-         |        FROM corpus) GROUP BY id, bg),
-         |bg_agg AS (
-         |  SELECT id, sum(c) AS n_bigrams, count(*) AS n_distinct_bg,
-         |    max(c) AS top_bg FROM bgc GROUP BY id)
-         |SELECT t.id, t.n_tokens::BIGINT AS n_tokens,
-         |  t.top_tok::DOUBLE / t.n_tokens::DOUBLE AS top_token_frac,
-         |  coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
-         |  coalesce(1.0::DOUBLE - b.n_distinct_bg::DOUBLE / b.n_bigrams::DOUBLE,
-         |    0.0::DOUBLE) AS dup_bigram_frac,
-         |  coalesce(b.top_bg::DOUBLE / b.n_bigrams::DOUBLE, 0.0::DOUBLE) AS top_bigram_frac
-         |FROM tok_agg t LEFT JOIN bg_agg b USING (id) ORDER BY id""".stripMargin,
-    // BM25: every floating-point step mirrors the Spark expression
-    // tree op-for-op (decimal literals forced to DOUBLE so DuckDB
-    // doesn't fall into decimal arithmetic); the per-term pivot makes
-    // the score summation order fixed; round(6) absorbs ln() ulps
-    // int8 quantization audit: after the float max|x|, everything is
-    // integer arithmetic (round-half-away both engines), so the whole
-    // row hash-matches; scale itself is one float-exact division
-    // quantization is seedless and deterministic — the oracle
-    // re-derives the int8 codes (same construction quantize_stats
-    // hash-passes with) and replays the integer-dot cosine rank; the
-    // double arithmetic is the same correctly-rounded IEEE op sequence
-    // in both engines, so the top-k hash-matches
-    "knn_quantized" ->
-      """WITH q AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-        |  FROM embeddings),
-        |qq AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
-        |         ELSE list_transform(embedding, x -> round(x::DOUBLE / scale)::INTEGER)
-        |    END AS qv
-        |  FROM q),
-        |qry AS (SELECT qv AS qvec FROM qq WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT a.vec_id,
-        |    list_sum(list_transform(range(1, len(a.qv)+1),
-        |      i -> (a.qv[i]::BIGINT) * (qry.qvec[i]::BIGINT)))::BIGINT AS dot_qq,
-        |    list_sum(list_transform(a.qv, x -> (x::BIGINT) * (x::BIGINT)))::BIGINT AS norm_a,
-        |    list_sum(list_transform(qry.qvec, x -> (x::BIGINT) * (x::BIGINT)))::BIGINT AS norm_b
-        |  FROM qq a CROSS JOIN qry
-        |  WHERE a.vec_id <> 0)
-        |SELECT vec_id,
-        |  CASE WHEN norm_a = 0 OR norm_b = 0 THEN 0.0
-        |       ELSE dot_qq::DOUBLE / (sqrt(norm_a::DOUBLE) * sqrt(norm_b::DOUBLE)) END AS sim
-        |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    // binary signatures are seedless sign bits — DuckDB re-derives them
-    // with the dedup_simhash HUGEINT packing and replays the Hamming
-    // ranking exactly
-    "knn_binary" ->
-      s"""WITH $sqlBinarySig
-         |SELECT b.vec_id AS vec_id, bit_count(xor(q.sig, b.sig))::INT AS hamming
-         |FROM bsig b, (SELECT sig FROM bsig WHERE vec_id = 0) q
-         |WHERE b.vec_id <> 0
-         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // binary shortlist (Hamming top-50) -> exact squared-L2 re-rank of
-    // only the shortlist rows — the refine pattern, fully restatable
-    "knn_binary_rerank" ->
-      s"""WITH $sqlBinarySig,
-         |short AS (
-         |  SELECT b.vec_id
-         |  FROM bsig b, (SELECT sig FROM bsig WHERE vec_id = 0) q
-         |  WHERE b.vec_id <> 0
-         |  ORDER BY bit_count(xor(q.sig, b.sig)) ASC, b.vec_id ASC LIMIT 50)
-         |SELECT b.vec_id AS vec_id, ${sqlL2sq("a.embedding", "b.embedding")} AS dist
-         |FROM embeddings a, embeddings b
-         |WHERE a.vec_id = 0
-         |  AND b.vec_id IN (SELECT vec_id FROM short)
-         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
-    "quantize_stats" ->
-      """WITH q AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-        |  FROM embeddings),
-        |qq AS (
-        |  SELECT vec_id, scale,
-        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
-        |         ELSE list_transform(embedding, x -> round(x::DOUBLE / scale)::INTEGER)
-        |    END AS qv
-        |  FROM q)
-        |SELECT vec_id, scale,
-        |  list_sum(qv)::BIGINT AS q_sum,
-        |  list_min(qv)::BIGINT AS q_min,
-        |  list_max(qv)::BIGINT AS q_max
-        |FROM qq ORDER BY vec_id""".stripMargin,
-    // tf-idf scores rounded to 6 decimals BEFORE the rank window on
-    // both sides, so rank order is decided on engine-identical values
-    "tfidf_keywords" ->
-      s"""WITH $sqlCorpusToks,
-         |nd AS (SELECT count(*) AS n_docs FROM corpus),
-         |tf AS (
-         |  SELECT id, term, count(*)::BIGINT AS tf
-         |  FROM (SELECT id, unnest(toks) AS term FROM corpus)
-         |  GROUP BY id, term),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |scored AS (
-         |  SELECT tf.id, tf.term,
-         |    round(tf.tf * ln(nd.n_docs::DOUBLE / d.df), 6) AS tfidf
-         |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN nd),
-         |ranked AS (
-         |  SELECT id, term, tfidf,
-         |    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
-         |  FROM scored)
-         |SELECT id, rank::BIGINT AS rank, term, tfidf FROM ranked
-         |WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
-    "token_vocab" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT term, count(*)::BIGINT AS n_occurrences,
-         |  count(DISTINCT id)::BIGINT AS n_docs
-         |FROM (SELECT id, unnest(toks) AS term FROM corpus)
-         |GROUP BY term ORDER BY n_occurrences DESC, term LIMIT 25""".stripMargin,
-    // the exact head hash-checks; the CMS bound (never-under, over by
-    // <= 5·eps·N — seeded, reproducible) is asserted as a literal
-    "vocab_cms" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT term, count(*)::BIGINT AS n_exact, TRUE AS cms_in_bound
-         |FROM (SELECT id, unnest(toks) AS term FROM corpus)
-         |GROUP BY term ORDER BY n_exact DESC, term LIMIT 25""".stripMargin,
-    "corpus_datacard" ->
-      """WITH docs AS (
-        |  SELECT lang, source,
-        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
-        |        t -> length(t) > 0))::BIGINT AS n_tokens
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |g AS (
-        |  SELECT lang, source, count(*) AS n_docs,
-        |    sum(n_tokens) AS total_tokens, avg(n_tokens) AS avg_tokens
-        |  FROM docs GROUP BY lang, source),
-        |t AS (SELECT sum(n_docs) AS corpus_docs FROM g)
-        |SELECT lang, source, n_docs::BIGINT AS n_docs,
-        |  n_docs::DOUBLE / corpus_docs::DOUBLE AS doc_share,
-        |  total_tokens::BIGINT AS total_tokens, avg_tokens
-        |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
-    "bm25_search" -> sqlBm25,
-    // RRF fusion of the two oracle-exact hit lists: ranks from their
-    // total orders, fused score = two exact-integer reciprocals
-    "hybrid_search_rrf" ->
-      s"""WITH lex AS (
-         |  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS lex_rank
-         |  FROM ($sqlBm25)),
-         |sem AS (
-         |  SELECT vec_id AS id,
-         |    row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS sem_rank
-         |  FROM (
-         |    SELECT vec_id, s AS sim FROM (
-         |      SELECT b.vec_id AS vec_id,
-         |        ${sqlDot("a.embedding", "b.embedding")} /
-         |          (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS s
-         |      FROM embeddings a, embeddings b
-         |      WHERE a.vec_id = 0 AND b.vec_id <> 0) t
-         |    ORDER BY s DESC, vec_id ASC LIMIT 10))
-         |SELECT coalesce(l.id, m.id) AS id,
-         |  l.lex_rank::BIGINT AS lex_rank, m.sem_rank::BIGINT AS sem_rank,
-         |  coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
-         |    + coalesce(1.0::DOUBLE / (60 + m.sem_rank), 0.0::DOUBLE) AS rrf
-         |FROM lex l FULL OUTER JOIN sem m ON l.id = m.id
-         |ORDER BY rrf DESC, id ASC""".stripMargin,
-    // the persisted-index path must produce the IDENTICAL ranking —
-    // same tf/df/stats, same arithmetic, different scan
-    "bm25_persisted" -> sqlBm25,
-    // PII scrubbing: identical patterns (common Java-regex/RE2 subset),
-    // counts over the raw text, replacement order email -> SSN -> IP
-    "pii_redact" ->
-      """SELECT doc_id AS id,
-        |  len(regexp_extract_all(trim(text), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        |  len(regexp_extract_all(trim(text), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssns,
-        |  len(regexp_extract_all(trim(text), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(trim(text),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    // fixed 32-token windows; list_slice is 1-based inclusive, same
-    // clipping as Spark's slice(start, length)
-    "doc_chunks" ->
-      s"""WITH $sqlCorpusToks,
-         |docs AS (
-         |  SELECT id, toks, len(toks)::BIGINT AS n_tokens
-         |  FROM corpus WHERE len(toks) > 0),
-         |ch AS (
-         |  SELECT id, n_tokens, toks,
-         |    unnest(range(0, (n_tokens + 31) // 32)) AS chunk_idx
-         |  FROM docs)
-         |SELECT id, chunk_idx::BIGINT AS chunk_idx,
-         |  least(32, n_tokens - chunk_idx * 32)::BIGINT AS n_chunk_tokens,
-         |  array_to_string(list_slice(toks, (chunk_idx * 32 + 1)::BIGINT,
-         |    (chunk_idx * 32 + 32)::BIGINT), ' ') AS chunk_text
-         |FROM ch ORDER BY id, chunk_idx""".stripMargin,
-    "dedup_exact" ->
-      """SELECT doc_id,
-        |  MIN(doc_id) OVER (PARTITION BY trim(text)) AS canonical_id,
-        |  doc_id = MIN(doc_id) OVER (PARTITION BY trim(text)) AS kept
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "minhash_signatures" ->
-      s"""WITH $sqlMinhashSig
-         |SELECT id, array_to_string(sig, '|') AS sig_cat
-         |FROM sig ORDER BY id""".stripMargin,
-    "dedup_minhash" ->
-      s"""WITH $sqlMinhashSig,
-         |bands AS (
-         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
-         |  FROM sig, range(0, 4) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |j AS (
-         |  SELECT c.a_id, c.b_id,
-         |    len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
-         |      / len(list_distinct(ta.toks || tb.toks)) AS jaccard
-         |  FROM cand c
-         |  JOIN tokenized ta ON ta.id = c.a_id
-         |  JOIN tokenized tb ON tb.id = c.b_id)
-         |SELECT a_id, b_id, jaccard FROM j
-         |WHERE jaccard >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin,
-    // CC over the LSH pair graph: same banded candidate/verify chain
-    // as dedup_minhash, symmetrized edges, recursive reachability with
-    // min-id canonicals over every signature-bearing doc
-    "minhash_clusters" ->
-      s"""WITH RECURSIVE $sqlMinhashSig,
-         |bands AS (
-         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
-         |  FROM sig, range(0, 4) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |pairs AS (
-         |  SELECT c.a_id, c.b_id FROM cand c
-         |  JOIN tokenized ta ON ta.id = c.a_id
-         |  JOIN tokenized tb ON tb.id = c.b_id
-         |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
-         |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
-         |edges AS MATERIALIZED (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(src, node) AS (
-         |  SELECT id, id FROM tokenized
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
-         |SELECT src AS id, MIN(node) AS canonical_id,
-         |  src = MIN(node) AS kept
-         |FROM reach GROUP BY src
-         |ORDER BY id""".stripMargin,
-    // exact-integer PageRank over the same near-dup graph: BIGINT
-    // fixed-point (·1e12), five unrolled iterations, damping via the
-    // overflow-safe (s//100)*85 + ((s%100)*85)//100 split — integer
-    // sums are order-independent, so the match is hash-exact with no
-    // float-summation caveat
-    "pagerank_docs" ->
-      s"""WITH $sqlMinhashSig,
-         |bands AS (
-         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
-         |  FROM sig, range(0, 4) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |pairs AS (
-         |  SELECT c.a_id, c.b_id FROM cand c
-         |  JOIN tokenized ta ON ta.id = c.a_id
-         |  JOIN tokenized tb ON tb.id = c.b_id
-         |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
-         |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
-         |edges AS MATERIALIZED (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id, a_id FROM pairs),
-         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
-         |nodes AS (SELECT id FROM tokenized),
-         |r0 AS (SELECT id, 1000000000000::BIGINT AS rank FROM nodes),
-         |${sqlPagerankIters(5)}
-         |SELECT id, rank FROM r5 ORDER BY id""".stripMargin,
-    // leakage-safe split: the minhash_clusters CC chain, with the
-    // train/val/test assignment hashed on the CANONICAL id — DuckDB
-    // reproduces both the clustering and the md5 hex-threshold split
-    "split_leakage_safe" ->
-      s"""WITH RECURSIVE $sqlMinhashSig,
-         |bands AS (
-         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
-         |  FROM sig, range(0, 4) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |pairs AS (
-         |  SELECT c.a_id, c.b_id FROM cand c
-         |  JOIN tokenized ta ON ta.id = c.a_id
-         |  JOIN tokenized tb ON tb.id = c.b_id
-         |  WHERE len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))::DOUBLE
-         |      / len(list_distinct(ta.toks || tb.toks)) >= 0.8),
-         |edges AS MATERIALIZED (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(src, node) AS (
-         |  SELECT id, id FROM tokenized
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
-         |clusters AS (
-         |  SELECT src AS id, MIN(node) AS canonical_id FROM reach GROUP BY src)
-         |SELECT id, canonical_id,
-         |  CASE WHEN substr(md5('graft' || canonical_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
-         |       WHEN substr(md5('graft' || canonical_id::VARCHAR), 1, 2) < 'e7' THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM clusters
-         |ORDER BY id""".stripMargin,
-    // persisted-index probe ≡ the direct LSH join between the two
-    // corpus halves (band keys from the same md5 signatures; the
-    // bucket cap is a no-op at oracle scale — dedup_minhash precedent)
-    "minhash_probe" ->
-      s"""WITH $sqlMinhashSig,
-         |bands AS (
-         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
-         |  FROM sig, range(0, 4) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT p.id AS probe_id, i.id AS index_id
-         |  FROM bands p JOIN bands i
-         |    ON p.band = i.band AND p.key = i.key
-         |  WHERE p.id % 2 = 1 AND i.id % 2 = 0),
-         |j AS (
-         |  SELECT c.probe_id, c.index_id,
-         |    len(list_intersect(list_distinct(tp.toks), list_distinct(ti.toks)))::DOUBLE
-         |      / len(list_distinct(tp.toks || ti.toks)) AS jaccard
-         |  FROM cand c
-         |  JOIN tokenized tp ON tp.id = c.probe_id
-         |  JOIN tokenized ti ON ti.id = c.index_id)
-         |SELECT probe_id, index_id, jaccard FROM j
-         |WHERE jaccard >= 0.8
-         |ORDER BY probe_id, index_id""".stripMargin,
-    "dedup_ngram" ->
-      s"""WITH $sqlMinhashSig,
-         |bands AS (
-         |  SELECT id, t.b AS band, sig[2*t.b+1] || '|' || sig[2*t.b+2] AS key
-         |  FROM sig, range(0, 4) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |j AS (
-         |  SELECT c.a_id, c.b_id,
-         |    len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE
-         |      / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard3
-         |  FROM cand c
-         |  JOIN sh sa ON sa.id = c.a_id
-         |  JOIN sh sb ON sb.id = c.b_id)
-         |SELECT a_id, b_id, jaccard3 FROM j
-         |WHERE jaccard3 >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin,
-    // SimHash re-derived from scratch in SQL: per-token FNV-1a (the
-    // 64-bit wrap via HUGEINT mod 2^64 — validated token-for-token
-    // against the Scala kernel), per-bit majority vote, signed-64
-    // fingerprint, then ALL-PAIRS Hamming <= 3. The engine's banded
-    // join is exact for Hamming <= 3 (pigeonhole over 4×16-bit bands),
-    // so the unbanded oracle states the same pair set.
-    "dedup_simhash" ->
-      s"""WITH $sqlCorpusToks,
-         |tokenized AS (SELECT * FROM corpus WHERE len(toks) > 0),
-         |th AS (
-         |  SELECT id, list_transform(toks, t ->
-         |    list_reduce(
-         |      list_prepend(14695981039346656037::HUGEINT,
-         |        list_transform(range(1, length(t)+1), i -> unicode(t[i])::HUGEINT)),
-         |      (h, b) -> ((xor(h, b) * 1099511628211::HUGEINT)
-         |                 % 18446744073709551616::HUGEINT))) AS hs
-         |  FROM tokenized),
-         |sigs AS (
-         |  SELECT id,
-         |    list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 64), b ->
-         |      CASE WHEN len(list_filter(hs, h -> ((h >> b) & 1) = 1)) * 2 > len(hs)
-         |           THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)),
-         |      (a, x) -> a + x) AS usig
-         |  FROM th),
-         |s2 AS (
-         |  SELECT id, usig, CAST(CASE WHEN usig >= 9223372036854775808::HUGEINT
-         |       THEN usig - 18446744073709551616::HUGEINT ELSE usig END AS BIGINT) AS sig
-         |  FROM sigs),
-         |-- the engine's banded candidate generation, restated: 4x16-bit
-         |-- band keys, whole buckets over the degenerate-key cap dropped
-         |-- (deterministic). Below the cap the pigeonhole guarantee makes
-         |-- this identical to the all-pairs scan; past it (first hit at
-         |-- the sf1 scale point, 50k docs into 65k buckets/band) the
-         |-- capped semantics ARE the engine's contract, so the oracle
-         |-- states them rather than the O(n^2) ideal.
-         |bands AS (
-         |  SELECT id, sig, t.b AS band, ((usig >> (16*t.b)) & 65535)::INT AS key
-         |  FROM s2, range(0, 4) t(b)),
-         |kept AS (
-         |  SELECT id, sig, band, key FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bucket_n
-         |    FROM bands)
-         |  WHERE bucket_n <= ${graft.operators.Dedup.MaxBandBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
-         |  FROM kept a JOIN kept b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
-         |SELECT a_id, b_id, bit_count(xor(sa, sb))::INT AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(sa, sb)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin,
-    // deterministic md5-prefix split: DuckDB computes the identical
-    // assignment (hex-string thresholds, no numeric conversion)
-    "sample_split" ->
-      """SELECT doc_id AS id,
-        |  CASE WHEN substr(md5('graft' || doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
-        |       WHEN substr(md5('graft' || doc_id::VARCHAR), 1, 2) < 'e7' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    // exact stratified sample: the md5 rank order is engine-identical,
-    // so DuckDB replays the per-stratum selection row-for-row
-    "stratified_sample" ->
-      """SELECT id, lang, rank_in_stratum FROM (
-        |  SELECT doc_id AS id, lang,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5('strat' || doc_id::VARCHAR), doc_id)
-        |      AS rank_in_stratum
-        |  FROM documents) t
-        |WHERE rank_in_stratum <= 50
-        |ORDER BY lang, rank_in_stratum""".stripMargin,
-    // thresholded scale twin: exactly equal to the exact sampler by
-    // the margin-covers contract (SamplingSpec pins it; the threshold
-    // keeps the lowest hashes, the rank order is the same hash
-    // ascending) — the exact sampler's oracle applies verbatim
-    "stratified_sample_t" ->
-      """SELECT id, lang, rank_in_stratum FROM (
-        |  SELECT doc_id AS id, lang,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5('strat' || doc_id::VARCHAR), doc_id)
-        |      AS rank_in_stratum
-        |  FROM documents) t
-        |WHERE rank_in_stratum <= 50
-        |ORDER BY lang, rank_in_stratum""".stripMargin,
-    // keyed upsert: the merge semantics restated declaratively —
-    // surviving base rows (key not replaced), updates win per key,
-    // inserts append, tombstoned keys vanish
-    "corpus_upsert" ->
-      """WITH corpus AS (
-        |  SELECT doc_id AS id, trim(text) AS sentence FROM documents
-        |  WHERE length(trim(text)) > 0),
-        |kept AS (
-        |  SELECT id,
-        |    CASE WHEN id % 7 = 0 AND id % 13 <> 0
-        |         THEN sentence || ' [rev2]' ELSE sentence END AS sentence
-        |  FROM corpus WHERE id % 13 <> 0),
-        |ins AS (
-        |  SELECT id + 1000000 AS id,
-        |    'appended doc ' || id::VARCHAR AS sentence
-        |  FROM corpus WHERE id % 11 = 0)
-        |SELECT id, sentence FROM kept
-        |UNION ALL SELECT id, sentence FROM ins
-        |ORDER BY id""".stripMargin,
-    // streaming curation replay ≡ batch: distinct fingerprints of
-    // quality-passing docs (same quality predicate as text_quality)
-    "doc_curation_stream" ->
-      s"""WITH $sqlCorpusToks
-         |SELECT DISTINCT md5(coalesce(list_aggregate(toks, 'string_agg', ' '), '')) AS md5_norm
-         |FROM corpus
-         |WHERE (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-         |  AND len(toks) >= 5 AND len(toks) <= 100000
-         |  AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-         |      / greatest(len(toks), 1) > 0.0)
-         |ORDER BY md5_norm""".stripMargin,
-    // the composed curation table: every stage's predicate is the
-    // same SQL its standalone query uses
-    "curation_decisions" ->
-      """WITH docs AS (
-        |  SELECT doc_id AS id, trim(text) AS sentence, source,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
-        |                t -> length(t) > 0) AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |d AS (
-        |  SELECT id,
-        |    (length(regexp_replace(sentence, '[^A-Za-z]', '', 'g'))::DOUBLE / length(sentence) > 0.5
-        |     AND len(toks) >= 5 AND len(toks) <= 100000
-        |     AND len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
-        |         / greatest(len(toks), 1) > 0.0) AS keep_quality,
-        |    id = min(id) OVER (PARTITION BY sentence) AS dedup_kept,
-        |    CASE WHEN substr(md5('graft' || id::VARCHAR), 1, 2) < 'cd' THEN 'train'
-        |         WHEN substr(md5('graft' || id::VARCHAR), 1, 2) < 'e7' THEN 'val'
-        |         ELSE 'test' END AS split,
-        |    substr(md5('mix' || id::VARCHAR), 1, 2) <
-        |      (CASE WHEN source = 'src0' THEN 'cd'
-        |            WHEN source = 'src1' THEN '80'
-        |            WHEN source = 'src2' THEN '40'
-        |            ELSE '1a' END) AS mix_keep
-        |  FROM docs)
-        |SELECT id, keep_quality, dedup_kept, split, mix_keep,
-        |  (keep_quality AND dedup_kept AND mix_keep) AS final_keep
-        |FROM d ORDER BY id""".stripMargin,
-    // one wide aggregate unpivoted to rows; timestamps profile as
-    // epoch micros so min/max stay double-typed
-    "profile_lineitem" ->
-      """WITH a AS (SELECT
-        |  count(*) AS n_rows,
-        |  count(l_orderkey) c1, count(DISTINCT l_orderkey) d1,
-        |    min(l_orderkey)::DOUBLE mn1, max(l_orderkey)::DOUBLE mx1,
-        |  count(l_quantity) c2, count(DISTINCT l_quantity) d2,
-        |    min(l_quantity)::DOUBLE mn2, max(l_quantity)::DOUBLE mx2,
-        |  count(l_extendedprice) c3, count(DISTINCT l_extendedprice) d3,
-        |    min(l_extendedprice)::DOUBLE mn3, max(l_extendedprice)::DOUBLE mx3,
-        |  count(l_discount) c4, count(DISTINCT l_discount) d4,
-        |    min(l_discount)::DOUBLE mn4, max(l_discount)::DOUBLE mx4,
-        |  count(l_shipdate) c5, count(DISTINCT l_shipdate) d5,
-        |    epoch_us(min(l_shipdate))::DOUBLE mn5, epoch_us(max(l_shipdate))::DOUBLE mx5,
-        |  count(l_returnflag) c6, count(DISTINCT l_returnflag) d6
-        |  FROM lineitem)
-        |SELECT col_name, n_null::BIGINT AS n_null, n_distinct::BIGINT AS n_distinct,
-        |  min_num, max_num FROM (
-        |  SELECT 'l_orderkey' AS col_name, n_rows - c1 AS n_null, d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
-        |  UNION ALL SELECT 'l_quantity', n_rows - c2, d2, mn2, mx2 FROM a
-        |  UNION ALL SELECT 'l_extendedprice', n_rows - c3, d3, mn3, mx3 FROM a
-        |  UNION ALL SELECT 'l_discount', n_rows - c4, d4, mn4, mx4 FROM a
-        |  UNION ALL SELECT 'l_shipdate', n_rows - c5, d5, mn5, mx5 FROM a
-        |  UNION ALL SELECT 'l_returnflag', n_rows - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
-        |ORDER BY col_name""".stripMargin,
-    // the HLL audit keeps the exact profile columns (same SQL) and the
-    // sketch bound collapses to a literal: HLL++ is a deterministic
-    // function of the value set, so in-bound at this data is in-bound
-    // every run
-    "profile_lineitem_approx" ->
-      """WITH a AS (SELECT
-        |  count(*) AS n_rows,
-        |  count(l_orderkey) c1, count(DISTINCT l_orderkey) d1,
-        |    min(l_orderkey)::DOUBLE mn1, max(l_orderkey)::DOUBLE mx1,
-        |  count(l_quantity) c2, count(DISTINCT l_quantity) d2,
-        |    min(l_quantity)::DOUBLE mn2, max(l_quantity)::DOUBLE mx2,
-        |  count(l_extendedprice) c3, count(DISTINCT l_extendedprice) d3,
-        |    min(l_extendedprice)::DOUBLE mn3, max(l_extendedprice)::DOUBLE mx3,
-        |  count(l_discount) c4, count(DISTINCT l_discount) d4,
-        |    min(l_discount)::DOUBLE mn4, max(l_discount)::DOUBLE mx4,
-        |  count(l_shipdate) c5, count(DISTINCT l_shipdate) d5,
-        |    epoch_us(min(l_shipdate))::DOUBLE mn5, epoch_us(max(l_shipdate))::DOUBLE mx5,
-        |  count(l_returnflag) c6, count(DISTINCT l_returnflag) d6
-        |  FROM lineitem)
-        |SELECT col_name, n_null::BIGINT AS n_null, n_distinct::BIGINT AS n_distinct,
-        |  min_num, max_num, TRUE AS hll_in_bound FROM (
-        |  SELECT 'l_orderkey' AS col_name, n_rows - c1 AS n_null, d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
-        |  UNION ALL SELECT 'l_quantity', n_rows - c2, d2, mn2, mx2 FROM a
-        |  UNION ALL SELECT 'l_extendedprice', n_rows - c3, d3, mn3, mx3 FROM a
-        |  UNION ALL SELECT 'l_discount', n_rows - c4, d4, mn4, mx4 FROM a
-        |  UNION ALL SELECT 'l_shipdate', n_rows - c5, d5, mn5, mx5 FROM a
-        |  UNION ALL SELECT 'l_returnflag', n_rows - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
-        |ORDER BY col_name""".stripMargin,
-    // Morton code mirrored term-for-term (pure integer bit ops)
-    "zorder_layout" ->
-      s"""SELECT l_orderkey, l_linenumber,
-         |  ${operators.ZOrder.zValueSql("(l_orderkey % 65536)", "(l_partkey % 65536)")} AS z
-         |FROM lineitem
-         |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
-    // packing offsets: DuckDB's single global running sum is the
-    // semantic spec; the engine computes it as a two-phase parallel
-    // prefix sum (no global row window)
-    "pack_sequences" ->
-      s"""WITH $sqlCorpusToks,
-         |d AS (SELECT id, len(toks)::BIGINT AS n_tokens FROM corpus),
-         |c AS (
-         |  SELECT id, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-         |      AS start_offset
-         |  FROM d)
-         |SELECT id, n_tokens, start_offset, start_offset // 512 AS seq_id
-         |FROM c ORDER BY id""".stripMargin,
-    // per-source mixture downsampling audit: same md5 hex-threshold
-    // mechanism as sample_split, thresholds varying by source
-    "mixture_sample" ->
-      """SELECT source, count(*)::BIGINT AS n_total,
-        |  sum(CASE WHEN substr(md5('mix' || doc_id::VARCHAR), 1, 2) <
-        |    (CASE WHEN source = 'src0' THEN 'cd'
-        |          WHEN source = 'src1' THEN '80'
-        |          WHEN source = 'src2' THEN '40'
-        |          ELSE '1a' END)
-        |    THEN 1 ELSE 0 END)::BIGINT AS n_kept
-        |FROM documents GROUP BY source
-        |ORDER BY source""".stripMargin,
-    // Efraimidis-Spirakis weighted sampling without replacement:
-    // deterministic two-round multiplicative-hash uniforms (pure
-    // BIGINT, overflow-free at any id — round 2 folds in
-    // doc_id div 2^31-1 so same-residue ids decorrelate), key =
-    // ln(u)/w rounded to 9 places (absorbing ln ulps) with a doc_id
-    // tiebreak; the output carries membership only
-    "weighted_sample" ->
-      """WITH keyed AS (
-        |  SELECT doc_id, source, n_chars,
-        |    round(ln((((doc_id // 2147483647
-        |                + (doc_id % 2147483647) * 2654435761 % 2147483647)
-        |               % 2147483647) * 2246822519 % 2147483647 + 1)::DOUBLE
-        |             / 2147483648.0)
-        |          / greatest(n_chars, 1)::DOUBLE, 9) AS es_key
-        |  FROM documents),
-        |top AS (
-        |  SELECT doc_id, source, n_chars FROM keyed
-        |  ORDER BY es_key DESC, doc_id ASC LIMIT 200)
-        |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin,
-    // n-gram contamination between the benchMod-defined benchmark
-    // split and the rest: distinct 3-token shingles, df-capped, shared
-    // counts per (train, bench) pair
-    "contamination" ->
-      s"""WITH $sqlCorpusToks,
-         |tokenized AS (SELECT * FROM corpus WHERE len(toks) > 0),
-         |sh AS (
-         |  SELECT id, toks,
-         |    CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(1, len(toks) - 1),
-         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |      ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END AS shingles
-         |  FROM tokenized),
-         |shx AS (SELECT DISTINCT id, s
-         |        FROM (SELECT id, unnest(shingles) AS s FROM sh)),
-         |dfreq AS (SELECT s, COUNT(*) AS df FROM shx GROUP BY s),
-         |kept AS (SELECT shx.id, shx.s FROM shx JOIN dfreq USING (s)
-         |         WHERE df <= 1000)
-         |SELECT t.id AS train_id, b.id AS bench_id, COUNT(*) AS n_shared
-         |FROM kept t JOIN kept b ON t.s = b.s
-         |WHERE t.id % 50 <> 0 AND b.id % 50 = 0
-         |GROUP BY 1, 2
-         |HAVING COUNT(*) >= 1
-         |ORDER BY 1, 2""".stripMargin,
-    "dedup_embed_exact" ->
-      s"""WITH RECURSIVE
-         |edges AS MATERIALIZED (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |  WHERE ${sqlL2sq("a.embedding", "b.embedding")} < 0.9),
-         |reach(src, node) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
-         |SELECT src AS vec_id, MIN(node) AS canonical_id,
-         |  src = MIN(node) AS kept
-         |FROM reach GROUP BY src
-         |ORDER BY vec_id""".stripMargin,
-    "neardup_cosine" ->
-      s"""SELECT a_id, b_id, c AS cos FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
-         |WHERE c > 0.95
-         |ORDER BY a_id, b_id""".stripMargin,
-    // the LSH path must emit the SAME verified pairs as the exact
-    // self-join: every emitted pair is cosine-verified (exact
-    // precision), and at cos > 0.95 an 8×8-bit band miss needs all 8
-    // bands to differ — the oracle states the exact twin, making LSH
-    // recall part of the correctness contract, not just the test pin.
-    // HONESTY NOTE: band recall is probabilistic — a pair sitting
-    // exactly at cos = 0.95 (per-bit agreement ≈ 0.9) misses all 8
-    // bands with P ≈ 1.2%, vanishing as cos rises. On the driver's
-    // fixed testdata the qualifying set is stable (currently empty at
-    // both gate SFs, matching the exact twin); if a future testdata
-    // regeneration plants an unlucky boundary pair, DROP this oracle
-    // (restoring the DedupSpec recall pin as the check) rather than
-    // widening the bands — 4-bit keys would blow the bucket cap.
-    "neardup_cosine_lsh" ->
-      s"""SELECT a_id, b_id, c AS cos FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${sqlDot("a.embedding", "b.embedding")} /
-         |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
-         |WHERE c > 0.95
-         |ORDER BY a_id, b_id""".stripMargin,
-    // n_bytes/md5 computed INSIDE the partition-batched codec — a hash
-    // match proves the binary payload plumbing end to end.
-    "multimodal_features" ->
-      """SELECT doc_id AS id, 'text/plain' AS mime,
-        |  octet_length(encode(trim(text))) AS n_bytes,
-        |  md5(trim(text)) AS fp
-        |FROM documents WHERE length(trim(text)) > 0
-        |ORDER BY id""".stripMargin,
-    // frame sampling: 64-byte frames, every 2nd kept; documents are
-    // ASCII (asserted at build time in the testdata) so substr slices
-    // the same bytes the codec hashes
-    "frame_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id, trim(text) AS s FROM documents
-        |  WHERE length(trim(text)) > 0),
-        |f AS (
-        |  SELECT id, s, unnest(range(0, (length(s) + 63) // 64)) AS frame_idx
-        |  FROM d)
-        |SELECT id, frame_idx::BIGINT AS frame_idx,
-        |  least(64, length(s) - frame_idx * 64)::BIGINT AS n_frame_bytes,
-        |  md5(substr(s, (frame_idx * 64 + 1)::INTEGER, 64)) AS frame_md5
-        |FROM f WHERE frame_idx % 2 = 0
-        |ORDER BY id, frame_idx""".stripMargin,
-    // the streaming replay has no late data, so the watermarked
-    // windowed aggregate must equal the batch hourly rollup exactly.
-    "events_hourly_stream" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    // stream-stream join on a single-batch replay = the batch
-    // inequality join, pair for pair
-    "attribution_stream" ->
-      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-        |  c.user_id
-        |FROM events c JOIN events p
-        |  ON c.user_id = p.user_id
-        | AND c.event_type = 'click' AND p.event_type = 'purchase'
-        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        |ORDER BY click_id, purchase_id""".stripMargin,
-  )
 }
