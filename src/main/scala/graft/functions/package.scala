@@ -68,6 +68,11 @@ package object functions {
   def mat_vec(emb: Column, mat: Array[Array[Float]]): Column =
     GraftSqlBridge.column(MatVec(col2e(emb), mat))
 
+  /** Order-preserving long key of a double (see [[DoubleSortBits]]) —
+    * the hash-aggregable-argmin building block. */
+  def double_sort_bits(x: Column): Column =
+    GraftSqlBridge.column(DoubleSortBits(col2e(x)))
+
   /** Sign-random-projection sketch of a float-array embedding (cosine
     * LSH; see [[HyperplaneSketch]]). */
   def hyperplane_sketch(emb: Column, planes: Array[Array[Float]]): Column =

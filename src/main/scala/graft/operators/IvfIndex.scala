@@ -39,12 +39,23 @@ object IvfIndex {
   /** Train + assign (reference app.py:47-56). `df` must carry
     * (`idCol`: Long, `embCol`: Array[Float]).
     *
+    * Above `maxTrainRows` the k-means FIT runs on a seeded sample —
+    * the FAISS discipline (Clustering's max_points_per_centroid=256
+    * subsamples training input with a warning): centroids converge on
+    * thousands of points per list, and Lloyd's over the full corpus at
+    * production sizing (nlist ~ √N) is O(N·√N·D) wasted work per
+    * iteration. The ASSIGNMENT still covers every row (model.transform
+    * over the full frame), so postings are complete regardless. The
+    * 200k default ≈ 256 points/centroid at the √N sizing it's meant
+    * for, and leaves every gate-scale build (≤ 4k vectors) untouched.
+    *
     * Memory hygiene: the training cache (`withVec`) lives only for the
     * duration of fit+transform — postings are materialized, then the
     * training cache is released (round 2 leaked it for the JVM
     * lifetime, degrading every query that ran after a build). */
   def build(df: DataFrame, idCol: String, embCol: String,
-            nlist: Int, seed: Long = 42L, maxIter: Int = 20): Index = {
+            nlist: Int, seed: Long = 42L, maxIter: Int = 20,
+            maxTrainRows: Long = 200000L): Index = {
     val spark = df.sparkSession
     // reference parity: building over an empty corpus is an error
     // (app.py:223-228 rejects "no valid sentences"); isEmpty is a
@@ -53,10 +64,15 @@ object IvfIndex {
     val withVec = df.select(col(idCol).as("id"), col(embCol).as("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = withVec.count()
+    val trainFrame =
+      if (n > maxTrainRows)
+        withVec.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+      else withVec
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(withVec)
+      .fit(trainFrame)
     val postings = model.transform(withVec)
       .select(col("list_id"), col("id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -329,24 +345,43 @@ object IvfIndex {
 
   /** The distributed coarse quantizer (the J2 shape `searchAll`
     * already uses for query×centroid probing): rows × broadcast
-    * centroids, squared-L2, per-row argmin as a `min(struct(dist,
-    * list_id))` aggregate — NOT a rank window, so the reduction is
-    * partial (map-side combine) and no per-row candidate set ever
-    * shuffles whole. Tie-break `(cdist, list_id)` ascending ≡
-    * NearestList's strict-less first-minimum, because build's list ids
-    * are position-ordered; distances are the same
-    * double-accumulate-over-floats fold on both paths, so assignments
-    * are bit-identical (spec-pinned). */
+    * centroids, squared-L2, per-row argmin — NOT a rank window, so the
+    * reduction is partial (map-side combine) and no per-row candidate
+    * set ever shuffles whole.
+    *
+    * The argmin is a `min` over ONE fixed-width DECIMAL(38,0) key,
+    * `sortBits(cdist) · 2³² + list_id` ([[graft.functions.DoubleSortBits]]):
+    * the round-14 500k-vector decade caught the previous
+    * `min(struct(cdist, list_id))` form silently degrading to
+    * SortAggregate (struct buffers aren't HashAggregate-mutable),
+    * which sorted the full N×nlist expansion — carrying the embedding
+    * column via `first(embedding)` to boot — and spilled the disk
+    * full. Now the expansion rows are (id, decimal) ONLY (the
+    * embedding rejoins by id afterwards), the aggregate is a
+    * hash-aggregable partial min, and nothing wider than 24 bytes per
+    * candidate ever exists outside codegen.
+    *
+    * Tie-break: the packed key orders by (cdist, list_id)
+    * lexicographically ≡ NearestList's strict-less first-minimum,
+    * because build's list ids are position-ordered; distances are the
+    * same double-accumulate-over-floats fold on both paths, so
+    * assignments are bit-identical (spec-pinned). */
   private[graft] def assignListsJoin(index: Index, df: DataFrame,
-                                     idCol: String, embCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(embCol).as("embedding"))
+                                     idCol: String, embCol: String): DataFrame = {
+    val ids = df.select(col(idCol).as("id"), col(embCol).as("embedding"))
+    val enc = (graft.functions.double_sort_bits(
+        l2sq(col("embedding"), col("centroid")))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+        lit(4294967296L) + col("list_id")).as("enc")
+    val best = ids
       .join(broadcast(index.centroids.select(col("list_id"), col("centroid"))))
-      .groupBy(col("id"))
-      .agg(
-        min(struct(l2sq(col("embedding"), col("centroid")).as("cdist"),
-          col("list_id"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("m.list_id").as("list_id"), col("id"), col("embedding"))
+      .select(col("id"), enc)
+      .groupBy(col("id")).agg(min(col("enc")).as("enc"))
+      .select(col("id"),
+        pmod(col("enc"), lit(4294967296L)).cast("int").as("list_id"))
+    best.join(ids, Seq("id"))
+      .select(col("list_id"), col("id"), col("embedding"))
+  }
 
   /** Append vectors to a persisted index directory (the reference's
     * `index.add` after load, app.py:55 — FAISS allows add on a trained

@@ -102,6 +102,26 @@ class IvfIndexSpec extends SparkSpec {
       s"expected PartitionFilters on list_id in:\n$prunedPlan")
   }
 
+  test("sampled training (maxTrainRows) still assigns every row and stays exact at full probe") {
+    // Force the FAISS-style subsampled fit: train k-means on ~100 of
+    // the 500 rows. The ASSIGNMENT must still cover the whole corpus
+    // exactly once, and nprobe = nlist remains bit-exact vs brute
+    // force — IVFFlat at full probe is exact REGARDLESS of where the
+    // centroids landed, which is precisely why subsampled training is
+    // safe at production scale.
+    val emb = Tables.embeddings(spark, sfSmall)
+    val sampled = IvfIndex.build(emb, "vec_id", "embedding", nlist = 4,
+      maxTrainRows = 100L)
+    assert(sampled.postings.count() == corpus.length)
+    assert(sampled.postings.select("id").distinct().count() == corpus.length)
+    assert(sampled.centroids.count() == 4)
+    val (qid, q) = corpus(7)
+    val got = IvfIndex.search(sampled, q, k = 10, nprobe = 4, excludeId = Some(qid))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exactKnn(q, qid, 10))
+    sampled.postings.unpersist(blocking = false)
+  }
+
   test("building over an empty corpus errors (app.py:223-228 parity)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
@@ -136,5 +156,17 @@ class IvfIndexSpec extends SparkSpec {
     val viaDispatch = asMap(IvfIndex.assignLists(index, emb, "vec_id", "embedding",
       maxDriverCentroids = 1))
     assert(viaDispatch == viaExpr)
+  }
+
+  test("join-plan coarse assignment aggregates with HashAggregate, never SortAggregate") {
+    // The r14 scale decade caught min(struct(...)) silently degrading
+    // to SortAggregate (struct agg buffers aren't hash-mutable) and
+    // sorting the whole N×nlist expansion to a disk-full spill. The
+    // packed-decimal argmin must keep the plan hash-aggregable.
+    val emb = Tables.embeddings(spark, sfSmall)
+    val plan = IvfIndex.assignListsJoin(index, emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
   }
 }
