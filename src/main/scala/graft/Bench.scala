@@ -141,7 +141,13 @@ object Bench {
     "knn_f16" -> 2.0, "sq8t_stats" -> 1.0, "knn_sq8t" -> 1.0,
     "ivf_imbalance" -> 0.5,
     "ip_postings" -> 1.5, "ip_persisted" -> 2.0, "shard_indexes" -> 16.0,
-    "cosine_index" -> 4.5, "sq8t_codes" -> 3.0, "range_search_batch" -> 2.0
+    "cosine_index" -> 4.5, "sq8t_codes" -> 3.0, "range_search_batch" -> 2.0,
+    // r14: graph-ANN (NN-descent build is its own warm entry — six
+    // checkpointed join rounds at kb=20 over 2000 nodes; the audits
+    // then ride the cached graph + the guarded exact twin), and the
+    // 128-query amortized batch (one searchAll pass, window-bounded)
+    "knn_graph_build" -> 30.0, "knn_graph_stats" -> 6.0,
+    "knn_graph_search" -> 4.0, "knn_batch128" -> 6.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -415,6 +421,11 @@ object Bench {
       "sq8t_codes" -> (() => { Sq8Trained.codedFor(spark, sfDir).count(); () }),
       "ip_persisted" -> (() => {
         IpSearch.persistedForEmbeddingsIp(spark, sfDir, 4).postings.count(); () }),
+      // r14: the NN-descent k-NN graph (graph-ANN / HNSW-family) the
+      // two graph audits share, plus its hash-seeded entry points
+      "knn_graph_build" -> (() => {
+        GraphAnn.forEmbeddings(spark, sfDir).count()
+        GraphAnn.seedsForEmbeddings(spark, sfDir); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

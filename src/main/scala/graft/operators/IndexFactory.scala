@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *   factory  := [ "IDMap" "," ] [ pre "," ] [ "IVF" nlist "," ] enc
   *   pre      := "PCA" dOut | "OPQ" m
   *   enc      := "Flat" | "PQ" m [ "x" nbits ] | "SQ8" | "LSH"
+  *             |  "HNSW" m
   * }}}
   *
   * Engine mapping (declared deviations in [brackets]):
@@ -37,6 +38,11 @@ import org.apache.spark.sql.functions._
   *  - `SQ8`             → [[Quantization.knnQuantized]] (int8)
   *  - `LSH`             → [[Quantization.knnBinary]] (1-bit sign
   *                        sketch + Hamming, as FAISS IndexLSH)
+  *  - `HNSW{m}`         → [[GraphAnn]] beam search over an m-degree
+  *                        NN-descent k-NN graph [the distributed
+  *                        HNSW-family form — see GraphAnn's scaladoc
+  *                        for the adjudication; m maps to the graph
+  *                        out-degree like FAISS's HNSW M]
   *  - `IDMap,` prefix   → accepted no-op [ids are first-class Long
   *                        columns in every index here; FAISS needs the
   *                        wrapper because its internal ids are dense]
@@ -56,6 +62,7 @@ object IndexFactory {
   final case class PqEnc(m: Int, nbits: Int) extends Component { val kind = "PQ"; def param = m }
   case object Sq8 extends Component { val kind = "SQ8"; val param = 0 }
   case object Lsh extends Component { val kind = "LSH"; val param = 0 }
+  final case class HnswEnc(m: Int) extends Component { val kind = "HNSW"; def param = m }
   case object IdMap extends Component { val kind = "IDMap"; val param = 0 }
 
   /** A parsed factory string: optional IDMap wrapper, optional
@@ -70,6 +77,7 @@ object IndexFactory {
   private val OpqRe = "^OPQ(\\d+)$".r
   private val IvfRe = "^IVF(\\d+)$".r
   private val PqRe = "^PQ(\\d+)(?:x(\\d+))?$".r
+  private val HnswRe = "^HNSW(\\d+)$".r
 
   def parse(s: String): Plan = {
     val toks = s.split(",").map(_.trim).toList
@@ -94,6 +102,10 @@ object IndexFactory {
         case "Flat"      => Flat
         case "SQ8"       => Sq8
         case "LSH"       => Lsh
+        case HnswRe(m)   =>
+          require(m.toInt > 0,
+            s"index_factory: HNSW m must be positive in '$s'")
+          HnswEnc(m.toInt)
         case PqRe(m, b)  =>
           // FAISS's index_factory default for bare PQ{m} is nbits=8
           // (256-center codebooks); x4 is the explicit coarse opt-in.
@@ -136,7 +148,7 @@ object IndexFactory {
     val unsupported = new IllegalArgumentException(
       s"index_factory: '$factory' parses but has no engine mapping; supported: " +
         "Flat | IVF{n},Flat | PQ{m}[x{b}] | IVF{n},PQ{m}[x{b}] | " +
-        "PCA{d},IVF{n},PQ{m}[x{b}] | SQ8 | LSH (optional IDMap, prefix)")
+        "PCA{d},IVF{n},PQ{m}[x{b}] | SQ8 | LSH | HNSW{m} (optional IDMap, prefix)")
     (plan.pre, plan.ivf, plan.enc) match {
       case (None, None, Flat) =>
         VectorSearchOps.knnExactL2(spark, sfDir, queryId, k)
@@ -159,6 +171,14 @@ object IndexFactory {
         Quantization.knnQuantized(spark, sfDir, queryId, k)
       case (None, None, Lsh) =>
         Quantization.knnBinary(spark, sfDir, queryId, k)
+      case (None, None, HnswEnc(m)) =>
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        val q = emb.filter(col("vec_id") === queryId)
+          .select("embedding").head.getSeq[Float](0).toArray
+        GraphAnn.searchBeam(spark, GraphAnn.forEmbeddings(spark, sfDir, k = m),
+          emb, q, k, ef = math.max(32, k),
+          seeds = GraphAnn.seedsForEmbeddings(spark, sfDir, k = m),
+          excludeId = Some(queryId))
       case _ => throw unsupported
     }
   }

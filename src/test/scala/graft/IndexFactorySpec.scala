@@ -25,6 +25,7 @@ class IndexFactorySpec extends SparkSpec {
       Plan(false, Some(OpqPre(8)), Some(Ivf(64)), PqEnc(8, 8)))
     assert(parse("SQ8") == Plan(false, None, None, Sq8))
     assert(parse("LSH") == Plan(false, None, None, Lsh))
+    assert(parse("HNSW32") == Plan(false, None, None, HnswEnc(32)))
     assert(parse("IDMap,IVF16,Flat") == Plan(true, None, Some(Ivf(16)), Flat))
     assert(parse(" IVF4 , Flat ") == Plan(false, None, Some(Ivf(4)), Flat))
   }
@@ -40,6 +41,8 @@ class IndexFactorySpec extends SparkSpec {
     assert(e4.getMessage.contains("nbits"))
     val e5 = intercept[IllegalArgumentException](parse("PQ0"))
     assert(e5.getMessage.contains("PQ m must be positive"))
+    val e6 = intercept[IllegalArgumentException](parse("HNSW0"))
+    assert(e6.getMessage.contains("HNSW m must be positive"))
     intercept[IllegalArgumentException](parse("IVF4,,Flat"))
   }
 
@@ -63,6 +66,21 @@ class IndexFactorySpec extends SparkSpec {
     val e = VectorSearchOps.knnExactL2(spark, sfSmall)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(f == e)
+  }
+
+  test("factory 'HNSW10' dispatches to the graph-ANN beam search") {
+    import graft.operators.GraphAnn
+    val f = IndexFactory.search(spark, sfSmall, "HNSW10")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val emb = Tables.embeddings(spark, sfSmall)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val g = GraphAnn.searchBeam(spark, GraphAnn.forEmbeddings(spark, sfSmall, k = 10),
+        emb, q, 10, ef = 32,
+        seeds = GraphAnn.seedsForEmbeddings(spark, sfSmall, k = 10),
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(f == g && f.size == 10)
   }
 
   test("factory 'IDMap,SQ8' dispatches through the IDMap no-op to int8 search") {
