@@ -296,7 +296,7 @@ object VectorDecade {
         g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         g.count(); g
       }
-      val gSeeds = GraphAnn.seedIds(graph, 16)
+      val gSeeds = GraphAnn.seedIds(graph, 32)
       val gQids = (0 until Q).map(i => i.toLong * (gN / Q))
       val gVecs = slice.filter(col("vec_id").isin(gQids: _*))
         .select("vec_id", "embedding").collect()
@@ -311,8 +311,8 @@ object VectorDecade {
           .orderBy(col("dd").asc, col("vec_id").asc).limit(10)
           .collect().map(_.getLong(0)).toSet
         val (ids, t) = time(
-          GraphAnn.searchBeam(spark, graph, slice, q, 10, ef = 64,
-            seeds = gSeeds, excludeId = Some(qid))
+          GraphAnn.searchBeam(spark, graph, slice, q, 10, ef = 128,
+            maxHops = 12, seeds = gSeeds, excludeId = Some(qid))
             .collect().map(_.getLong(0)).toSeq)
         times += t
         hits += ids.count(exact.contains); slots += exact.size

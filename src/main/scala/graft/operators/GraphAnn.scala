@@ -132,9 +132,15 @@ object GraphAnn {
     * Driver-held beam of `ef` best-so-far; each hop expands every
     * not-yet-expanded beam member at once (a batched generation, not
     * HNSW's one-node-at-a-time walk), stops when a hop improves nothing
-    * or `maxHops` generations pass. Returns (vec_id, dist) top-k. */
+    * or `maxHops` generations pass. Returns (vec_id, dist) top-k.
+    *
+    * `maxHops` must cover the graph's hop-diameter from the seeds
+    * (≈ log_k n): the 100k decade grid measured recall@10 0.41 at
+    * 6 hops vs 0.75 at 12 with everything else fixed — small corpora
+    * stop early via the no-improvement exit either way, so the larger
+    * default costs nothing at gate scale. */
   def searchBeam(spark: SparkSession, graph: DataFrame, emb: DataFrame,
-                 q: Array[Float], k: Int, ef: Int = 32, maxHops: Int = 6,
+                 q: Array[Float], k: Int, ef: Int = 32, maxHops: Int = 12,
                  seeds: Seq[Long], excludeId: Option[Long] = None): DataFrame = {
     require(ef >= k, s"graph-ann: ef=$ef < k=$k")
     val base = emb.select(col("vec_id").as("id"), col("embedding"))
