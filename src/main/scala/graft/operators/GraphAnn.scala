@@ -6,7 +6,7 @@ import graft.Tables
 import graft.functions.l2sq
 
 /** Graph-ANN — the engine's answer to FAISS's HNSW family, re-expressed
-  * for a distributed engine (adjudication recorded in SURVEY.md §2.10):
+  * for a distributed engine (adjudication recorded in SURVEY.md §2.11):
   * HNSW itself is a sequential pointer-chasing structure (every insert
   * walks the graph built so far; search hops one node at a time through
   * executor-hostile random reads), so a faithful port would serialize on
@@ -55,12 +55,18 @@ object GraphAnn {
     * NN-descent quality lever (high-dimensional corpora plateau on
     * exact-k lists because "neighbor of neighbor" locality weakens;
     * wider working lists restore the gradient). Measured recall vs the
-    * exact 10-NN graph on the near-isotropic 500/500-row gate
-    * fixtures: 0.84 at factor 1 → 0.993/0.994 at factor 2. */
+    * exact 10-NN graph on the near-isotropic gate fixtures: at 500
+    * rows 0.84 (factor 1) → 0.993 (factor 2); at the 4,000-row sf0.5
+    * scale point — caught by the r14 cross-scale sweep, the fourth
+    * consecutive scale decade to surface a real seam — factor 2 reads
+    * 0.875 vs the 0.9 audit floor while factor 3 reads 0.979 (more
+    * ITERATIONS plateau: 8 rounds buy +0.01, a wider list +0.10).
+    * Factor 3 is therefore the default; build cost scales as
+    * (2·factor·k)² per node per round. */
   def buildGraph(emb: DataFrame, idCol: String = "vec_id",
                  embCol: String = "embedding",
                  k: Int = 10, iters: Int = 6, rho: Double = 1.0,
-                 seed: Long = 42L, buildFactor: Int = 2): DataFrame = {
+                 seed: Long = 42L, buildFactor: Int = 3): DataFrame = {
     val kb = k * buildFactor
     val base = emb.select(col(idCol).as("id"), col(embCol).as("vec"))
     val n = base.count()
