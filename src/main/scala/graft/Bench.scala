@@ -429,6 +429,14 @@ object Bench {
       "knn_graph_build" -> (() => {
         GraphAnn.forEmbeddings(spark, sfDir).count()
         GraphAnn.seedsForEmbeddings(spark, sfDir); () }),
+      // r15: the persisted bucket-partitioned generation (save + load
+      // on top of the cached build) shared by knn_graph_persisted /
+      // knn_graph_batch, and the incremental lifecycle (build on 4/5,
+      // append wave, replay, NN-descent repair) behind knn_graph_append
+      "graph_persisted" -> (() => {
+        GraphAnn.persistedGraphFor(spark, sfDir).adjacency.count(); () }),
+      "graph_append_lifecycle" -> (() => {
+        GraphAnn.appendedGraphFor(spark, sfDir)._1.adjacency.count(); () }),
     )
     val warm = warmups.map { case (name, fn) =>
       name -> timed(s"warm:$name", name)(fn())

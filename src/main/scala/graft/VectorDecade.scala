@@ -48,36 +48,46 @@ object DecadeFixture {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
-  /** The driver-tiny center matrix (NCenters × Dim, unit rows). */
-  def centers: Array[Array[Float]] = Array.tabulate(NCenters) { c =>
-    val raw = Array.tabulate(Dim)(d => gaussian(splitmix64(0xC0FFEEL + c * 1031L + d)))
+  /** The driver-tiny center matrix (NCenters × dim, unit rows). The
+    * per-component seed formula is dim-stable: a 64-dim center is the
+    * prefix of its 384-dim twin before normalization. */
+  def centersFor(dim: Int): Array[Array[Float]] = Array.tabulate(NCenters) { c =>
+    val raw = Array.tabulate(dim)(d => gaussian(splitmix64(0xC0FFEEL + c * 1031L + d)))
     val n = math.sqrt(raw.map(x => x * x).sum)
     raw.map(x => (x / n).toFloat)
   }
 
-  def row(vecId: Long, cents: Array[Array[Float]]): (Long, Array[Float], Int) = {
+  def centers: Array[Array[Float]] = centersFor(Dim)
+
+  def rowFor(vecId: Long, cents: Array[Array[Float]], dim: Int): (Long, Array[Float], Int) = {
     val label = ((splitmix64(vecId * 0x9E3779B97F4A7C15L + 17L) >>> 1) % NCenters).toInt
     val c = cents(label)
-    val g = Array.tabulate(Dim)(d => gaussian(splitmix64(vecId * 8191L + d)))
+    val g = Array.tabulate(dim)(d => gaussian(splitmix64(vecId * 8191L + d)))
     val gn = math.sqrt(g.map(x => x * x).sum)
-    val v = Array.tabulate(Dim)(d => (g(d) / gn + Bias * c(d)))
+    val v = Array.tabulate(dim)(d => (g(d) / gn + Bias * c(d)))
     val vn = math.sqrt(v.map(x => x * x).sum)
     (vecId, v.map(x => (x / vn).toFloat), label)
   }
 
-  /** Write `dir`/embeddings.parquet (n rows) if absent; idempotent. */
-  def ensure(spark: SparkSession, dir: String, n: Long): Unit = {
+  def row(vecId: Long, cents: Array[Array[Float]]): (Long, Array[Float], Int) =
+    rowFor(vecId, cents, Dim)
+
+  /** Write `dir`/embeddings.parquet (n rows × dim) if absent; idempotent. */
+  def ensureDim(spark: SparkSession, dir: String, n: Long, dim: Int): Unit = {
     val path = new java.io.File(s"$dir/embeddings.parquet")
     // _SUCCESS, not the directory: a failed write must not poison the
     // fixture location into an unreadable half-state
     if (new java.io.File(path, "_SUCCESS").exists()) return
     import spark.implicits._
-    val cents = centers // serialized once into the closure (~256 KB)
+    val cents = centersFor(dim) // serialized once into the closure
     spark.range(0L, n, 1L, 64)
-      .map(id => row(id, cents))
+      .map(id => rowFor(id, cents, dim))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(path.getAbsolutePath)
   }
+
+  def ensure(spark: SparkSession, dir: String, n: Long): Unit =
+    ensureDim(spark, dir, n, Dim)
 }
 
 /** The round-14 vector-scale decade runner: builds the whole index
@@ -342,6 +352,268 @@ object VectorDecade {
     val json = new StringBuilder
     json ++= "{\n"
     json ++= s"""  "fixture": {"dir": "$dir", "n_vectors": $total, "dim": ${DecadeFixture.Dim}, "n_centers": ${DecadeFixture.NCenters}, "nlist": $nlist, "gen_s": ${fmt(tGen)}},\n"""
+    json ++= s"""  "queries_sampled": $Q,\n"""
+    json ++= results.map { case (name, m) =>
+      s"""  "$name": {${m.map { case (k, v) => s""""$k": ${fmt(v)}""" }.mkString(", ")}}"""
+    }.mkString(",\n")
+    json ++= "\n}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
+
+/** Round-15 decade runner — the graph-ANN scale evidence the r14
+  * verdict chartered plus the dim=384 geometry point:
+  *
+  *  1. graph family at the FULL 500k (r14 measured only a 100k slice):
+  *     NN-descent build, bucket-partitioned persisted generation
+  *     (nBuckets=512), sequential bucket-pruned beam search vs the
+  *     UNPRUNED adjacency scan (quantifying the r14 scale gap this
+  *     round closes), 128-query lockstep batched serving (target ≥5×
+  *     sequential), and an append wave (1,000 new vectors through
+  *     [[graft.operators.GraphAnn.appendGraphBatch]]) with
+  *     reachability probes over the appended generation.
+  *  2. the reference's actual embedding geometry (app.py:20 — MiniLM
+  *     is 384-dim) at a 100k slice: every prior recall floor was a
+  *     dim=64 artifact; this re-measures IVF/PQ/PCA/SQ/graph recalls
+  *     at dim=384 so the floors are re-adjudicated on the geometry the
+  *     reference actually serves.
+  *
+  * Run: sbt "runMain graft.VectorDecadeR15 [out] [n500k] [nD384]"
+  */
+object VectorDecadeR15 {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0 else s(s.length / 2)
+  }
+
+  private def fmt(d: Double): String = f"$d%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val out = args.lift(0).getOrElse("/root/repo/VECTOR_DECADE_r15.json")
+    val n = args.lift(1).map(_.toLong).getOrElse(500000L)
+    val nD384 = args.lift(2).map(_.toLong).getOrElse(100000L)
+    val dir64 = "/root/repo/fixtures/vec500k"
+    val dir384 = "/root/repo/fixtures/vec100k_d384"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "48g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.storage.StorageLevel
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
+    def put(name: String, m: Map[String, Double]): Unit = {
+      results(name) = m
+      println(name + "  " + m.map { case (k, v) => s"$k=${fmt(v)}" }.mkString("  "))
+    }
+
+    // ================= section 1: graph family at 500k × 64-dim ==========
+    DecadeFixture.ensure(spark, dir64, n)
+    val emb = Tables.embeddings(spark, dir64)
+    val total = emb.count()
+    println(s"graph section: $total vectors, dim=${DecadeFixture.Dim}")
+    val Q = 32
+    val qids: Seq[Long] = (0 until Q).map(i => i.toLong * (total / Q))
+    val qvecs: Map[Long, Array[Float]] = emb
+      .filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val truth: Map[Long, Seq[Long]] = qids.map { qid =>
+      qid -> VectorSearchOps.knnExactL2(spark, dir64, qid, 10)
+        .collect().map(_.getLong(0)).toSeq
+    }.toMap
+    println("exact truth done")
+
+    val (graph, tBuild) = time {
+      val g = GraphAnn.buildGraph(emb, k = 10, iters = 4, rho = 0.3)
+      g.persist(StorageLevel.MEMORY_AND_DISK); g.count(); g
+    }
+    put("graph_build_500k", Map("build_s" -> tBuild, "n_nodes" -> total.toDouble))
+
+    val graphDir = "/root/repo/fixtures/vec500k/graph-ann"
+    graft.operators.BatchFs.deleteRecursively(java.nio.file.Paths.get(graphDir))
+    val (_, tSave) = time(GraphAnn.saveGraph(graph, graphDir, nBuckets = 512))
+    graph.unpersist(blocking = false)
+    val idx = GraphAnn.loadGraph(spark, graphDir)
+    val seeds = GraphAnn.seedIds(idx.adjacency, 32)
+    put("graph_persist_500k", Map("save_s" -> tSave, "n_buckets" -> idx.nBuckets.toDouble))
+
+    // sequential persisted search, bucket-pruned (ef/maxHops sized for
+    // the 500k hop diameter; the 100k grid needed 12 hops, +4 margin)
+    val ef = 128; val maxHops = 16
+    val seqTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    var hits = 0; var slots = 0
+    qids.foreach { qid =>
+      val (ids, t) = time(
+        GraphAnn.searchIndex(spark, idx, emb, qvecs(qid), 10, ef, maxHops,
+            seeds = seeds, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSeq)
+      seqTimes += t
+      val tr = truth(qid).toSet
+      hits += ids.count(tr.contains); slots += tr.size
+    }
+    val seqLat = median(seqTimes.toSeq)
+    put("graph_search_500k_pruned", Map("latency_s" -> seqLat,
+      "recall_at_10" -> hits.toDouble / slots, "ef" -> ef.toDouble,
+      "max_hops" -> maxHops.toDouble))
+
+    // the r14 gap, quantified: the SAME beam over the UNPRUNED persisted
+    // adjacency (every hop a full 5M-row scan) on a query subsample
+    locally {
+      val sub = qids.take(8)
+      val times = sub.map { qid =>
+        time(GraphAnn.searchBeam(spark, idx.adjacency, emb, qvecs(qid), 10,
+            ef, maxHops, seeds = seeds, excludeId = Some(qid))
+          .collect())._2
+      }
+      put("graph_search_500k_unpruned", Map("latency_s" -> median(times),
+        "n_queries" -> sub.size.toDouble))
+    }
+
+    // batched lockstep serving: 128 queries, ONE pruned scan + ONE
+    // probe per hop shared across the batch
+    locally {
+      val batchIds = (0 until 128).map(i => i.toLong * (total / 128))
+      val batchQ = emb.filter(col("vec_id").isin(batchIds: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      val (batchRes, tBatch) = time(
+        GraphAnn.searchIndexBatch(spark, idx, emb, batchQ, 10, ef, maxHops,
+          seeds = seeds, excludeSelf = true).collect())
+      val bHits = batchRes.count { r =>
+        truth.get(r.getLong(0)).exists(_.contains(r.getLong(1)))
+      }
+      val bSlots = batchIds.count(truth.contains) * 10
+      put("graph_batch_500k", Map("batch_s" -> tBatch,
+        "n_queries" -> 128.0, "qps_batch" -> 128.0 / tBatch,
+        "qps_sequential" -> 1.0 / seqLat,
+        "amortization_x" -> (seqLat * 128.0) / tBatch,
+        "recall_at_10_sampled" -> (if (bSlots > 0) bHits.toDouble / bSlots else -1.0)))
+    }
+
+    // append wave: 1,000 new vectors beam their neighbor lists against
+    // the standing generation; reachability = each new node is its own
+    // nearest neighbor through the appended back edges
+    locally {
+      import spark.implicits._
+      val cents = DecadeFixture.centers
+      val wave = (total until total + 1000L).map(id =>
+        DecadeFixture.row(id, cents)).toDF("vec_id", "embedding", "label")
+      val (nApp, tApp) = time(GraphAnn.appendGraphBatch(spark, graphDir,
+        wave, emb, k = 10, ef = ef, batchId = 0L, namespace = "decade"))
+      val idx2 = GraphAnn.loadGraph(spark, graphDir)
+      val probes = (0 until 8).map(i => total + i * 125L)
+      val waveVecs = wave.filter(col("vec_id").isin(probes: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val reached = probes.count { pid =>
+        GraphAnn.searchIndex(spark, idx2, emb.unionByName(
+              wave.select("vec_id", "embedding", "label")), waveVecs(pid),
+            k = 1, ef = ef, maxHops = maxHops, seeds = seeds)
+          .collect().headOption.exists(_.getLong(0) == pid)
+      }
+      put("graph_append_500k", Map("append_s" -> tApp,
+        "n_appended" -> nApp.toDouble,
+        "reachable_probes" -> reached.toDouble, "n_probes" -> probes.size.toDouble))
+    }
+
+    // ================= section 2: dim=384 (the reference's geometry) ======
+    val (_, tGen384) = time(DecadeFixture.ensureDim(spark, dir384, nD384, 384))
+    val emb384 = Tables.embeddings(spark, dir384)
+    val n384 = emb384.count()
+    val nlist384 = math.sqrt(n384.toDouble).round.toInt
+    println(s"d384 section: $n384 vectors, dim=384, nlist=$nlist384 (gen ${fmt(tGen384)}s)")
+    val qids384: Seq[Long] = (0 until Q).map(i => i.toLong * (n384 / Q))
+    val qvecs384: Map[Long, Array[Float]] = emb384
+      .filter(col("vec_id").isin(qids384: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val truth384: Map[Long, Seq[Long]] = qids384.map { qid =>
+      qid -> VectorSearchOps.knnExactL2(spark, dir384, qid, 10)
+        .collect().map(_.getLong(0)).toSeq
+    }.toMap
+    println("d384 exact truth done")
+
+    def recall384(name: String, buildS: Double, run: Long => Seq[Long]): Unit = {
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var h = 0; var s = 0
+      qids384.foreach { qid =>
+        val (ids, t) = time(run(qid))
+        times += t
+        val tr = truth384(qid).toSet
+        h += ids.count(tr.contains); s += tr.size
+      }
+      put(name, Map("build_s" -> buildS, "latency_s" -> median(times.toSeq),
+        "recall_at_10" -> h.toDouble / s))
+    }
+
+    val (index384, tIvf384) = time(IvfIndex.forEmbeddings(spark, dir384, nlist384))
+    Seq(1, 8, 32).foreach { np =>
+      recall384(s"d384_ivf_flat_nprobe$np", if (np == 1) tIvf384 else 0.0,
+        qid => IvfIndex.search(index384, qvecs384(qid), 10, np, Some(qid))
+          .collect().map(_.getLong(0)).toSeq)
+    }
+    val (_, tPq384) = time(Pq.forEmbeddings(spark, dir384, m = 8, k = 256))
+    recall384("d384_pq_flat_rerank100", tPq384,
+      qid => Pq.searchPq(spark, dir384, qid, 10, m = 8, k = 256, rerank = 100)
+        .collect().map(_.getLong(0)).toSeq)
+    recall384("d384_ivf_pq_rerank100", 0.0,
+      qid => Pq.ivfSearchPq(spark, dir384, qid, 10, nlist = nlist384, nprobe = 32,
+        m = 8, k = 256, rerank = 100).collect().map(_.getLong(0)).toSeq)
+    // PCA 384→96: the reference-geometry answer to the r14 dOut note —
+    // a clustered 384-dim corpus has spectral structure a 64-dim
+    // isotropic one does not
+    recall384("d384_pca96_ivf_pq_rerank200", 0.0,
+      qid => ChainedIndex.search(spark, dir384, qid, 10, dOut = 96,
+        nlist = nlist384, nprobe = 32, m = 8, k = 256, rerank = 200)
+        .collect().map(_.getLong(0)).toSeq)
+    recall384("d384_f16_scan", 0.0,
+      qid => Quantization.knnF16(spark, dir384, qid, 10)
+        .collect().map(_.getLong(0)).toSeq)
+    recall384("d384_sq8_trained_scan", 0.0,
+      qid => Sq8Trained.knn(spark, dir384, qid, 10)
+        .collect().map(_.getLong(0)).toSeq)
+    recall384("d384_lsh_rerank1000", 0.0,
+      qid => Quantization.knnBinaryRerank(spark, dir384, qid, 10, rerank = 1000)
+        .collect().map(_.getLong(0)).toSeq)
+
+    // graph family at the reference geometry
+    locally {
+      val (g384, tG) = time {
+        val g = GraphAnn.buildGraph(emb384, k = 10, iters = 4, rho = 0.3)
+        g.persist(StorageLevel.MEMORY_AND_DISK); g.count(); g
+      }
+      val gDir = s"$dir384/graph-ann"
+      graft.operators.BatchFs.deleteRecursively(java.nio.file.Paths.get(gDir))
+      GraphAnn.saveGraph(g384, gDir, nBuckets = 256)
+      g384.unpersist(blocking = false)
+      val gIdx = GraphAnn.loadGraph(spark, gDir)
+      val gSeeds = GraphAnn.seedIds(gIdx.adjacency, 32)
+      recall384("d384_graph_ann", tG,
+        qid => GraphAnn.searchIndex(spark, gIdx, emb384, qvecs384(qid), 10,
+            ef = 128, maxHops = 12, seeds = gSeeds, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSeq)
+    }
+
+    // ---- artifact --------------------------------------------------------
+    val json = new StringBuilder
+    json ++= "{\n"
+    json ++= s"""  "fixture_64": {"dir": "$dir64", "n_vectors": $total, "dim": ${DecadeFixture.Dim}, "graph_buckets": 512},\n"""
+    json ++= s"""  "fixture_384": {"dir": "$dir384", "n_vectors": $n384, "dim": 384, "nlist": $nlist384},\n"""
     json ++= s"""  "queries_sampled": $Q,\n"""
     json ++= results.map { case (name, m) =>
       s"""  "$name": {${m.map { case (k, v) => s""""$k": ${fmt(v)}""" }.mkString(", ")}}"""

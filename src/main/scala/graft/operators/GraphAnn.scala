@@ -14,10 +14,10 @@ import graft.functions.l2sq
   * work uses: build a k-NN GRAPH with NN-descent (Dong et al., WWW'11 —
   * bounded iterations of "my neighbors' neighbors are candidate
   * neighbors", each one an equi-join + per-node top-k), persist it as a
-  * plain (src, dst, dist) table, and serve queries with MULTI-SEED BEAM
-  * search over that table (HNSW's upper layers exist to find good entry
-  * points; seeding the beam from several hash-chosen entries buys the
-  * same thing without the layer hierarchy).
+  * bucket-partitioned (src, dst, dist) table, and serve queries with
+  * MULTI-SEED BEAM search over that table (HNSW's upper layers exist to
+  * find good entry points; seeding the beam from several hash-chosen
+  * entries buys the same thing without the layer hierarchy).
   *
   * Scale posture:
   *  - init: each node is hashed into `R` virtual buckets of expected
@@ -31,15 +31,36 @@ import graft.functions.l2sq
   *    NN-descent sample rate). Per-node top-k via
   *    slice(array_distinct(array_sort(collect_list(struct(dist, dst)))))
   *    — a partial-aggregable groupBy, never a global window.
-  *  - search: the beam lives on the driver (≤ ef entries — the same
-  *    bounded-collect class as [[IvfIndex.probeLists]]); each hop is one
-  *    pruned equi-scan of the graph table + one distance probe of the
-  *    new candidate ids, both isin-bounded by ef·k.
+  *  - search: each query's beam lives on the driver (≤ ef entries — the
+  *    same bounded-collect class as [[IvfIndex.probeLists]]); each hop
+  *    is one pruned equi-scan of the graph table + one distance probe,
+  *    both isin/broadcast-bounded by B·ef·k. The persisted form is
+  *    partitioned by `bucket = pmod(xxhash64(src), nBuckets)` so the
+  *    per-hop scan statically prunes to the frontier's buckets
+  *    (PartitionFilters — the bm25 postings pattern, TextSearch.scala),
+  *    instead of full-scanning the adjacency per hop (the r14 verdict's
+  *    one scale gap).
+  *  - batched serving: [[searchBeamBatch]] runs B beams in lockstep —
+  *    every hop is ONE pruned adjacency scan + ONE distance probe
+  *    shared across all B queries, so the per-hop job cost amortizes
+  *    B-ways (the graph twin of the IVF `knn_batch128` entry).
+  *  - incremental: [[appendGraphBatch]] beam-searches each new vector's
+  *    neighbor list against the standing graph and appends forward +
+  *    back edges under the BatchFs marker/lease protocol (replays are
+  *    no-ops); [[repairGraph]] is the retrain analogue — NN-descent
+  *    rounds over the appended adjacency, written as a fresh
+  *    generation.
   */
 object GraphAnn {
 
   /** Expected members per virtual init bucket. */
   val InitBucket = 8
+
+  /** Default partition-bucket count for the persisted adjacency. Size
+    * it so a frontier (≤ ef srcs) prunes most partitions: gate corpora
+    * use the default; the 500k decade uses 512 (ef=128 frontiers touch
+    * ≤ a quarter of the buckets, and each bucket holds ~1k src lists). */
+  val DefaultBuckets = 64
 
   /** All-rows-satisfy aggregate (the IndexAudits helper, restated). */
   private def forall(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -83,11 +104,20 @@ object GraphAnn {
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
         l2sq(col("a.vec"), col("b.vec")).as("dist"))
-    // localCheckpoint per round (the GraphRank discipline): each round's
-    // plan references the previous round's twice (adjacency + merge), so
-    // uncut lineage grows exponentially in `iters` and OOMs the planner
-    // long before any data does. Exactly one checkpointed frame is live
-    // at a time; superseded ones are unpersisted.
+    val edges = descend(base, init, kb, iters, rho, seed)
+    // truncate the widened working lists to the requested k
+    if (kb == k) edges else topKPerSrc(edges, k)
+  }
+
+  /** The NN-descent loop itself, shared by [[buildGraph]] (hash-bucket
+    * init) and [[repairGraph]] (init = the appended adjacency).
+    * localCheckpoint per round (the GraphRank discipline): each round's
+    * plan references the previous round's twice (adjacency + merge), so
+    * uncut lineage grows exponentially in `iters` and OOMs the planner
+    * long before any data does. Exactly one checkpointed frame is live
+    * at a time; superseded ones are unpersisted. */
+  private def descend(base: DataFrame, init: DataFrame, kb: Int,
+                      iters: Int, rho: Double, seed: Long): DataFrame = {
     var edges = topKPerSrc(init, kb).localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -110,8 +140,7 @@ object GraphAnn {
       edges = merged
       it += 1
     }
-    // truncate the widened working lists to the requested k
-    if (kb == k) edges else topKPerSrc(edges, k)
+    edges
   }
 
   /** Per-src smallest-k by (dist, dst) — groupBy + bounded array ops,
@@ -134,77 +163,312 @@ object GraphAnn {
       .limit(nSeeds)
       .collect().map(_.getLong(0)).toSeq
 
-  /** Multi-seed best-first beam search over the persisted k-NN graph.
-    * Driver-held beam of `ef` best-so-far; each hop expands every
-    * not-yet-expanded beam member at once (a batched generation, not
-    * HNSW's one-node-at-a-time walk), stops when a hop improves nothing
-    * or `maxHops` generations pass. Returns (vec_id, dist) top-k.
+  // ---- beam search (single + batched share one core) ----------------------
+
+  /** Per-query driver-side beam state. `beam` is sorted (dist, id)
+    * ascending and capped at the internal width. */
+  private final class QState(val qid: Long) {
+    var beam: Vector[(Long, Double)] = Vector.empty
+    val visited = scala.collection.mutable.Set[Long]()
+    val expanded = scala.collection.mutable.Set[Long]()
+    var active = true
+  }
+
+  /** ONE pruned adjacency scan for the union frontier of every active
+    * beam: bucket pruning (when the graph is a persisted bucketed
+    * generation) is an `isin` over ≤ nBuckets literals — static
+    * PartitionFilters at the parquet scan — and the src restriction is
+    * an `isin` for small frontiers or a broadcast semi-join for batch
+    * frontiers (an `In` list with thousands of children bloats the
+    * plan). Package-private so the spec can assert the pruned plan. */
+  private[graft] def hopScan(spark: SparkSession, graph: DataFrame,
+                                 frontier: Seq[Long],
+                                 bucketOf: Option[Long => Int]): DataFrame = {
+    val pruned = bucketOf match {
+      case Some(f) =>
+        val buckets = frontier.map(f(_)).distinct.map(Int.box)
+        graph.filter(col("bucket").isin(buckets: _*))
+      case None => graph
+    }
+    if (frontier.size <= 256)
+      pruned.filter(col("src").isin(frontier: _*)).select(col("src"), col("dst"))
+    else {
+      import spark.implicits._
+      pruned.join(broadcast(frontier.toDF("src")), Seq("src"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+  }
+
+  /** ONE distance probe shared across every active beam: the (qid,
+    * cand_id) pairs are driver-built (bounded by B·ef·k), broadcast
+    * against one narrow corpus scan, joined to the broadcast query
+    * batch, and scored with the codegen'd squared-L2. */
+  private def probeDists(spark: SparkSession, emb: DataFrame, qdf: DataFrame,
+                         pairs: Seq[(Long, Long)]): Map[(Long, Long), Double] = {
+    if (pairs.isEmpty) return Map.empty
+    import spark.implicits._
+    val pdf = pairs.toDF("qid", "cand_id")
+    broadcast(pdf)
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding")), Seq("cand_id"))
+      .join(broadcast(qdf), Seq("qid"))
+      .select(col("qid"), col("cand_id"), l2sq(col("embedding"), col("qvec")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  /** Multi-seed best-first beam search for a BATCH of queries over the
+    * k-NN graph, run in lockstep: every hop expands every active
+    * query's not-yet-expanded beam members at once via ONE shared
+    * pruned adjacency scan + ONE shared distance probe (2 bounded
+    * Spark jobs per hop for the WHOLE batch — the graph twin of
+    * `knn_batch128`'s one-pass amortization). A query stops when a hop
+    * improves nothing for it or `maxHops` generations pass. The
+    * single-query [[searchBeam]] is the B=1 special case of this loop,
+    * so batch ≡ sequential holds by construction (and is spec-pinned).
+    *
+    * `excludeSelf`: each query's own qid is dropped from its result
+    * (the reference's self-exclusion, app.py:91-93). The internal beam
+    * holds ef+1 entries in that case so the exclusion can never shrink
+    * the result below k — the r14-advice edge where ef == k and the
+    * query id occupied a beam slot returned k−1 rows.
     *
     * `maxHops` must cover the graph's hop-diameter from the seeds
     * (≈ log_k n): the 100k decade grid measured recall@10 0.41 at
     * 6 hops vs 0.75 at 12 with everything else fixed — small corpora
     * stop early via the no-improvement exit either way, so the larger
-    * default costs nothing at gate scale. */
-  def searchBeam(spark: SparkSession, graph: DataFrame, emb: DataFrame,
-                 q: Array[Float], k: Int, ef: Int = 32, maxHops: Int = 12,
-                 seeds: Seq[Long], excludeId: Option[Long] = None): DataFrame = {
+    * default costs nothing at gate scale.
+    *
+    * Returns (qid, vec_id, dist, rank) — rank 1..k by (dist, vec_id)
+    * ascending per qid. */
+  def searchBeamBatch(spark: SparkSession, graph: DataFrame, emb: DataFrame,
+                      queries: Seq[(Long, Array[Float])], k: Int, ef: Int = 32,
+                      maxHops: Int = 12, seeds: Seq[Long],
+                      excludeSelf: Boolean = true,
+                      bucketOf: Option[Long => Int] = None): DataFrame = {
+    require(queries.nonEmpty, "graph-ann: empty query batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "graph-ann: duplicate qids in batch")
     require(ef >= k, s"graph-ann: ef=$ef < k=$k")
-    val base = emb.select(col("vec_id").as("id"), col("embedding"))
-    def distsOf(ids: Seq[Long]): Seq[(Long, Double)] =
-      if (ids.isEmpty) Nil
-      else base.filter(col("id").isin(ids: _*))
-        .select(col("id"), l2sq(col("embedding"), typedlit(q)).as("d"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // beam: best-ef (dist, id); visited: every id ever scored;
-    // expanded: ids whose neighbor lists were already pulled
-    var beam = distsOf(seeds).sortBy { case (id, d) => (d, id) }.take(ef)
-    val visited = scala.collection.mutable.Set[Long](beam.map(_._1): _*)
-    val expanded = scala.collection.mutable.Set[Long]()
+    val efW = if (excludeSelf) ef + 1 else ef
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val states = queries.map { case (qid, _) => new QState(qid) }
+    // seed generation: score every (query, seed) pair in one probe
+    val seedD = probeDists(spark, emb, qdf,
+      for { (qid, _) <- queries; s <- seeds } yield (qid, s))
+    states.foreach { st =>
+      st.beam = seeds.flatMap(s => seedD.get((st.qid, s)).map(d => (s, d)))
+        .sortBy { case (id, d) => (d, id) }.take(efW).toVector
+      st.visited ++= st.beam.map(_._1)
+    }
     var hops = 0
-    var improved = true
-    while (improved && hops < maxHops) {
-      val frontier = beam.map(_._1).filterNot(expanded.contains)
-      if (frontier.isEmpty) { improved = false }
-      else {
-        expanded ++= frontier
-        val nbrs = graph.filter(col("src").isin(frontier: _*))
-          .select(col("dst")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val fresh = nbrs.filterNot(visited.contains)
-        visited ++= fresh
-        val scored = distsOf(fresh)
-        val worst = if (beam.size < ef) Double.MaxValue else beam.last._2
-        val merged = (beam ++ scored.map { case (id, d) => (id, d) })
-          .sortBy { case (id, d) => (d, id) }
-          .sortBy(_._2).take(ef)
-        improved = scored.exists(_._2 < worst) || beam.size < ef
-        beam = merged
+    while (hops < maxHops && states.exists(_.active)) {
+      val frontiers = states.filter(_.active).map { st =>
+        st -> st.beam.map(_._1).filterNot(st.expanded.contains)
+      }
+      frontiers.collect { case (st, fr) if fr.isEmpty => st.active = false }
+      val live = frontiers.filter(_._2.nonEmpty)
+      if (live.nonEmpty) {
+        val union = live.flatMap(_._2).distinct
+        val nbrMap: Map[Long, Array[Long]] =
+          hopScan(spark, graph, union, bucketOf).collect()
+            .groupBy(_.getLong(0))
+            .map { case (s, rows) => s -> rows.map(_.getLong(1)) }
+        val freshByState = live.map { case (st, fr) =>
+          st.expanded ++= fr
+          val fresh = fr.flatMap(s => nbrMap.getOrElse(s, Array.empty[Long]))
+            .distinct.filterNot(st.visited.contains)
+          st.visited ++= fresh
+          (st, fresh)
+        }
+        val dmap = probeDists(spark, emb, qdf,
+          freshByState.flatMap { case (st, f) => f.map(c => (st.qid, c)) })
+        freshByState.foreach { case (st, fresh) =>
+          val scored = fresh.map(c => (c, dmap((st.qid, c))))
+          val worst = if (st.beam.size < efW) Double.MaxValue else st.beam.last._2
+          val underfull = st.beam.size < efW
+          st.beam = (st.beam ++ scored)
+            .sortBy { case (id, d) => (d, id) }.take(efW).toVector
+          st.active = scored.exists(_._2 < worst) || underfull
+        }
       }
       hops += 1
     }
-    import spark.implicits._
-    val res = beam.filterNot { case (id, _) => excludeId.contains(id) }
-      .sortBy { case (id, d) => (d, id) }.take(k)
-    res.toDF("vec_id", "dist").orderBy(col("dist").asc, col("vec_id").asc)
+    val out = states.flatMap { st =>
+      st.beam.filterNot { case (id, _) => excludeSelf && id == st.qid }
+        .take(k).zipWithIndex
+        .map { case ((id, d), i) => (st.qid, id, d, (i + 1).toLong) }
+    }
+    out.toDF("qid", "vec_id", "dist", "rank")
+      .orderBy(col("qid").asc, col("rank").asc)
   }
 
-  // ---- persisted form ----------------------------------------------------
+  /** Single-query beam search — the B=1 case of [[searchBeamBatch]]
+    * (one loop, no drift between the serving paths). Returns
+    * (vec_id, dist) top-k by (dist, vec_id) ascending. */
+  def searchBeam(spark: SparkSession, graph: DataFrame, emb: DataFrame,
+                 q: Array[Float], k: Int, ef: Int = 32, maxHops: Int = 12,
+                 seeds: Seq[Long], excludeId: Option[Long] = None,
+                 bucketOf: Option[Long => Int] = None): DataFrame =
+    searchBeamBatch(spark, graph, emb, Seq(excludeId.getOrElse(-1L) -> q),
+        k, ef, maxHops, seeds, excludeSelf = excludeId.isDefined, bucketOf)
+      .select(col("vec_id"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
 
-  /** Persist the graph as one parquet table (the adjacency IS the
-    * index; no auxiliary state). */
-  def saveGraph(graph: DataFrame, dir: String): Unit =
-    graph.repartition(col("src")).write.mode("overwrite").parquet(dir)
+  // ---- persisted form ------------------------------------------------------
 
-  def loadGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** A persisted graph generation: the bucket-partitioned adjacency
+    * plus its bucket count (from the sibling stats table). */
+  final case class GraphIndex(adjacency: DataFrame, nBuckets: Int)
+
+  /** Driver twin of the adjacency's partition-bucket expression —
+    * MUST stay bit-identical to [[bucketedAdjacency]]'s column form
+    * (pmod(xxhash64(src), nBuckets); Spark's xxhash64 seed is 42), or
+    * searches would prune to partitions the writer never used.
+    * Spec-pinned against the column expression. */
+  def bucketOf(id: Long, nBuckets: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      nBuckets.toLong).toInt
+
+  /** The ONE bucket pipeline every save/append path runs (the
+    * TextSearch.bucketedPostings discipline — sharing the code makes
+    * writer/reader divergence impossible). `bucket` is int, matching
+    * parquet partition-directory type inference on load. */
+  private def bucketedAdjacency(graph: DataFrame, nBuckets: Int): DataFrame =
+    graph.select(col("src"), col("dst"), col("dist"),
+      pmod(xxhash64(col("src")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+
+  /** Persist the graph as a parquet directory: the adjacency
+    * partitioned by `bucket = pmod(xxhash64(src), nBuckets)` (so a
+    * beam hop statically prunes to its frontier's buckets — the r14
+    * verdict's scale fix; `repartition(bucket)` first so each bucket
+    * gets one file, not parallelism × nBuckets slivers), plus a
+    * one-row stats table carrying the bucket count. */
+  def saveGraph(graph: DataFrame, dir: String,
+                nBuckets: Int = DefaultBuckets): Unit = {
+    require(nBuckets > 0)
+    bucketedAdjacency(graph, nBuckets).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/adjacency")
+    graph.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Load a persisted generation; missing path fails like the
+    * reference's index load (FileNotFoundError parity, app.py:127-128). */
+  def loadGraph(spark: SparkSession, dir: String): GraphIndex = {
     if (!new java.io.File(dir).exists())
       throw new java.io.FileNotFoundException(s"Graph directory not found: $dir")
-    spark.read.parquet(dir)
+    val nBuckets = spark.read.parquet(s"$dir/stats")
+      .select(col("n_buckets")).head.getInt(0)
+    GraphIndex(spark.read.parquet(s"$dir/adjacency"), nBuckets)
+  }
+
+  /** Beam search over a persisted generation: identical beam core,
+    * with every hop's adjacency scan statically pruned to the
+    * frontier's buckets (driver-computed via [[bucketOf]] — the
+    * bm25_persisted pattern). Persisted ≡ in-memory results hold by
+    * construction (pruning only drops rows the src filter would) and
+    * are spec-pinned bit-for-bit. */
+  def searchIndex(spark: SparkSession, idx: GraphIndex, emb: DataFrame,
+                  q: Array[Float], k: Int, ef: Int = 32, maxHops: Int = 12,
+                  seeds: Seq[Long], excludeId: Option[Long] = None): DataFrame =
+    searchBeam(spark, idx.adjacency, emb, q, k, ef, maxHops, seeds, excludeId,
+      bucketOf = Some(bucketOf(_, idx.nBuckets)))
+
+  /** Batched serving over a persisted generation — ONE pruned scan +
+    * ONE distance probe per hop for the whole batch. */
+  def searchIndexBatch(spark: SparkSession, idx: GraphIndex, emb: DataFrame,
+                       queries: Seq[(Long, Array[Float])], k: Int,
+                       ef: Int = 32, maxHops: Int = 12, seeds: Seq[Long],
+                       excludeSelf: Boolean = true): DataFrame =
+    searchBeamBatch(spark, idx.adjacency, emb, queries, k, ef, maxHops, seeds,
+      excludeSelf, bucketOf = Some(bucketOf(_, idx.nBuckets)))
+
+  // ---- incremental append (the IVF append/retrain discipline) -------------
+
+  /** Idempotent per-wave append to a persisted graph — the graph twin
+    * of [[IvfIndex.appendBatch]] / [[TextSearch.appendTermBatch]]
+    * (stage → prefixed move under the bucket partitions → marker;
+    * replays of a committed batch are no-ops; the lease fences
+    * concurrent writers).
+    *
+    * Each new vector's k-NN list among the EXISTING nodes comes from
+    * one batched beam search over the standing generation (the wave is
+    * the query batch — bounded driver state, like a streaming
+    * micro-batch); forward edges (new → found) give the new node its
+    * list, back edges (found → new) make it REACHABLE from the
+    * standing graph's beams. Until [[repairGraph]] runs, back-edged
+    * srcs exceed degree k and intra-wave edges are absent — both are
+    * the documented drift-and-repair posture (IVF appends against
+    * frozen centroids, same contract), and searches only ever IMPROVE
+    * from extra candidate edges. Returns new nodes appended (0 for a
+    * replayed committed wave). */
+  def appendGraphBatch(spark: SparkSession, dir: String, newRows: DataFrame,
+                       emb: DataFrame, k: Int = 10, ef: Int = 32,
+                       batchId: Long, namespace: String = ""): Long = {
+    import java.nio.file.{Files, Paths}
+    val tag = BatchFs.batchTag(batchId, namespace)
+    val marker = BatchFs.markerFor(dir, batchId, namespace)
+    if (Files.exists(marker)) return 0L
+    BatchFs.withLease(dir, "adjacency") { fence =>
+      val idx = loadGraph(spark, dir)
+      // the wave IS the query batch: bounded by the micro-batch size
+      val queries = newRows.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      if (queries.isEmpty) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
+      else {
+        val seeds = seedIds(idx.adjacency, 16)
+        val fwd = searchIndexBatch(spark, idx, emb, queries, k, ef,
+            seeds = seeds, excludeSelf = false)
+          .select(col("qid"), col("vec_id"), col("dist")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        import spark.implicits._
+        val edges = (fwd ++ fwd.map { case (s, d, x) => (d, s, x) }).toSeq
+          .toDF("src", "dst", "dist")
+        val staging = s"$dir/_staging/batch-$tag"
+        bucketedAdjacency(edges, idx.nBuckets).repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        val adjRoot = Paths.get(s"$dir/adjacency")
+        fence() // abort BEFORE touching the live dir if the lease is gone
+        BatchFs.clearBatch(adjRoot, "bucket=", tag)
+        BatchFs.commitStaged(Paths.get(staging), adjRoot, "bucket=", tag)
+        // delete-before-marker: a crash between the two replays cleanly;
+        // the reverse order would orphan the staging dir forever
+        BatchFs.deleteRecursively(Paths.get(staging))
+        fence()
+        BatchFs.writeMarker(marker, queries.size.toString)
+        queries.size.toLong
+      }
+    }
+  }
+
+  /** The retrain analogue: NN-descent rounds initialized from the
+    * CURRENT adjacency (original + appended waves) over the full
+    * corpus, truncated to k, written as a fresh immutable generation
+    * at `dstDir` (the [[IvfIndex.retrain]] posture — the old
+    * generation stays valid for in-flight readers; promotion is a path
+    * swap by the caller). This is where intra-wave edges appear and
+    * back-edged degrees renormalize to exactly k. */
+  def repairGraph(spark: SparkSession, srcDir: String, dstDir: String,
+                  emb: DataFrame, k: Int = 10, iters: Int = 2,
+                  rho: Double = 1.0, seed: Long = 42L,
+                  buildFactor: Int = 3): Unit = {
+    val idx = loadGraph(spark, srcDir)
+    val kb = k * buildFactor
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val edges = descend(base,
+      idx.adjacency.select(col("src"), col("dst"), col("dist")),
+      kb, iters, rho, seed)
+    saveGraph(if (kb == k) edges else topKPerSrc(edges, k), dstDir, idx.nBuckets)
   }
 
   // ---- memoized sf-table forms + registered audit queries -----------------
 
   private val graphCache = JvmCaches.sessionMap[(String, Int, Int), DataFrame]()
-  private val seedCache = JvmCaches.map[(String, Int, Int), Seq[Long]]()
+  private val seedCache = JvmCaches.sessionMap[(String, Int, Int), Seq[Long]]()
+  private val persistedCache = JvmCaches.sessionMap[String, GraphIndex]()
+  // appended lifecycle: (repaired generation, replay-was-noop)
+  private val appendedCache = JvmCaches.sessionMap[String, (GraphIndex, Boolean)]()
 
   def forEmbeddings(spark: SparkSession, sfDir: String,
                     k: Int = 10, iters: Int = 6): DataFrame =
@@ -215,9 +479,48 @@ object GraphAnn {
   def seedsForEmbeddings(spark: SparkSession, sfDir: String,
                          k: Int = 10, iters: Int = 6,
                          nSeeds: Int = 16): Seq[Long] =
-    seedCache.getOrElseUpdate((sfDir, k, iters), {
+    seedCache.getOrElseUpdate(spark, (sfDir, k, iters)) {
       seedIds(forEmbeddings(spark, sfDir, k, iters), nSeeds)
-    })
+    }
+
+  /** The persisted bucketed generation over the sf embeddings,
+    * memoized per (JVM session, sfDir) — Verify and the bench's reps
+    * share one on-disk generation; every SEARCH against it re-executes
+    * the pruned-scan path (nothing in-memory), so the bench times the
+    * serving shape the 100 TB design claims. */
+  def persistedGraphFor(spark: SparkSession, sfDir: String): GraphIndex =
+    persistedCache.getOrElseUpdate(spark, sfDir) {
+      val dir =
+        s"/root/repo/target/graph-ann/${new java.io.File(sfDir).getName}"
+      saveGraph(forEmbeddings(spark, sfDir), dir)
+      loadGraph(spark, dir)
+    }
+
+  /** The full incremental lifecycle over the sf embeddings, memoized:
+    * build on the standing 4/5 of the corpus (vec_id % 5 != 0), append
+    * the remaining 1/5 as one wave (batchId 0), REPLAY the same wave
+    * (must be a no-op — the flag rides into the audit), then repair
+    * into a fresh generation. Build uses iters=4 (build QUALITY is
+    * [[graphBuildAudit]]'s contract, pinned at the default 6; the
+    * lifecycle's contract is append/repair parity). */
+  def appendedGraphFor(spark: SparkSession, sfDir: String,
+                       k: Int = 10): (GraphIndex, Boolean) =
+    appendedCache.getOrElseUpdate(spark, sfDir) {
+      val dir =
+        s"/root/repo/target/graph-append/${new java.io.File(sfDir).getName}"
+      BatchFs.deleteRecursively(java.nio.file.Paths.get(dir))
+      BatchFs.deleteRecursively(java.nio.file.Paths.get(s"$dir-repaired"))
+      val emb = Tables.embeddings(spark, sfDir)
+      val existing = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+      val wave = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+      saveGraph(buildGraph(existing, k = k, iters = 4), dir)
+      val n1 = appendGraphBatch(spark, dir, wave, existing, k = k,
+        batchId = 0L, namespace = "audit")
+      val n2 = appendGraphBatch(spark, dir, wave, existing, k = k,
+        batchId = 0L, namespace = "audit")
+      repairGraph(spark, dir, s"$dir-repaired", emb, k = k, iters = 2)
+      (loadGraph(spark, s"$dir-repaired"), n1 > 0L && n2 == 0L)
+    }
 
   /** Registered `knn_graph_stats` — the NN-descent build audit. WHICH
     * edges the descent finds is deterministic here (hash-seeded, no
@@ -267,6 +570,10 @@ object GraphAnn {
 
   val GraphRecallFloor = 0.9
   val SearchRecallFloor = 0.8
+  /** Mean-recall floor for the 32-query batch audit — per-query floors
+    * belong to the single-probe audits; the batch entry pins the
+    * aggregate serving quality (the decade's measure). */
+  val BatchRecallFloor = 0.8
 
   /** Registered `knn_graph_search` — the beam-search audit, mirroring
     * the f16/autotune audit discipline: n_hits restated, stored
@@ -281,6 +588,15 @@ object GraphAnn {
       .select("embedding").head.getSeq[Float](0).toArray
     val res = searchBeam(spark, g, emb, q, k, ef,
       seeds = seedsForEmbeddings(spark, sfDir), excludeId = Some(queryId))
+    searchFlags(spark, sfDir, res, q, queryId, k)
+  }
+
+  /** Shared flag frame for the single-probe search audits: n_hits
+    * restated, bit-exact distances, recall@k ≥ floor vs the exact
+    * scan. */
+  private def searchFlags(spark: SparkSession, sfDir: String, res: DataFrame,
+                          q: Array[Float], queryId: Long, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
     val exact = VectorSearchOps.knnExactL2(spark, sfDir, queryId, k)
       .select(col("vec_id"))
     val base = res
@@ -293,5 +609,120 @@ object GraphAnn {
     base.crossJoin(broadcast(hit))
       .select(col("n_hits"), col("dists_exact_ok"),
         (col("n_hit") >= math.ceil(SearchRecallFloor * k).toLong).as("recall_ok"))
+  }
+
+  /** Registered `knn_graph_persisted` — the persisted serving audit
+    * (the r15 scale fix's gate): search the BUCKETED on-disk
+    * generation with frontier-bucket pruning, and pin
+    *  - the single-probe flags ([[searchFlags]]), and
+    *  - `matches_memory_ok` — the pruned persisted search returns
+    *    bit-identically what the in-memory beam returns (engine-
+    *    compared on the collected rows; also spec-pinned with the
+    *    PartitionFilters plan assertion). */
+  def graphPersistedAudit(spark: SparkSession, sfDir: String,
+                          queryId: Long = 0L, k: Int = 10, ef: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = persistedGraphFor(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val seeds = seedsForEmbeddings(spark, sfDir)
+    val res = searchIndex(spark, idx, emb, q, k, ef, seeds = seeds,
+      excludeId = Some(queryId))
+    val mem = searchBeam(spark, forEmbeddings(spark, sfDir), emb, q, k, ef,
+      seeds = seeds, excludeId = Some(queryId))
+    val same = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      mem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    searchFlags(spark, sfDir, res, q, queryId, k)
+      .select(col("n_hits"), col("dists_exact_ok"), col("recall_ok"),
+        lit(same).as("matches_memory_ok"))
+  }
+
+  /** Registered `knn_graph_batch` — the batched-serving audit over the
+    * persisted generation: 32 probes (vec_id < 32) through ONE
+    * lockstep beam (2 shared jobs per hop), vs the exact batch twin.
+    * Flags: n_queries restated, every query returned exactly k rows,
+    * stored distances bit-exact, and MEAN recall@k ≥
+    * [[BatchRecallFloor]]. Deterministic end to end. */
+  def graphBatchAudit(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 32, k: Int = 10, ef: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = persistedGraphFor(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val res = searchIndexBatch(spark, idx, emb, queries, k, ef,
+      seeds = seedsForEmbeddings(spark, sfDir), excludeSelf = true)
+    val exact = VectorSearchOps.knnBatchExact(spark, sfDir, nQueries, k)
+      .select(col("src_id").as("qid"), col("dst_id").as("vec_id"))
+    val perQ = res.groupBy(col("qid")).agg(count(lit(1)).as("nk"))
+      .agg(count(lit(1)).as("n_queries"),
+        (min(col("nk")) === k && max(col("nk")) === k).as("all_k_ok"))
+    val qemb = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cemb = emb.select(col("vec_id"), col("embedding").as("cv"))
+    // argument order matches the probe's l2sq(candidate, query) so the
+    // bit-equality check compares identical expression shapes
+    val exactD = res.join(qemb, Seq("qid")).join(cemb, Seq("vec_id"))
+      .agg(forall(col("dist") === l2sq(col("cv"), col("qv"))).as("dists_exact_ok"))
+    val hits = res.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    perQ.crossJoin(broadcast(exactD)).crossJoin(broadcast(hits))
+      .select(col("n_queries"), col("all_k_ok"), col("dists_exact_ok"),
+        (col("n_hit").cast("double") >= lit(BatchRecallFloor * nQueries * k))
+          .as("recall_ok"))
+  }
+
+  /** Registered `knn_graph_append` — the incremental-closure audit
+    * (the IVF append/retrain discipline, graph form): the repaired
+    * post-append generation must look like a fresh build —
+    *  - `n_nodes` — every corpus node has a list (restated count);
+    *  - `degree_ok` / `no_self_loops_ok` / `dists_exact_ok` — the
+    *    build audit's structural invariants, on the repaired graph;
+    *  - `graph_recall_ok` — edge overlap with the exact k-NN graph
+    *    clears the SAME floor as a fresh build (append ≡ fresh-build
+    *    recall parity);
+    *  - `replay_noop_ok` — re-appending the committed wave returned 0
+    *    (the BatchFs marker protocol held);
+    *  - `search_recall_ok` — a beam probe over the repaired
+    *    generation clears the serving floor. */
+  def graphAppendAudit(spark: SparkSession, sfDir: String,
+                       queryId: Long = 0L, k: Int = 10, ef: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (idx, replayOk) = appendedGraphFor(spark, sfDir, k)
+    val g = idx.adjacency
+    val struct1 = g.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"),
+        sum(when(col("src") === col("dst"), 1).otherwise(0)).as("selfs"))
+      .agg(count(lit(1)).as("n_nodes"),
+        (min(col("deg")) === k && max(col("deg")) === k).as("degree_ok"),
+        (sum(col("selfs")) === 0).as("no_self_loops_ok"))
+    val rec = g
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("sv")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dv")), Seq("dst"))
+      .agg(forall(col("dist") === l2sq(col("sv"), col("dv"))).as("dists_exact_ok"))
+    ExactTwinGuard.check(emb.count(), ExactTwinGuard.MaxRows,
+      "knn_graph_append", "appendGraphBatch + VECTOR_DECADE artifact")
+    val exact = VectorSearchOps.knnBatchExact(spark, sfDir,
+        nQueries = Int.MaxValue, k = k)
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val hit = g.join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val probe = searchIndex(spark, idx, emb, q, k, ef,
+      seeds = seedIds(g, 16), excludeId = Some(queryId))
+    val exactProbe = VectorSearchOps.knnExactL2(spark, sfDir, queryId, k)
+      .select(col("vec_id"))
+    val probeHit = probe.join(exactProbe, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_probe_hit"))
+    struct1.crossJoin(broadcast(rec)).crossJoin(broadcast(hit))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(probeHit))
+      .select(col("n_nodes"), col("degree_ok"), col("no_self_loops_ok"),
+        col("dists_exact_ok"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")
+          >= GraphRecallFloor).as("graph_recall_ok"),
+        lit(replayOk).as("replay_noop_ok"),
+        (col("n_probe_hit") >= math.ceil(SearchRecallFloor * k).toLong)
+          .as("search_recall_ok"))
   }
 }

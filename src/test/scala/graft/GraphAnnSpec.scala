@@ -76,17 +76,18 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
-  test("save -> load -> search round trip is identical") {
+  test("save -> load -> bucket-pruned search round trip is identical") {
     val dir = s"/root/repo/target/graph-ann-test/${System.nanoTime()}"
     GraphAnn.saveGraph(graph, dir)
     val loaded = GraphAnn.loadGraph(spark, dir)
+    assert(loaded.nBuckets == GraphAnn.DefaultBuckets)
     val emb = Tables.embeddings(spark, sfSmall)
     val q = emb.filter(col("vec_id") === 3L)
       .select("embedding").head.getSeq[Float](0).toArray
     val seeds = GraphAnn.seedsForEmbeddings(spark, sfSmall)
     val a = GraphAnn.searchBeam(spark, graph, emb, q, 10, 32, seeds = seeds,
       excludeId = Some(3L)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val b = GraphAnn.searchBeam(spark, loaded, emb, q, 10, 32, seeds = seeds,
+    val b = GraphAnn.searchIndex(spark, loaded, emb, q, 10, 32, seeds = seeds,
       excludeId = Some(3L)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b)
   }
