@@ -591,10 +591,14 @@ object VectorDecadeR15 {
       qid => Quantization.knnBinaryRerank(spark, dir384, qid, 10, rerank = 1000)
         .collect().map(_.getLong(0)).toSeq)
 
-    // graph family at the reference geometry
+    // graph family at the reference geometry. iters=6: at dim=384 the
+    // descent needs more ROUNDS to converge from the LSH init (10k
+    // sweep: graph recall 0.716 at 4 iters -> 0.954 at 6 -> 0.969 at
+    // 8) — the inverse of the 64-dim sf0.5 finding where width, not
+    // rounds, was the lever; both are recorded in GraphAnn's scaladoc
     locally {
       val (g384, tG) = time {
-        val g = GraphAnn.buildGraph(emb384, k = 10, iters = 4, rho = 0.3)
+        val g = GraphAnn.buildGraph(emb384, k = 10, iters = 6, rho = 0.3)
         g.persist(StorageLevel.MEMORY_AND_DISK); g.count(); g
       }
       val gDir = s"$dir384/graph-ann"

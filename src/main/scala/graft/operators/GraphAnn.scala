@@ -56,6 +56,12 @@ object GraphAnn {
   /** Expected members per virtual init bucket. */
   val InitBucket = 8
 
+  /** Hot-bucket cap for the LSH init rounds: a tight cluster can put
+    * hundreds of members under one signature; sub-splitting by id-hash
+    * caps the within-bucket self-join at ~MaxInitBucket² pairs while
+    * keeping every sub-bucket cluster-pure. */
+  val MaxInitBucket = 32
+
   /** Default partition-bucket count for the persisted adjacency. Size
     * it so a frontier (≤ ef srcs) prunes most partitions: gate corpora
     * use the default; the 500k decade uses 512 (ef=128 frontiers touch
@@ -83,7 +89,14 @@ object GraphAnn {
     * 0.875 vs the 0.9 audit floor while factor 3 reads 0.979 (more
     * ITERATIONS plateau: 8 rounds buy +0.01, a wider list +0.10).
     * Factor 3 is therefore the default; build cost scales as
-    * (2·factor·k)² per node per round. */
+    * (2·factor·k)² per node per round.
+    *
+    * `iters` is the complementary lever at HIGH dimension: from the
+    * LSH init, the dim=384 decade slice (10k) measured graph recall
+    * 0.716 at 4 rounds → 0.954 at 6 → 0.969 at 8 (width was the lever
+    * on the 64-dim near-isotropic gates, rounds are the lever on the
+    * clustered 384-dim geometry — the descent keeps a real gradient
+    * there and simply needs more propagation hops). */
   def buildGraph(emb: DataFrame, idCol: String = "vec_id",
                  embCol: String = "embedding",
                  k: Int = 10, iters: Int = 6, rho: Double = 1.0,
@@ -92,22 +105,62 @@ object GraphAnn {
     val base = emb.select(col(idCol).as("id"), col(embCol).as("vec"))
     val n = base.count()
     require(n > 1, "graph-ann: need at least two vectors")
+    // init: LOCALITY-SENSITIVE virtual buckets. Pure id-hash buckets
+    // give NN-descent a dead start at high dimension — the r15 dim=384
+    // decade measured graph recall 0.001 from a random init (distance
+    // concentration: every cross-cluster distance is nearly equal, so
+    // "neighbor of neighbor" carries no signal and the descent never
+    // leaves noise). Two rounds of seeded hyperplane-LSH buckets
+    // (sign-random-projection of the VECTOR, Charikar STOC'02 — fixed
+    // seeded planes, deterministic, still zero k-means) seed
+    // within-cluster edges so the descent has a gradient from round
+    // one, and one id-hash round keeps every node connected regardless
+    // of bucket skew (a singleton LSH bucket would otherwise leave its
+    // node with no adjacency list at all — P[isolated] under the
+    // id-hash round is e^-InitBucket ≈ 3e-4, vs structurally possible
+    // for LSH outliers). Hot LSH buckets (tight clusters) sub-split by
+    // id-hash to cap the within-bucket self-join.
+    val dim = base.select(col("vec")).head.getSeq[Float](0).size
     val nBuckets = math.max(n / InitBucket, 1L)
-    // R = 2 virtual buckets per node: expected 2·InitBucket co-bucketed
-    // candidates each, enough for NN-descent to converge in few rounds
-    val bucketed = base
-      .withColumn("r", explode(array(lit(0), lit(1))))
-      .withColumn("bkt", pmod(xxhash64(col("id"), col("r"), lit(seed)), lit(nBuckets)))
-      .select(col("bkt"), col("id"), col("vec"))
-    val init = bucketed.as("a")
-      .join(bucketed.as("b"), Seq("bkt"))
-      .filter(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("src"), col("b.id").as("dst"),
-        l2sq(col("a.vec"), col("b.vec")).as("dist"))
+    val idRound = base.select(lit(-1L).as("r"),
+      pmod(xxhash64(col("id"), lit(seed)), lit(nBuckets)).as("sig"),
+      col("id"), col("vec"))
+    val bBits = math.max(1, math.min(20,
+      math.ceil(math.log(math.max(n.toDouble / InitBucket, 2.0)) / math.log(2.0)).toInt))
+    val lshRounds = (0 until 2).map { r =>
+      val planes = Dedup.hyperplanes(dim, bBits, seed + 1000L * (r + 1))
+      base.select(lit(r.toLong).as("r"),
+        graft.functions.hyperplane_sketch(col("vec"), planes).as("sig"),
+        col("id"), col("vec"))
+    }
+    val sigged = (lshRounds :+ idRound).reduce(_.unionByName(_))
+    val sizes = sigged.groupBy(col("r"), col("sig")).agg(count(lit(1)).as("bn"))
+    val bucketed = sigged.join(sizes, Seq("r", "sig"))
+      .withColumn("sub", pmod(xxhash64(col("id"), col("r"), lit(seed)),
+        greatest(lit(1L), ceil(col("bn") / lit(MaxInitBucket.toDouble)).cast("long"))))
+    val aS = bucketed.select(col("r"), col("sig"), col("sub"),
+      col("id").as("aid"), col("vec").as("av"))
+    val bS = bucketed.select(col("r"), col("sig"), col("sub"),
+      col("id").as("bid"), col("vec").as("bv"))
+    val init = aS.join(bS, Seq("r", "sig", "sub"))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid").as("src"), col("bid").as("dst"),
+        l2sq(col("av"), col("bv")).as("dist"))
     val edges = descend(base, init, kb, iters, rho, seed)
     // truncate the widened working lists to the requested k
     if (kb == k) edges else topKPerSrc(edges, k)
   }
+
+  /** Broadcast the base vector table into the distance joins when it
+    * fits an executor (n·dim·4 bytes under ~1.5 GB): the candidate
+    * frame is n·(2kb)²·rho rows per round, and shuffling it WIDE (a
+    * vector array in tow between the two joins) is what fills local
+    * disk at the 500k decade (≈150 GB raw per round at 64-dim) — with
+    * the base broadcast, only the 16-byte (src, dst) pairs ever
+    * shuffle (≈9 GB). Past the broadcast ceiling the shuffle join is
+    * the correct shape (the cluster provisions shuffle disk; a 100 TB
+    * corpus never broadcasts its embeddings). */
+  private val BroadcastBaseBytes = 1.5e9
 
   /** The NN-descent loop itself, shared by [[buildGraph]] (hash-bucket
     * init) and [[repairGraph]] (init = the appended adjacency).
@@ -118,6 +171,10 @@ object GraphAnn {
     * at a time; superseded ones are unpersisted. */
   private def descend(base: DataFrame, init: DataFrame, kb: Int,
                       iters: Int, rho: Double, seed: Long): DataFrame = {
+    val n = base.count()
+    val dim = base.select(col("vec")).head.getSeq[Float](0).size
+    val big = n * dim * 4.0 > BroadcastBaseBytes
+    def side(df: DataFrame): DataFrame = if (big) df else broadcast(df)
     var edges = topKPerSrc(init, kb).localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -132,13 +189,18 @@ object GraphAnn {
         .filter(col("src") =!= col("dst"))
         .distinct()
       val scored = cand
-        .join(base.select(col("id").as("src"), col("vec").as("sv")), Seq("src"))
-        .join(base.select(col("id").as("dst"), col("vec").as("dv")), Seq("dst"))
+        .join(side(base.select(col("id").as("src"), col("vec").as("sv"))), Seq("src"))
+        .join(side(base.select(col("id").as("dst"), col("vec").as("dv"))), Seq("dst"))
         .select(col("src"), col("dst"), l2sq(col("sv"), col("dv")).as("dist"))
       val merged = topKPerSrc(edges.unionByName(scored), kb).localCheckpoint(true)
       edges.unpersist(blocking = false)
       edges = merged
       it += 1
+      // superseded rounds' shuffle files are deleted only after their
+      // dependencies are GC'd driver-side; a 500k round writes tens of
+      // GB, and waiting for organic heap-pressure GC overruns local
+      // disk — hint the cleaner once per round (no-op at gate scale)
+      if (n > 100000L) System.gc()
     }
     edges
   }

@@ -97,6 +97,40 @@ class GraphAnnSpec extends SparkSpec {
       GraphAnn.loadGraph(spark, "/root/repo/target/graph-ann-test/nope"))
   }
 
+  test("LSH init keeps NN-descent alive on clustered high-dim geometry") {
+    // regression pin for the r15 dim=384 decade catch: a pure id-hash
+    // random init gives the descent no gradient under distance
+    // concentration (beam recall collapsed to 0.125 at 384-dim while
+    // every quantizer family read >= 0.93); the hyperplane-LSH init
+    // rounds seed within-cluster edges so the graph converges. This
+    // fixture reproduces the geometry small: tight clusters in 192-dim
+    // where cross-cluster distances concentrate.
+    import spark.implicits._
+    val dim = 192; val nClusters = 12; val perCluster = 100
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 4f))
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.25f).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val g = GraphAnn.buildGraph(emb, k = 10, iters = 4, rho = 0.5)
+    val a = emb.select(col("vec_id").as("src"), col("embedding").as("av"))
+    val b = emb.select(col("vec_id").as("dst"), col("embedding").as("bv"))
+    val exact = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        graft.functions.l2sq(col("av"), col("bv")).as("dist"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dist"), col("dst"))))
+      .filter(col("rk") <= 10).select("src", "dst")
+    val nExact = exact.count()
+    val nHit = g.join(exact, Seq("src", "dst"), "left_semi").count()
+    val recall = nHit.toDouble / nExact
+    assert(recall >= 0.85,
+      s"clustered high-dim graph recall $recall below 0.85 — init regression")
+  }
+
   test("registered audits: every flag green at test scale") {
     val b = GraphAnn.graphBuildAudit(spark, sfSmall).collect().head
     assert(b.getLong(0) == Tables.embeddings(spark, sfSmall).count())
