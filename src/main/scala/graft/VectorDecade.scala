@@ -449,8 +449,12 @@ object VectorDecadeR15 {
     val (_, tSave) = time(GraphAnn.saveGraph(graph, graphDir, nBuckets = 512))
     graph.unpersist(blocking = false)
     val idx = GraphAnn.loadGraph(spark, graphDir)
-    val seeds = GraphAnn.seedIds(idx.adjacency, 32)
-    put("graph_persist_500k", Map("save_s" -> tSave, "n_buckets" -> idx.nBuckets.toDouble))
+    // geometry-spread entry points (the r15 seed-coverage fix): ~1k
+    // seeds over LSH cells; the seed probe is one bounded job per
+    // batch, the same cost class as an IVF coarse scan at nlist≈1k
+    val (seeds, tSeeds) = time(GraphAnn.spreadSeeds(emb, 1024))
+    put("graph_persist_500k", Map("save_s" -> tSave, "n_buckets" -> idx.nBuckets.toDouble,
+      "n_seeds" -> seeds.size.toDouble, "seeds_s" -> tSeeds))
 
     // sequential persisted search, bucket-pruned (ef/maxHops sized for
     // the 500k hop diameter; the 100k grid needed 12 hops, +4 margin)
@@ -591,11 +595,13 @@ object VectorDecadeR15 {
       qid => Quantization.knnBinaryRerank(spark, dir384, qid, 10, rerank = 1000)
         .collect().map(_.getLong(0)).toSeq)
 
-    // graph family at the reference geometry. iters=6: at dim=384 the
-    // descent needs more ROUNDS to converge from the LSH init (10k
-    // sweep: graph recall 0.716 at 4 iters -> 0.954 at 6 -> 0.969 at
-    // 8) — the inverse of the 64-dim sf0.5 finding where width, not
-    // rounds, was the lever; both are recorded in GraphAnn's scaladoc
+    // graph family at the reference geometry: initMode auto probes the
+    // relative contrast and picks the LSH init (concentration — the
+    // random init measured graph recall ~0 here); iters=6 because under
+    // the LSH init the descent converges by propagating within-region
+    // edges (rounds), not by distilling a global sample (width); seeds
+    // are geometry-spread — 32 hash seeds against 1,000 clusters
+    // measured recall 0.000 (cluster-pure graph, seed-coverage bound)
     locally {
       val (g384, tG) = time {
         val g = GraphAnn.buildGraph(emb384, k = 10, iters = 6, rho = 0.3)
@@ -606,7 +612,11 @@ object VectorDecadeR15 {
       GraphAnn.saveGraph(g384, gDir, nBuckets = 256)
       g384.unpersist(blocking = false)
       val gIdx = GraphAnn.loadGraph(spark, gDir)
-      val gSeeds = GraphAnn.seedIds(gIdx.adjacency, 32)
+      // nSeeds ≈ 4× the fixture's 1,000-cluster granularity: on the
+      // fully cluster-pure d384 graph recall IS seed coverage (the 50k
+      // decomposition: covered queries recall 1.000 at every seed
+      // count; 3,126 seeds → coverage 1.0)
+      val gSeeds = GraphAnn.spreadSeeds(emb384, 4096)
       recall384("d384_graph_ann", tG,
         qid => GraphAnn.searchIndex(spark, gIdx, emb384, qvecs384(qid), 10,
             ef = 128, maxHops = 12, seeds = gSeeds, excludeId = Some(qid))

@@ -91,65 +91,132 @@ object GraphAnn {
     * Factor 3 is therefore the default; build cost scales as
     * (2·factor·k)² per node per round.
     *
-    * `iters` is the complementary lever at HIGH dimension: from the
-    * LSH init, the dim=384 decade slice (10k) measured graph recall
-    * 0.716 at 4 rounds → 0.954 at 6 → 0.969 at 8 (width was the lever
-    * on the 64-dim near-isotropic gates, rounds are the lever on the
-    * clustered 384-dim geometry — the descent keeps a real gradient
-    * there and simply needs more propagation hops). */
+    * `iters` is the complementary lever at HIGH dimension: under the
+    * LSH init the descent converges by PROPAGATING within-region edges
+    * (more rounds), where the random init converges by DISTILLING a
+    * global sample (wider lists) — the d384 decade runs 6 rounds, the
+    * 64-dim gates keep width (buildFactor 3) as their lever.
+    *
+    * `initMode`: `"auto"` (default — probe [[relativeContrast]] and
+    * pick), `"random"` (id-hash buckets), or `"lsh"` (hyperplane
+    * buckets). The r15 decade measured BOTH fixed choices losing on
+    * the other's geometry — random init at dim=384 collapsed to graph
+    * recall ~0 (distance concentration: every cross-cluster distance
+    * is nearly equal, so "neighbor of neighbor" carries no signal),
+    * while LSH init at the 500k 64-dim point dropped converged recall
+    * 0.906 → 0.844 (the distance-truncated working lists start
+    * orthant-local and the descent never recovers the random init's
+    * global diversity). The geometry is measurable, so the init is
+    * adaptive, not guessed. */
   def buildGraph(emb: DataFrame, idCol: String = "vec_id",
                  embCol: String = "embedding",
                  k: Int = 10, iters: Int = 6, rho: Double = 1.0,
-                 seed: Long = 42L, buildFactor: Int = 3): DataFrame = {
+                 seed: Long = 42L, buildFactor: Int = 3,
+                 initMode: String = "auto"): DataFrame = {
     val kb = k * buildFactor
     val base = emb.select(col(idCol).as("id"), col(embCol).as("vec"))
     val n = base.count()
-    require(n > 1, "graph-ann: need at least two vectors")
-    // init: LOCALITY-SENSITIVE virtual buckets. Pure id-hash buckets
-    // give NN-descent a dead start at high dimension — the r15 dim=384
-    // decade measured graph recall 0.001 from a random init (distance
-    // concentration: every cross-cluster distance is nearly equal, so
-    // "neighbor of neighbor" carries no signal and the descent never
-    // leaves noise). Two rounds of seeded hyperplane-LSH buckets
-    // (sign-random-projection of the VECTOR, Charikar STOC'02 — fixed
-    // seeded planes, deterministic, still zero k-means) seed
-    // within-cluster edges so the descent has a gradient from round
-    // one, and one id-hash round keeps every node connected regardless
-    // of bucket skew (a singleton LSH bucket would otherwise leave its
-    // node with no adjacency list at all — P[isolated] under the
-    // id-hash round is e^-InitBucket ≈ 3e-4, vs structurally possible
-    // for LSH outliers). Hot LSH buckets (tight clusters) sub-split by
-    // id-hash to cap the within-bucket self-join.
-    val dim = base.select(col("vec")).head.getSeq[Float](0).size
-    val nBuckets = math.max(n / InitBucket, 1L)
-    val idRound = base.select(lit(-1L).as("r"),
-      pmod(xxhash64(col("id"), lit(seed)), lit(nBuckets)).as("sig"),
-      col("id"), col("vec"))
-    val bBits = math.max(1, math.min(20,
-      math.ceil(math.log(math.max(n.toDouble / InitBucket, 2.0)) / math.log(2.0)).toInt))
-    val lshRounds = (0 until 2).map { r =>
-      val planes = Dedup.hyperplanes(dim, bBits, seed + 1000L * (r + 1))
-      base.select(lit(r.toLong).as("r"),
-        graft.functions.hyperplane_sketch(col("vec"), planes).as("sig"),
-        col("id"), col("vec"))
+    require(n > 1, "graft graph-ann: need at least two vectors")
+    val mode = initMode match {
+      case "auto" =>
+        if (relativeContrast(base, seed) >= ContrastThreshold) "random" else "lsh"
+      case m @ ("random" | "lsh") => m
+      case other => throw new IllegalArgumentException(
+        s"graft graph-ann: unknown initMode '$other' (auto|random|lsh)")
     }
-    val sigged = (lshRounds :+ idRound).reduce(_.unionByName(_))
-    val sizes = sigged.groupBy(col("r"), col("sig")).agg(count(lit(1)).as("bn"))
-    val bucketed = sigged.join(sizes, Seq("r", "sig"))
-      .withColumn("sub", pmod(xxhash64(col("id"), col("r"), lit(seed)),
-        greatest(lit(1L), ceil(col("bn") / lit(MaxInitBucket.toDouble)).cast("long"))))
-    val aS = bucketed.select(col("r"), col("sig"), col("sub"),
-      col("id").as("aid"), col("vec").as("av"))
-    val bS = bucketed.select(col("r"), col("sig"), col("sub"),
-      col("id").as("bid"), col("vec").as("bv"))
-    val init = aS.join(bS, Seq("r", "sig", "sub"))
-      .filter(col("aid") =!= col("bid"))
-      .select(col("aid").as("src"), col("bid").as("dst"),
-        l2sq(col("av"), col("bv")).as("dist"))
+    val nBuckets = math.max(n / InitBucket, 1L)
+    val init =
+      if (mode == "random") {
+        // R = 2 virtual id-hash buckets per node: expected 2·InitBucket
+        // co-bucketed candidates each — a GLOBAL random sample, the
+        // diversity NN-descent distills when distance contrast exists
+        val bucketed = base
+          .withColumn("rr", explode(array(lit(0), lit(1))))
+          .withColumn("bkt", pmod(xxhash64(col("id"), col("rr"), lit(seed)), lit(nBuckets)))
+          .select(col("bkt"), col("id"), col("vec"))
+        bucketed.as("a")
+          .join(bucketed.as("b"), Seq("bkt"))
+          .filter(col("a.id") =!= col("b.id"))
+          .select(col("a.id").as("src"), col("b.id").as("dst"),
+            l2sq(col("a.vec"), col("b.vec")).as("dist"))
+      } else {
+        // LOCALITY-SENSITIVE buckets for concentrated geometry: two
+        // rounds of seeded hyperplane-LSH (sign random projection,
+        // Charikar STOC'02 — fixed seeded planes, deterministic, still
+        // zero k-means) seed within-region edges so the descent has a
+        // gradient from round one, and one id-hash round keeps every
+        // node connected regardless of bucket skew (a singleton LSH
+        // bucket would otherwise leave its node with no adjacency list
+        // at all). Hot LSH buckets (tight clusters) sub-split by
+        // id-hash to cap the within-bucket self-join.
+        val dim = base.select(col("vec")).head.getSeq[Float](0).size
+        val idRound = base.select(lit(-1L).as("r"),
+          pmod(xxhash64(col("id"), lit(seed)), lit(nBuckets)).as("sig"),
+          col("id"), col("vec"))
+        val bBits = math.max(1, math.min(20,
+          math.ceil(math.log(math.max(n.toDouble / InitBucket, 2.0)) / math.log(2.0)).toInt))
+        val lshRounds = (0 until 2).map { r =>
+          val planes = Dedup.hyperplanes(dim, bBits, seed + 1000L * (r + 1))
+          base.select(lit(r.toLong).as("r"),
+            graft.functions.hyperplane_sketch(col("vec"), planes).as("sig"),
+            col("id"), col("vec"))
+        }
+        val sigged = (lshRounds :+ idRound).reduce(_.unionByName(_))
+        val sizes = sigged.groupBy(col("r"), col("sig")).agg(count(lit(1)).as("bn"))
+        val bucketed = sigged.join(sizes, Seq("r", "sig"))
+          .withColumn("sub", pmod(xxhash64(col("id"), col("r"), lit(seed)),
+            greatest(lit(1L), ceil(col("bn") / lit(MaxInitBucket.toDouble)).cast("long"))))
+        val aS = bucketed.select(col("r"), col("sig"), col("sub"),
+          col("id").as("aid"), col("vec").as("av"))
+        val bS = bucketed.select(col("r"), col("sig"), col("sub"),
+          col("id").as("bid"), col("vec").as("bv"))
+        aS.join(bS, Seq("r", "sig", "sub"))
+          .filter(col("aid") =!= col("bid"))
+          .select(col("aid").as("src"), col("bid").as("dst"),
+            l2sq(col("av"), col("bv")).as("dist"))
+      }
     val edges = descend(base, init, kb, iters, rho, seed)
     // truncate the widened working lists to the requested k
     if (kb == k) edges else topKPerSrc(edges, k)
   }
+
+  /** Relative-contrast probe (He et al., CVPR'12's RC statistic,
+    * hash-determinized): for 256 hash-chosen probe nodes, the ratio of
+    * MEAN to MIN squared-L2 over 64 hash-chosen shared partners,
+    * medianed over probes. High RC (≫ 1) means random partners carry a
+    * usable distance gradient — NN-descent converges from a random
+    * init (and BETTER than from a local one, which costs it the global
+    * sample). RC → 1 is distance concentration — the random init is
+    * dead and the descent needs locality-sensitive seeding. Cost: two
+    * TakeOrdered samples + one 256×64 broadcast cross score — bounded,
+    * deterministic, O(1) in corpus size. Measured landscape (256×64
+    * hash probe, seed 42): gate embeddings 1.381-1.404, the 64-dim
+    * 500k decade fixture 1.393, a 2000×64/400-cluster synthetic 1.403
+    * — vs the 384-dim decade fixture 1.136 and its synthetic twin
+    * 1.134; a 192-dim/200-cluster mid-point reads 1.219 (LSH side).
+    * [[ContrastThreshold]] splits the populations at 1.25 with ≥ 0.11
+    * margin on both sides; the split is spec-pinned (GraphInitSpec). */
+  private[graft] def relativeContrast(base: DataFrame, seed: Long): Double = {
+    val probes = base
+      .orderBy(xxhash64(col("id"), lit(seed + 99L)).asc, col("id").asc)
+      .limit(256).select(col("id").as("pid"), col("vec").as("pv"))
+    val partners = base
+      .orderBy(xxhash64(col("id"), lit(seed + 101L)).asc, col("id").asc)
+      .limit(64).select(col("id").as("qid"), col("vec").as("qv"))
+    val stats = broadcast(probes).crossJoin(broadcast(partners))
+      .filter(col("pid") =!= col("qid"))
+      .select(col("pid"), l2sq(col("pv"), col("qv")).as("d"))
+      .groupBy(col("pid"))
+      .agg(avg(col("d")).as("dm"), min(col("d")).as("dn"))
+      .filter(col("dn") > 0.0)
+      .select((col("dm") / col("dn")).as("rc"))
+      .collect().map(_.getDouble(0)).sorted
+    if (stats.isEmpty) Double.MaxValue else stats(stats.length / 2)
+  }
+
+  /** [[relativeContrast]] decision boundary for the auto init — see
+    * the measured landscape in [[relativeContrast]]'s doc. */
+  val ContrastThreshold = 1.25
 
   /** Broadcast the base vector table into the distance joins when it
     * fits an executor (n·dim·4 bytes under ~1.5 GB): the candidate
@@ -224,6 +291,53 @@ object GraphAnn {
       .orderBy(xxhash64(col("src"), lit(seed)).asc, col("src").asc)
       .limit(nSeeds)
       .collect().map(_.getLong(0)).toSeq
+
+  /** GEOMETRY-SPREAD entry points — the scale answer to the r15 decade
+    * catch: on clustered high-dim corpora the k-NN graph is near
+    * cluster-pure (cross-cluster edges lose every top-k truncation),
+    * so beam reachability is bounded by SEED COVERAGE — 32 hash seeds
+    * against the d384 fixture's 1,000 clusters measured recall@10
+    * 0.000 at 100k (the expected ≈ nSeeds²/nClusters coverage, not a
+    * build defect). HNSW's upper layers exist precisely to spread
+    * entry points over the data's geometry; this is that device in
+    * distributed form: two rounds of seeded hyperplane-LSH bucketing
+    * (≈ nSeeds/2 buckets each), one representative per bucket (min
+    * seeded hash — arbitrary but stable), union. Regions get seeds in
+    * proportion to their occupied LSH cells, so every cluster's
+    * neighborhood is whp within one beam hop of SOME seed. One
+    * groupBy + a ≤ nSeeds collect (the probeLists bounded-driver-state
+    * class); deterministic. The seed-probe job scores B·nSeeds pairs —
+    * the same class as an IVF coarse scan at nlist ≈ nSeeds.
+    *
+    * Sizing: on cluster-pure graphs recall IS seed coverage, so nSeeds
+    * plays the role IVF's nlist/nprobe plays — sweep it. The 50k/d384
+    * decomposition (labels in the fixture): same-label edge fraction
+    * 1.000 (fully cluster-pure graph), recall-when-cluster-seeded
+    * 1.000 at EVERY seed count, overall recall = coverage: 768 seeds →
+    * 0.719, 1,552 → 0.875, 3,126 → 1.000 against ~1,000 clusters —
+    * i.e. ~3-4× the cluster granularity saturates. Navigable
+    * geometries (the 64-dim corpora) stay fine at tens of seeds. */
+  def spreadSeeds(emb: DataFrame, nSeeds: Int, seed: Long = 42L,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): Seq[Long] = {
+    require(nSeeds >= 2, s"graft graph-ann: nSeeds=$nSeeds < 2")
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("vec"))
+    val dim = base.select(col("vec")).head.getSeq[Float](0).size
+    val bits = math.max(1, math.min(20,
+      math.ceil(math.log(math.max(nSeeds / 2.0, 2.0)) / math.log(2.0)).toInt))
+    val rounds = (0 until 2).map { r =>
+      val planes = Dedup.hyperplanes(dim, bits, seed + 7000L * (r + 1))
+      base.select(lit(r).as("r"),
+        graft.functions.hyperplane_sketch(col("vec"), planes).as("sig"),
+        col("id"))
+    }
+    rounds.reduce(_.unionByName(_))
+      .groupBy(col("r"), col("sig"))
+      .agg(min(struct(xxhash64(col("id"), lit(seed)).as("h"),
+        col("id").as("id"))).as("m"))
+      .select(col("m.id").as("id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
 
   // ---- beam search (single + batched share one core) ----------------------
 
@@ -467,7 +581,8 @@ object GraphAnn {
     * replayed committed wave). */
   def appendGraphBatch(spark: SparkSession, dir: String, newRows: DataFrame,
                        emb: DataFrame, k: Int = 10, ef: Int = 32,
-                       batchId: Long, namespace: String = ""): Long = {
+                       batchId: Long, namespace: String = "",
+                       seeds: Option[Seq[Long]] = None): Long = {
     import java.nio.file.{Files, Paths}
     val tag = BatchFs.batchTag(batchId, namespace)
     val marker = BatchFs.markerFor(dir, batchId, namespace)
@@ -479,9 +594,13 @@ object GraphAnn {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
       if (queries.isEmpty) { fence(); BatchFs.writeMarker(marker, "0"); 0L }
       else {
-        val seeds = seedIds(idx.adjacency, 16)
+        // seed override for concentrated geometry: the wave's k-NN
+        // lists are only as good as the beams' entry coverage (pass
+        // spreadSeeds sized per the scaladoc there); hash seeds remain
+        // the navigable-geometry default
+        val entry = seeds.getOrElse(seedIds(idx.adjacency, 16))
         val fwd = searchIndexBatch(spark, idx, emb, queries, k, ef,
-            seeds = seeds, excludeSelf = false)
+            seeds = entry, excludeSelf = false)
           .select(col("qid"), col("vec_id"), col("dist")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         import spark.implicits._
