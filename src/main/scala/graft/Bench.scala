@@ -150,7 +150,14 @@ object Bench {
     // default of 3 squares the per-round fan-out, bound 60 — stats 6.1-6.6 (the per-rep
     // 2000-node exact-graph window), search 1.9-2.6, batch128 0.68
     "knn_graph_build" -> 60.0, "knn_graph_stats" -> 8.0,
-    "knn_graph_search" -> 4.0, "knn_batch128" -> 2.0
+    "knn_graph_search" -> 4.0, "knn_batch128" -> 2.0,
+    // r15 serving + lifecycle entries (bounds from the r15 archive
+    // medians: persisted save+load 2.6-4.4, lifecycle build+append+
+    // replay+repair 27-33, persisted/batch/append audits 0.9-4.6;
+    // uppers leave the usual noise headroom)
+    "graph_persisted" -> 8.0, "graph_append_lifecycle" -> 45.0,
+    "knn_graph_persisted" -> 4.0, "knn_graph_batch" -> 8.0,
+    "knn_graph_append" -> 10.0, "knn_graph_spread" -> 4.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000

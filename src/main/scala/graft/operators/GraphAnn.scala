@@ -792,6 +792,33 @@ object GraphAnn {
         (col("n_hit") >= math.ceil(SearchRecallFloor * k).toLong).as("recall_ok"))
   }
 
+  /** Registered `knn_graph_spread` — the geometry-spread entry audit
+    * (the r15 seed-coverage fix's gate surface): the beam entered from
+    * [[spreadSeeds]] (one representative per occupied LSH cell — the
+    * device that takes the d384 decade point from recall 0.000 to
+    * 0.969) instead of hash seeds, carrying the single-probe
+    * flags plus the seed contract — two independent derivations equal
+    * (determinism) and the occupied-cell count inside the 2-round
+    * bound. */
+  def graphSpreadAudit(spark: SparkSession, sfDir: String,
+                       queryId: Long = 0L, k: Int = 10, ef: Int = 32,
+                       nSeeds: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val g = forEmbeddings(spark, sfDir)
+    val s1 = spreadSeeds(emb, nSeeds)
+    val s2 = spreadSeeds(emb, nSeeds)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val res = searchBeam(spark, g, emb, q, k, ef, seeds = s1,
+      excludeId = Some(queryId))
+    val bits = math.max(1, math.min(20,
+      math.ceil(math.log(math.max(nSeeds / 2.0, 2.0)) / math.log(2.0)).toInt))
+    searchFlags(spark, sfDir, res, q, queryId, k)
+      .select(col("n_hits"), col("dists_exact_ok"), col("recall_ok"),
+        lit(s1 == s2).as("seeds_deterministic_ok"),
+        lit(s1.nonEmpty && s1.size <= 2 * (1 << bits)).as("seed_count_ok"))
+  }
+
   /** Registered `knn_graph_persisted` — the persisted serving audit
     * (the r15 scale fix's gate): search the BUCKETED on-disk
     * generation with frontier-bucket pruning, and pin

@@ -195,6 +195,11 @@ private[graft] object VectorIndexRegistry {
     // fully deterministic (no k-means anywhere in the pipeline) ---
     "knn_graph_stats" -> ((s, d) => GraphAnn.graphBuildAudit(s, d)),
     "knn_graph_search" -> ((s, d) => GraphAnn.graphSearchAudit(s, d)),
+    // r15: the beam entered from geometry-spread seeds (one per
+    // occupied LSH cell — on cluster-pure high-dim graphs recall IS
+    // seed coverage; the decade's 0.000 → 1.000 fix), plus the seed
+    // determinism/bound contract
+    "knn_graph_spread" -> ((s, d) => GraphAnn.graphSpreadAudit(s, d)),
     // r15: persisted serving over the bucket-partitioned adjacency
     // (frontier-bucket PartitionFilters pruning — the r14 verdict's
     // scale fix), engine-compared bit-for-bit against the in-memory
@@ -619,6 +624,12 @@ private[graft] object VectorIndexRegistry {
     "knn_graph_search" ->
       """SELECT CAST(10 AS BIGINT) AS n_hits, TRUE AS dists_exact_ok,
         |  TRUE AS recall_ok""".stripMargin,
+    // geometry-spread entries: single-probe flags + the spreadSeeds
+    // determinism and occupied-cell-bound contract (engine-measured)
+    "knn_graph_spread" ->
+      """SELECT CAST(10 AS BIGINT) AS n_hits, TRUE AS dists_exact_ok,
+        |  TRUE AS recall_ok, TRUE AS seeds_deterministic_ok,
+        |  TRUE AS seed_count_ok""".stripMargin,
     // persisted bucket-pruned serving: the single-probe flags plus
     // bit-identity with the in-memory beam (engine-compared)
     "knn_graph_persisted" ->
