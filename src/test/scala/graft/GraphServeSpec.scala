@@ -34,10 +34,12 @@ class GraphServeSpec extends SparkSpec {
   }
 
   test("saved adjacency is partitioned by bucket and the hop scan prunes statically") {
+    // force the lazy persisted build FIRST — on a clean target/ the
+    // adjacency directory does not exist until persistedGraphFor runs
+    assert(idx.adjacency.columns.toSet == Set("src", "dst", "dist", "bucket"))
     val dirs = new java.io.File(
       s"/root/repo/target/graph-ann/${new java.io.File(sfSmall).getName}/adjacency")
       .listFiles()
-    assert(idx.adjacency.columns.toSet == Set("src", "dst", "dist", "bucket"))
     assert(dirs.exists(_.getName.startsWith("bucket=")),
       "expected bucket= partition directories")
     // the frontier's bucket isin must reach the scan as
