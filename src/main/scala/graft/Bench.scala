@@ -157,7 +157,10 @@ object Bench {
     // uppers leave the usual noise headroom)
     "graph_persisted" -> 8.0, "graph_append_lifecycle" -> 45.0,
     "knn_graph_persisted" -> 4.0, "knn_graph_batch" -> 8.0,
-    "knn_graph_append" -> 10.0, "knn_graph_spread" -> 4.0
+    "knn_graph_append" -> 10.0, "knn_graph_spread" -> 4.0,
+    // r15 optimization round: the shared exact-graph twin (measured
+    // 1.5-2.1 s at sf0.1 — one 2000² window pass + persist)
+    "exact_twin_graph" -> 4.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -436,6 +439,12 @@ object Bench {
       "knn_graph_build" -> (() => {
         GraphAnn.forEmbeddings(spark, sfDir).count()
         GraphAnn.seedsForEmbeddings(spark, sfDir); () }),
+      // r15 (optimization round): the exact k-NN graph twin both graph
+      // recall audits compare against — one O(n²) window pass, paid
+      // once here instead of once per rep of knn_graph_stats AND
+      // knn_graph_append (the exactBatchTwin discipline)
+      "exact_twin_graph" -> (() => {
+        GraphAnn.exactGraphTwin(spark, sfDir).count(); () }),
       // r15: the persisted bucket-partitioned generation (save + load
       // on top of the cached build) shared by knn_graph_persisted /
       // knn_graph_batch, and the incremental lifecycle (build on 4/5,

@@ -124,6 +124,17 @@ object GraphAnn {
       case other => throw new IllegalArgumentException(
         s"graft graph-ann: unknown initMode '$other' (auto|random|lsh)")
     }
+    val init = initFor(base, n, mode, seed)
+    val edges = descend(base, init, kb, iters, rho, seed)
+    // truncate the widened working lists to the requested k
+    if (kb == k) edges else topKPerSrc(edges, k)
+  }
+
+  /** The hash-seeded init edge frame (random id-hash buckets or
+    * hyperplane-LSH buckets) — extracted so the kernel-equivalence
+    * spec can drive both descent kernels from one identical init. */
+  private[graft] def initFor(base: DataFrame, n: Long, mode: String,
+                             seed: Long): DataFrame = {
     val nBuckets = math.max(n / InitBucket, 1L)
     val init =
       if (mode == "random") {
@@ -175,9 +186,7 @@ object GraphAnn {
           .select(col("aid").as("src"), col("bid").as("dst"),
             l2sq(col("av"), col("bv")).as("dist"))
       }
-    val edges = descend(base, init, kb, iters, rho, seed)
-    // truncate the widened working lists to the requested k
-    if (kb == k) edges else topKPerSrc(edges, k)
+    init
   }
 
   /** Relative-contrast probe (He et al., CVPR'12's RC statistic,
@@ -236,8 +245,76 @@ object GraphAnn {
     * uncut lineage grows exponentially in `iters` and OOMs the planner
     * long before any data does. Exactly one checkpointed frame is live
     * at a time; superseded ones are unpersisted. */
-  private def descend(base: DataFrame, init: DataFrame, kb: Int,
-                      iters: Int, rho: Double, seed: Long): DataFrame = {
+  private[graft] def descend(base: DataFrame, init: DataFrame, kb: Int,
+                             iters: Int, rho: Double, seed: Long): DataFrame = {
+    val n = base.count()
+    val dim = base.select(col("vec")).head.getSeq[Float](0).size
+    val big = n * dim * 4.0 > BroadcastBaseBytes
+    def side(df: DataFrame): DataFrame = if (big) df else broadcast(df)
+    var edges = topKPerSrc(init, kb).localCheckpoint(true)
+    // NN-descent's standard new/old candidate pruning (Dong et al.,
+    // WWW'11 §2.3), EXACT here: a pair generated through middle m whose
+    // two und edges both existed in the PREVIOUS round's adjacency was
+    // already offered to the merge in an earlier round (induction to
+    // round 0, which generates everything), and a rejected pair can
+    // never re-enter — per-src the kb-th-best (dist, dst) bar only
+    // tightens, so "offered once and rejected" is "rejected forever".
+    // Candidate fan-out therefore shrinks with convergence (late rounds
+    // re-score only neighborhoods that actually changed) instead of
+    // re-paying the full (2kb)² per node per round. Only sound without
+    // rho-sampling (a sampled round may never have offered the pair),
+    // so rho < 1.0 keeps the full generation. Spec-pinned bit-identical
+    // to the unpruned kernel (GraphAnnSpec "new/old-pruned descent").
+    var prevUnd: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val adj = edges.select(col("src"), col("dst"))
+      val und = adj.union(adj.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      val cand =
+        if (rho >= 1.0 && prevUnd != null) {
+          val fresh = und.join(prevUnd, Seq("src", "dst"), "left_anti")
+          fresh.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"))
+            .unionByName(
+              und.as("a").join(fresh.as("b"), col("a.dst") === col("b.src"))
+                .select(col("a.src").as("src"), col("b.dst").as("dst")))
+            .filter(col("src") =!= col("dst"))
+            .distinct()
+        } else {
+          val right = if (rho >= 1.0) und
+            else und.sample(withReplacement = false, rho, seed + it)
+          und.as("a")
+            .join(right.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct()
+        }
+      val scored = cand
+        .join(side(base.select(col("id").as("src"), col("vec").as("sv"))), Seq("src"))
+        .join(side(base.select(col("id").as("dst"), col("vec").as("dv"))), Seq("dst"))
+        .select(col("src"), col("dst"), l2sq(col("sv"), col("dv")).as("dist"))
+      val merged = topKPerSrc(edges.unionByName(scored), kb).localCheckpoint(true)
+      edges.unpersist(blocking = false)
+      if (prevUnd != null) prevUnd.unpersist(blocking = false)
+      prevUnd = und
+      edges = merged
+      it += 1
+      // superseded rounds' shuffle files are deleted only after their
+      // dependencies are GC'd driver-side; a 500k round writes tens of
+      // GB, and waiting for organic heap-pressure GC overruns local
+      // disk — hint the cleaner once per round (no-op at gate scale)
+      if (n > 100000L) System.gc()
+    }
+    if (prevUnd != null) prevUnd.unpersist(blocking = false)
+    edges
+  }
+
+  /** The r14 two-shuffle descent kernel, kept ONLY as the equivalence
+    * oracle for [[descend]]'s one-shuffle round (spec-pinned
+    * bit-identical; never called from a query path). */
+  private[graft] def descendLegacy(base: DataFrame, init: DataFrame, kb: Int,
+                                   iters: Int, rho: Double, seed: Long): DataFrame = {
     val n = base.count()
     val dim = base.select(col("vec")).head.getSeq[Float](0).size
     val big = n * dim * 4.0 > BroadcastBaseBytes
@@ -263,11 +340,6 @@ object GraphAnn {
       edges.unpersist(blocking = false)
       edges = merged
       it += 1
-      // superseded rounds' shuffle files are deleted only after their
-      // dependencies are GC'd driver-side; a 500k round writes tens of
-      // GB, and waiting for organic heap-pressure GC overruns local
-      // disk — hint the cleaner once per round (no-op at gate scale)
-      if (n > 100000L) System.gc()
     }
     edges
   }
@@ -340,6 +412,13 @@ object GraphAnn {
   }
 
   // ---- beam search (single + batched share one core) ----------------------
+
+  /** Batch-size ceiling for the fused one-job hop (see the hop loop in
+    * [[searchBeamBatch]]): the fused collect is |cand edges| × B rows
+    * (each adjacency row crossed with every query), so small batches
+    * fuse and large lockstep batches keep the two-phase probe whose
+    * driver state is bounded by B·ef·k pairs. */
+  val FusedHopBatchMax = 8
 
   /** Per-query driver-side beam state. `beam` is sorted (dist, id)
     * ascending and capped at the internal width. */
@@ -445,8 +524,31 @@ object GraphAnn {
       val live = frontiers.filter(_._2.nonEmpty)
       if (live.nonEmpty) {
         val union = live.flatMap(_._2).distinct
+        // Small batches fuse the hop into ONE job: the pruned adjacency
+        // scan carries the candidate distances for every query in the
+        // same pass (neighbor join + broadcast query batch + codegen'd
+        // l2sq), halving the driver-synchronized jobs per hop — the
+        // dominant cost of a gate-scale beam is job latency, not data.
+        // The collect is |cand edges| × B rows, so only batches of
+        // ≤ [[FusedHopBatchMax]] take it; larger lockstep batches keep
+        // the two-phase shape whose probe is bounded by B·ef·k pairs.
+        // Distances are the SAME l2sq(candidate, query) expression the
+        // two-phase probe evaluates — extra (visited dst, query) pairs
+        // are simply never looked up, so results are bit-identical.
+        val fused = states.size <= FusedHopBatchMax
+        val fusedRows: Array[org.apache.spark.sql.Row] =
+          if (fused)
+            hopScan(spark, graph, union, bucketOf)
+              .join(emb.select(col("vec_id").as("dst"), col("embedding")), Seq("dst"))
+              .crossJoin(broadcast(qdf))
+              .select(col("src"), col("dst"), col("qid"),
+                l2sq(col("embedding"), col("qvec")).as("d"))
+              .collect()
+          else Array.empty
         val nbrMap: Map[Long, Array[Long]] =
-          hopScan(spark, graph, union, bucketOf).collect()
+          if (fused) fusedRows.groupBy(_.getLong(0))
+            .map { case (s, rows) => s -> rows.map(_.getLong(1)).distinct }
+          else hopScan(spark, graph, union, bucketOf).collect()
             .groupBy(_.getLong(0))
             .map { case (s, rows) => s -> rows.map(_.getLong(1)) }
         val freshByState = live.map { case (st, fr) =>
@@ -456,8 +558,11 @@ object GraphAnn {
           st.visited ++= fresh
           (st, fresh)
         }
-        val dmap = probeDists(spark, emb, qdf,
-          freshByState.flatMap { case (st, f) => f.map(c => (st.qid, c)) })
+        val dmap: Map[(Long, Long), Double] =
+          if (fused)
+            fusedRows.map(r => (r.getLong(2), r.getLong(1)) -> r.getDouble(3)).toMap
+          else probeDists(spark, emb, qdf,
+            freshByState.flatMap { case (st, f) => f.map(c => (st.qid, c)) })
         freshByState.foreach { case (st, fresh) =>
           val scored = fresh.map(c => (c, dmap((st.qid, c))))
           val worst = if (st.beam.size < efW) Double.MaxValue else st.beam.last._2
@@ -646,6 +751,7 @@ object GraphAnn {
   // ---- memoized sf-table forms + registered audit queries -----------------
 
   private val graphCache = JvmCaches.sessionMap[(String, Int, Int), DataFrame]()
+  private val exactGraphCache = JvmCaches.sessionMap[(String, Int), DataFrame]()
   private val seedCache = JvmCaches.sessionMap[(String, Int, Int), Seq[Long]]()
   private val persistedCache = JvmCaches.sessionMap[String, GraphIndex]()
   // appended lifecycle: (repaired generation, replay-was-noop)
@@ -655,6 +761,24 @@ object GraphAnn {
                     k: Int = 10, iters: Int = 6): DataFrame =
     graphCache.getOrElseUpdate(spark, (sfDir, k, iters)) {
       buildGraph(Tables.embeddings(spark, sfDir), k = k, iters = iters)
+    }
+
+  /** The exact k-NN graph twin ([[VectorSearchOps.knnBatchExact]] over
+    * every vector), memoized per session×sfDir and persisted:
+    * `knn_graph_stats` AND `knn_graph_append` both measure edge
+    * overlap against it, and the bench runs each three times — the
+    * O(n²) window pass is paid once (its own warm entry,
+    * `exact_twin_graph`, the exactBatchTwin discipline) instead of
+    * six times. */
+  private[graft] def exactGraphTwin(spark: SparkSession, sfDir: String,
+                                    k: Int = 10): DataFrame =
+    exactGraphCache.getOrElseUpdate(spark, (sfDir, k)) {
+      val t = VectorSearchOps.knnBatchExact(spark, sfDir,
+          nQueries = Int.MaxValue, k = k)
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
     }
 
   def seedsForEmbeddings(spark: SparkSession, sfDir: String,
@@ -735,9 +859,7 @@ object GraphAnn {
     // so it carries the shared guard; the scale path IS buildGraph
     ExactTwinGuard.check(emb.count(), ExactTwinGuard.MaxRows,
       "knn_graph_stats", "buildGraph + VECTOR_DECADE artifact")
-    val exact = VectorSearchOps.knnBatchExact(spark, sfDir,
-        nQueries = Int.MaxValue, k = k)
-      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val exact = exactGraphTwin(spark, sfDir, k)
     val hit = g.join(exact, Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     val tot = exact.agg(count(lit(1)).as("n_exact"))
@@ -909,9 +1031,7 @@ object GraphAnn {
       .agg(forall(col("dist") === l2sq(col("sv"), col("dv"))).as("dists_exact_ok"))
     ExactTwinGuard.check(emb.count(), ExactTwinGuard.MaxRows,
       "knn_graph_append", "appendGraphBatch + VECTOR_DECADE artifact")
-    val exact = VectorSearchOps.knnBatchExact(spark, sfDir,
-        nQueries = Int.MaxValue, k = k)
-      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val exact = exactGraphTwin(spark, sfDir, k)
     val hit = g.join(exact, Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     val tot = exact.agg(count(lit(1)).as("n_exact"))

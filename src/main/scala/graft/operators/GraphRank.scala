@@ -173,22 +173,28 @@ object GraphRank {
     * mined fresh and written as base files, the starting point every
     * later wave appends to. */
   def saveWithEdges(corpus0: DataFrame, dir: String, nBuckets: Int = 64,
-                    minJaccard: Double = 0.8): Unit = {
+                    minJaccard: Double = 0.8,
+                    precomputedSigs: Option[DataFrame] = None): Unit = {
     // ONE persisted signature derivation feeds both the index build
     // and the base-edge mine (the 740 s MinHash postmortem discipline
     // — recomputing the shingle+8-hash pipeline per consumer dominated
-    // this build's cost before r12)
-    val sigs = Dedup.minhashSignaturesCorpus(corpus0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // this build's cost before r12). Callers that already hold the
+    // corpus's signatures (the session-cached sf-table derivation —
+    // signatures are per-row deterministic, so a filtered child of the
+    // cached frame is bit-identical to a fresh derivation over the
+    // filtered corpus) pass them in and skip the pipeline entirely.
+    val own = precomputedSigs.isEmpty
+    val sigs = precomputedSigs.getOrElse(
+      Dedup.minhashSignaturesCorpus(corpus0).persist(StorageLevel.MEMORY_AND_DISK))
     try {
-      sigs.count()
+      if (own) sigs.count()
       MinhashIndex.saveFromSigs(sigs, dir, nBuckets)
       symmetrized(Dedup.dedupMinhashFromSigs(sigs, minJaccard, Dedup.MaxBandBucket)
           .select(col("a_id"), col("b_id")))
         .withColumn("bucket", edgeBucket(nBuckets))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/edges")
-    } finally sigs.unpersist(blocking = false)
+    } finally if (own) sigs.unpersist(blocking = false)
   }
 
   /** Idempotent per-wave edge append + index admission: the wave's
@@ -204,7 +210,8 @@ object GraphRank {
     * the number of symmetrized edge rows appended (0 for a replay). */
   def appendEdgesBatch(spark: SparkSession, dir: String, waveDocs: DataFrame,
                        batchId: Long, namespace: String = "",
-                       minJaccard: Double = 0.8): Long = {
+                       minJaccard: Double = 0.8,
+                       precomputedSigs: Option[DataFrame] = None): Long = {
     import java.nio.file.{Files, Paths}
     val edgeNs = if (namespace.isEmpty) "edges" else s"$namespace-edges"
     val tag = BatchFs.batchTag(batchId, edgeNs)
@@ -213,11 +220,14 @@ object GraphRank {
     if (Files.exists(marker) && Files.exists(idxMarker)) return 0L
     // ONE persisted signature derivation feeds the probe, the
     // intra-wave mine, AND the index admission (pre-r12 each consumer
-    // recomputed the shingle+8-hash pipeline — 3 extra passes)
-    val sigs = Dedup.minhashSignaturesCorpus(waveDocs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // recomputed the shingle+8-hash pipeline — 3 extra passes); a
+    // caller holding the wave's signatures already (see
+    // [[saveWithEdges]]) skips the pipeline.
+    val own = precomputedSigs.isEmpty
+    val sigs = precomputedSigs.getOrElse(
+      Dedup.minhashSignaturesCorpus(waveDocs).persist(StorageLevel.MEMORY_AND_DISK))
     try {
-      sigs.count()
+      if (own) sigs.count()
       val appended =
         if (Files.exists(marker)) 0L
         else {
@@ -251,7 +261,7 @@ object GraphRank {
         }
       MinhashIndex.appendBatchFromSigs(spark, dir, sigs, batchId, namespace)
       appended
-    } finally sigs.unpersist(blocking = false)
+    } finally if (own) sigs.unpersist(blocking = false)
   }
 
   /** PageRank from the persisted edge log: degrees re-derived from the
@@ -301,8 +311,16 @@ object GraphRank {
       val d = "/root/repo/target/neardup-graph/" +
         s"${new java.io.File(sfDir).getName}-${(canon.hashCode.toLong & 0xffffffffL).toHexString}"
       val corpus = Ingest.corpusFromDocuments(spark, sfDir)
-      saveWithEdges(corpus.filter(col("id") % 2 === 0), d)
-      appendEdgesBatch(spark, d, corpus.filter(col("id") % 2 === 1), 1L)
+      // Reuse the session-cached full-corpus signature frame, filtered
+      // per half: signatures are per-row deterministic, so the filter
+      // commutes with the derivation bit-for-bit, and the two halves'
+      // shingle+8-hash pipelines (the dominant build cost) collapse
+      // into scans of the already-persisted frame.
+      val sigsAll = Dedup.minhashSignatures(spark, sfDir)
+      saveWithEdges(corpus.filter(col("id") % 2 === 0), d,
+        precomputedSigs = Some(sigsAll.filter(col("id") % 2 === 0)))
+      appendEdgesBatch(spark, d, corpus.filter(col("id") % 2 === 1), 1L,
+        precomputedSigs = Some(sigsAll.filter(col("id") % 2 === 1)))
       // Stale-log self-heal (the Pca.persistedModelFor discipline): a
       // regenerated fixture at the same path would leave surviving
       // markers no-oping the append over foreign data. Validate the

@@ -36,6 +36,23 @@ class GraphAnnSpec extends SparkSpec {
       s"graph recall $recall below floor ${GraphAnn.GraphRecallFloor}")
   }
 
+  test("new/old-pruned descent ≡ legacy full-generation kernel, bit for bit") {
+    // the r15 optimization prunes candidate generation to pairs with at
+    // least one fresh und edge (a pair rejected once can never re-enter
+    // — the per-src top-kb bar only tightens); the edge SET per round
+    // must be unchanged
+    val emb = Tables.embeddings(spark, sfSmall)
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val init = GraphAnn.initFor(base, base.count(), "random", 42L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = GraphAnn.descend(base, init, kb = 20, iters = 3, rho = 1.0, seed = 42L)
+    val legacy = GraphAnn.descendLegacy(base, init, kb = 20, iters = 3, rho = 1.0, seed = 42L)
+    assert(key(fused) == key(legacy), "descent kernel drift")
+    fused.unpersist(blocking = false)
+    legacy.unpersist(blocking = false)
+  }
+
   test("buildGraph is deterministic (hash-seeded, no k-means)") {
     val again = GraphAnn.buildGraph(Tables.embeddings(spark, sfSmall))
     val a = graph.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
