@@ -164,6 +164,13 @@ object Dedup {
                    minJaccard: Double = 0.8): DataFrame =
     dedupMinhashFromSigs(cachedSigs(spark, sfDir), minJaccard, MaxBandBucket)
 
+  /** Unsorted pair mine over the session-cached sf signatures — the
+    * aggregate-consumer twin of [[dedupMinhash]] (see
+    * [[dedupMinhashPairs]]). */
+  private[operators] def dedupMinhashPairsFor(spark: SparkSession, sfDir: String,
+                                              minJaccard: Double = 0.8): DataFrame =
+    dedupMinhashPairs(cachedSigs(spark, sfDir), minJaccard, MaxBandBucket)
+
   def dedupMinhashCorpus(corpus: DataFrame, minJaccard: Double = 0.8,
                          maxBucket: Int = MaxBandBucket): DataFrame =
     dedupMinhashFromSigs(minhashSignaturesCorpus(corpus), minJaccard, maxBucket)
@@ -181,7 +188,7 @@ object Dedup {
   def minhashClusters(spark: SparkSession, sfDir: String,
                       minJaccard: Double = 0.8): DataFrame = {
     val sigs = cachedSigs(spark, sfDir)
-    val pairs = dedupMinhashFromSigs(sigs, minJaccard, MaxBandBucket)
+    val pairs = dedupMinhashPairs(sigs, minJaccard, MaxBandBucket)
     Clustering.connectedComponents(
       sigs.select(col("id")),
       pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
@@ -191,7 +198,16 @@ object Dedup {
   }
 
   private[operators] def dedupMinhashFromSigs(sigs: DataFrame, minJaccard: Double,
-                                              maxBucket: Int): DataFrame = {
+                                              maxBucket: Int): DataFrame =
+    dedupMinhashPairs(sigs, minJaccard, maxBucket)
+      .orderBy(col("a_id").asc, col("b_id").asc)
+
+  /** [[dedupMinhashFromSigs]] without the presentation sort — for
+    * consumers that aggregate or re-bucket the pair SET (the edge log,
+    * connected components): the global orderBy costs a sampling pass +
+    * a range shuffle that those paths immediately throw away. */
+  private[operators] def dedupMinhashPairs(sigs: DataFrame, minJaccard: Double,
+                                           maxBucket: Int): DataFrame = {
     val bands = capBuckets(lshBands(sigs), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -208,7 +224,6 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
   /** n-gram (3-token shingle) Jaccard near-dup: same LSH banding for

@@ -62,10 +62,12 @@ object GraphAnn {
     * keeping every sub-bucket cluster-pure. */
   val MaxInitBucket = 32
 
-  /** Default partition-bucket count for the persisted adjacency. Size
-    * it so a frontier (≤ ef srcs) prunes most partitions: gate corpora
-    * use the default; the 500k decade uses 512 (ef=128 frontiers touch
-    * ≤ a quarter of the buckets, and each bucket holds ~1k src lists). */
+  /** Historic fixed bucket count for the persisted adjacency (r15
+    * optimization round replaced the default with the scale-adaptive
+    * [[LogBuckets]] sizing — a gate-scale 20k-row adjacency paid a
+    * 64-directory write for nothing). The 500k decade passes 512
+    * explicitly (ef=128 frontiers touch ≤ a quarter of the buckets,
+    * and each bucket holds ~1k src lists). */
   val DefaultBuckets = 64
 
   /** All-rows-satisfy aggregate (the IndexAudits helper, restated). */
@@ -626,11 +628,14 @@ object GraphAnn {
     * gets one file, not parallelism × nBuckets slivers), plus a
     * one-row stats table carrying the bucket count. */
   def saveGraph(graph: DataFrame, dir: String,
-                nBuckets: Int = DefaultBuckets): Unit = {
-    require(nBuckets > 0)
-    bucketedAdjacency(graph, nBuckets).repartition(col("bucket"))
+                nBuckets: Int = LogBuckets.Adaptive): Unit = {
+    // adaptive default ([[LogBuckets]] — the adjacency has n·k rows);
+    // appends and pruned searches follow the stored stats value. The
+    // 500k decade passes 512 explicitly (measured frontier pruning).
+    val nb = LogBuckets.resolve(nBuckets, graph.count())
+    bucketedAdjacency(graph, nb).repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/adjacency")
-    graph.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+    graph.sparkSession.range(1).select(lit(nb).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 

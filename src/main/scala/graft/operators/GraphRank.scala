@@ -118,7 +118,7 @@ object GraphRank {
       val nodes = Dedup.minhashSignatures(spark, sfDir).select(col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       nodes.count()
-      val pairs = Dedup.dedupMinhash(spark, sfDir)
+      val pairs = Dedup.dedupMinhashPairsFor(spark, sfDir)
         .select(col("a_id"), col("b_id"))
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -172,7 +172,8 @@ object GraphRank {
     * (overwrites `dir`): the standing corpus's own near-dup edges are
     * mined fresh and written as base files, the starting point every
     * later wave appends to. */
-  def saveWithEdges(corpus0: DataFrame, dir: String, nBuckets: Int = 64,
+  def saveWithEdges(corpus0: DataFrame, dir: String,
+                    nBuckets: Int = LogBuckets.Adaptive,
                     minJaccard: Double = 0.8,
                     precomputedSigs: Option[DataFrame] = None): Unit = {
     // ONE persisted signature derivation feeds both the index build
@@ -187,11 +188,15 @@ object GraphRank {
     val sigs = precomputedSigs.getOrElse(
       Dedup.minhashSignaturesCorpus(corpus0).persist(StorageLevel.MEMORY_AND_DISK))
     try {
-      if (own) sigs.count()
-      MinhashIndex.saveFromSigs(sigs, dir, nBuckets)
-      symmetrized(Dedup.dedupMinhashFromSigs(sigs, minJaccard, Dedup.MaxBandBucket)
+      // resolve the adaptive bucket count ONCE (the count doubles as
+      // the own-sigs materialization) and share it between the index
+      // tables and the edge log — appendEdgesBatch reads it back from
+      // the index meta, so the two layouts must agree
+      val nb = LogBuckets.resolve(nBuckets, sigs.count() * Dedup.NumBands)
+      MinhashIndex.saveFromSigs(sigs, dir, nb)
+      symmetrized(Dedup.dedupMinhashPairs(sigs, minJaccard, Dedup.MaxBandBucket)
           .select(col("a_id"), col("b_id")))
-        .withColumn("bucket", edgeBucket(nBuckets))
+        .withColumn("bucket", edgeBucket(nb))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/edges")
     } finally if (own) sigs.unpersist(blocking = false)
@@ -236,7 +241,7 @@ object GraphRank {
           val cross = MinhashIndex.probeFromSigs(spark, dir, sigs, minJaccard)
             .join(waveIds, Seq("index_id"), "left_anti")
             .select(col("probe_id").as("a_id"), col("index_id").as("b_id"))
-          val intra = Dedup.dedupMinhashFromSigs(sigs, minJaccard, Dedup.MaxBandBucket)
+          val intra = Dedup.dedupMinhashPairs(sigs, minJaccard, Dedup.MaxBandBucket)
             .select(col("a_id"), col("b_id"))
           val rows = symmetrized(cross.union(intra))
             .withColumn("bucket", edgeBucket(nBuckets))

@@ -50,8 +50,11 @@ object MinhashIndex {
     df.repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
 
-  /** Build the index from a corpus (overwrites `dir`). */
-  def save(corpus: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+  /** Build the index from a corpus (overwrites `dir`). The default
+    * bucket count is scale-adaptive ([[LogBuckets]]); appends and
+    * probes follow the count stored in `meta`. */
+  def save(corpus: DataFrame, dir: String,
+           nBuckets: Int = LogBuckets.Adaptive): Unit = {
     val sigs = Dedup.minhashSignaturesCorpus(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try saveFromSigs(sigs, dir, nBuckets)
@@ -63,12 +66,14 @@ object MinhashIndex {
     * 740 s MinHash postmortem discipline; see
     * [[GraphRank.saveWithEdges]]). The caller owns the persist. */
   private[operators] def saveFromSigs(sigs: DataFrame, dir: String,
-                                      nBuckets: Int = 64): Unit = {
-    writeBucketed(bandRows(sigs, nBuckets), s"$dir/bands", "overwrite")
-    writeBucketed(docRows(sigs, nBuckets), s"$dir/docs", "overwrite")
+                                      nBuckets: Int = LogBuckets.Adaptive): Unit = {
+    // band rows are NumBands per signature-bearing doc
+    val nb = LogBuckets.resolve(nBuckets, sigs.count() * Dedup.NumBands)
+    writeBucketed(bandRows(sigs, nb), s"$dir/bands", "overwrite")
+    writeBucketed(docRows(sigs, nb), s"$dir/docs", "overwrite")
     val spark = sigs.sparkSession
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    Seq(nb).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 

@@ -135,12 +135,16 @@ object NbClassifier {
 
   /** Persist a labeled corpus's NB sufficient statistics under `dir`
     * (overwrites). */
-  def saveModel(labeled: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+  def saveModel(labeled: DataFrame, dir: String,
+                nBuckets: Int = LogBuckets.Adaptive): Unit = {
     val (terms, docs) = stats(labeled)
-    writeStats(terms, docs, dir, nBuckets, "overwrite")
+    // adaptive sizing from the labeled-doc count (a cheap proxy for the
+    // term-log vocabulary); appends follow the count stored in meta
+    val nb = LogBuckets.resolve(nBuckets, labeled.count())
+    writeStats(terms, docs, dir, nb, "overwrite")
     val spark = labeled.sparkSession
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    Seq(nb).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 

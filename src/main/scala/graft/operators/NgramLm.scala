@@ -183,13 +183,21 @@ object NgramLm {
     * between adjacent words). Concurrency is safe one level up, where
     * the shared input is persisted and materialized before forking —
     * the [[Pq.train]] / [[ScorecardIndex.build]] discipline. */
-  def saveModel(model: Model, dir: String, nBuckets: Int = 64): Unit = {
-    writeCounts(model.uni, "w", "c1", s"$dir/uni", nBuckets, "overwrite")
-    writeCounts(model.bi, "k", "c2", s"$dir/bi", nBuckets, "overwrite")
-    writeCounts(model.tri, "k", "c3", s"$dir/tri", nBuckets, "overwrite")
+  def saveModel(model: Model, dir: String,
+                nBuckets: Int = LogBuckets.Adaptive): Unit = {
+    // adaptive sizing from the corpus token total (one small agg over
+    // the training frame; the tri log, the largest table, holds at most
+    // one row per token) — appends follow the count stored in meta
+    val nb = LogBuckets.resolve(nBuckets, {
+      val r = model.total.head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+    writeCounts(model.uni, "w", "c1", s"$dir/uni", nb, "overwrite")
+    writeCounts(model.bi, "k", "c2", s"$dir/bi", nb, "overwrite")
+    writeCounts(model.tri, "k", "c3", s"$dir/tri", nb, "overwrite")
     val spark = model.uni.sparkSession
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    Seq(nb).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 

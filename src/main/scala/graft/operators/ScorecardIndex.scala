@@ -38,7 +38,20 @@ import graft.sources.Ingest
   * is a scheduled maintenance step, not part of the wave cadence. */
 object ScorecardIndex {
 
+  /** Pre-meta fallback bucket count for the min-id log (indexes built
+    * before `mins_meta` existed). Fresh builds size adaptively
+    * ([[LogBuckets]]) and store the count in `mins_meta`. */
   private val DedupBuckets = 64
+
+  private def minsBucketsOf(spark: SparkSession, dir: String): Int =
+    try spark.read.parquet(s"$dir/mins_meta").head.getInt(0)
+    catch { case _: Exception => DedupBuckets }
+
+  private def writeMinsMeta(spark: SparkSession, dir: String, nb: Int): Unit = {
+    import spark.implicits._
+    Seq(nb).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/mins_meta")
+  }
 
   /** (id, sentence, toks, label) — the shared per-doc derivation every
     * signal consumes (label = the quality heuristic's weak label). */
@@ -47,9 +60,9 @@ object ScorecardIndex {
       TextAnalytics.tokens(col("sentence")).as("toks"),
       TextAnalytics.qualityKeep(col("sentence")).as("label"))
 
-  private def minsDelta(docs: DataFrame): DataFrame =
+  private def minsDelta(docs: DataFrame, nBuckets: Int): DataFrame =
     docs.groupBy(col("sentence")).agg(min(col("id")).as("min_id"))
-      .select(pmod(crc32(col("sentence")), lit(DedupBuckets)).cast("int").as("bucket"),
+      .select(pmod(crc32(col("sentence")), lit(nBuckets)).cast("int").as("bucket"),
         col("sentence"), col("min_id"))
 
   /** Build the index from the admitted corpus (overwrites `dir`),
@@ -65,7 +78,8 @@ object ScorecardIndex {
     val lab = labeled(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      lab.count()
+      val nDocs = lab.count()
+      val minsBuckets = LogBuckets.adaptive(nDocs)
       // Every forked chain reads ONLY children of the persisted `lab`
       // (the materialize-before-fork rule): concurrent actions over
       // plans sharing a LIVE unpersisted subtree have produced wrong
@@ -83,8 +97,11 @@ object ScorecardIndex {
         () => NbClassifier.saveModel(
           lab.select(col("id"), col("toks"), col("label")), s"$dir/nb"),
         () => SpanDedup.saveWindowIndex(docs, s"$dir/spans"),
-        () => minsDelta(docs).repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/mins")
+        () => {
+          minsDelta(docs, minsBuckets).repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/mins")
+          writeMinsMeta(spark, dir, minsBuckets)
+        }
       ).par.foreach(_.apply())
     } finally lab.unpersist(blocking = false)
   }
@@ -103,7 +120,7 @@ object ScorecardIndex {
       NbClassifier.appendModel(spark, s"$dir/nb",
         lab.select(col("id"), col("toks"), col("label")))
       SpanDedup.appendWindowIndex(spark, s"$dir/spans", wave)
-      minsDelta(wave).repartition(col("bucket"))
+      minsDelta(wave, minsBucketsOf(spark, dir)).repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/mins")
     } finally lab.unpersist(blocking = false)
   }
@@ -167,7 +184,7 @@ object ScorecardIndex {
       if (Files.exists(marker)) return 0L
       BatchFs.withLease(dir, "mins") { fence =>
         val staging = s"$dir/_staging/mins-batch-$tag"
-        minsDelta(wave).repartition(col("bucket"))
+        minsDelta(wave, minsBucketsOf(spark, dir)).repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(staging)
         val live = Paths.get(s"$dir/mins")
         fence() // abort BEFORE touching the live dir if the lease is gone

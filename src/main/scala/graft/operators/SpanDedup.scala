@@ -135,15 +135,19 @@ object SpanDedup {
   /** Build the persisted index from a corpus: window counts bucketed by
     * crc32(wtext) % nBuckets (one file per bucket — the BM25 layout). */
   def saveWindowIndex(corpus: DataFrame, dir: String, w: Int = 8,
-                      nBuckets: Int = 64): Unit = {
+                      nBuckets: Int = LogBuckets.Adaptive): Unit = {
+    // adaptive sizing from the doc count × a nominal windows-per-doc
+    // (the distinct-window log is bounded by total windows); appends
+    // follow the count stored in meta
+    val nb = LogBuckets.resolve(nBuckets, corpus.count() * 32L)
     val counts = windowFrame(corpus, w)
       .groupBy(col("wtext")).agg(count(lit(1)).as("occ"))
-      .select(bucketOf(col("wtext"), nBuckets).as("bucket"), col("wtext"), col("occ"))
+      .select(bucketOf(col("wtext"), nb).as("bucket"), col("wtext"), col("occ"))
     counts.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((w, nBuckets)).toDF("w", "n_buckets")
+    Seq((w, nb)).toDF("w", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 

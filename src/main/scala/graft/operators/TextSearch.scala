@@ -129,19 +129,23 @@ object TextSearch {
       .withColumn("bucket",
         pmod(crc32(col("term")), lit(nBuckets)).cast("int"))
 
-  def buildTermIndex(corpus: DataFrame, nBuckets: Int = 64): TermIndex = {
-    require(nBuckets > 0)
+  def buildTermIndex(corpus: DataFrame,
+                     nBuckets: Int = LogBuckets.Adaptive): TermIndex = {
     // reference parity with the IVF build: indexing an empty corpus is
     // an error (and an empty partitioned postings write would be an
     // unloadable schema-less directory)
     require(!corpus.isEmpty, "cannot build a term index over an empty corpus")
+    // adaptive sizing from the doc count × a nominal distinct-terms-
+    // per-doc (postings are one row per (id, term)); appends and
+    // term-pruned reads follow the count stored in stats
+    val nb = LogBuckets.resolve(nBuckets, corpus.count() * 32L)
     val docs = tokenizedDocs(corpus)
-    val postings = bucketedPostings(docs, nBuckets.toLong)
+    val postings = bucketedPostings(docs, nb.toLong)
     // one row per (id, term) ⇒ df(term) = row count per term
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-      max(lit(nBuckets.toLong)).as("n_buckets"))
+      max(lit(nb.toLong)).as("n_buckets"))
     TermIndex(postings, dfreq, stats)
   }
 

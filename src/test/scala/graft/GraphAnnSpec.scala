@@ -97,7 +97,8 @@ class GraphAnnSpec extends SparkSpec {
     val dir = s"/root/repo/target/graph-ann-test/${System.nanoTime()}"
     GraphAnn.saveGraph(graph, dir)
     val loaded = GraphAnn.loadGraph(spark, dir)
-    assert(loaded.nBuckets == GraphAnn.DefaultBuckets)
+    assert(loaded.nBuckets ==
+      graft.operators.LogBuckets.adaptive(graph.count()))
     val emb = Tables.embeddings(spark, sfSmall)
     val q = emb.filter(col("vec_id") === 3L)
       .select("embedding").head.getSeq[Float](0).toArray
