@@ -159,8 +159,9 @@ object Bench {
     "knn_graph_persisted" -> 4.0, "knn_graph_batch" -> 8.0,
     "knn_graph_append" -> 10.0, "knn_graph_spread" -> 4.0,
     // r15 optimization round: the shared exact-graph twin (measured
-    // 1.5-2.1 s at sf0.1 — one 2000² window pass + persist)
-    "exact_twin_graph" -> 4.0
+    // 1.5-2.1 s at sf0.1 — one 2000² window pass + persist), and the
+    // corpus_upsert lifecycle (measured ~2 s)
+    "exact_twin_graph" -> 4.0, "upsert_table" -> 4.0
   ).withDefaultValue(8.0)
 
   /** The LAST stdout line. The driver records only the trailing ~2000
@@ -445,6 +446,10 @@ object Bench {
       // knn_graph_append (the exactBatchTwin discipline)
       "exact_twin_graph" -> (() => {
         GraphAnn.exactGraphTwin(spark, sfDir).count(); () }),
+      // r15 (optimization round): the corpus_upsert lifecycle (base
+      // write + delta merge), previously re-run inside every rep of the
+      // registered query
+      "upsert_table" -> (() => { Upsert.upsertTableFor(spark, sfDir); () }),
       // r15: the persisted bucket-partitioned generation (save + load
       // on top of the cached build) shared by knn_graph_persisted /
       // knn_graph_batch, and the incremental lifecycle (build on 4/5,

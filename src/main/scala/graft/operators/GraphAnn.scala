@@ -269,44 +269,60 @@ object GraphAnn {
     // to the unpruned kernel (GraphAnnSpec "new/old-pruned descent").
     var prevUnd: DataFrame = null
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val adj = edges.select(col("src"), col("dst"))
       val und = adj.union(adj.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint(true)
-      val cand =
-        if (rho >= 1.0 && prevUnd != null) {
-          val fresh = und.join(prevUnd, Seq("src", "dst"), "left_anti")
-          fresh.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst"))
-            .unionByName(
-              und.as("a").join(fresh.as("b"), col("a.dst") === col("b.src"))
-                .select(col("a.src").as("src"), col("b.dst").as("dst")))
-            .filter(col("src") =!= col("dst"))
-            .distinct()
-        } else {
-          val right = if (rho >= 1.0) und
-            else und.sample(withReplacement = false, rho, seed + it)
-          und.as("a")
-            .join(right.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst"))
-            .filter(col("src") =!= col("dst"))
-            .distinct()
+      // fresh is materialized once — it feeds BOTH sides of the pruned
+      // candidate join — and an EMPTY fresh proves convergence: und is
+      // a function of edges, so no fresh und edge means this and every
+      // later round would merge nothing (exact early exit)
+      val freshOpt =
+        if (rho >= 1.0 && prevUnd != null)
+          Some(und.join(prevUnd, Seq("src", "dst"), "left_anti")
+            .localCheckpoint(true))
+        else None
+      if (freshOpt.exists(_.isEmpty)) {
+        converged = true
+        freshOpt.foreach(_.unpersist(blocking = false))
+        und.unpersist(blocking = false)
+      } else {
+        val cand = freshOpt match {
+          case Some(fresh) =>
+            fresh.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+              .select(col("a.src").as("src"), col("b.dst").as("dst"))
+              .unionByName(
+                und.as("a").join(fresh.as("b"), col("a.dst") === col("b.src"))
+                  .select(col("a.src").as("src"), col("b.dst").as("dst")))
+              .filter(col("src") =!= col("dst"))
+              .distinct()
+          case None =>
+            val right = if (rho >= 1.0) und
+              else und.sample(withReplacement = false, rho, seed + it)
+            und.as("a")
+              .join(right.as("b"), col("a.dst") === col("b.src"))
+              .select(col("a.src").as("src"), col("b.dst").as("dst"))
+              .filter(col("src") =!= col("dst"))
+              .distinct()
         }
-      val scored = cand
-        .join(side(base.select(col("id").as("src"), col("vec").as("sv"))), Seq("src"))
-        .join(side(base.select(col("id").as("dst"), col("vec").as("dv"))), Seq("dst"))
-        .select(col("src"), col("dst"), l2sq(col("sv"), col("dv")).as("dist"))
-      val merged = topKPerSrc(edges.unionByName(scored), kb).localCheckpoint(true)
-      edges.unpersist(blocking = false)
-      if (prevUnd != null) prevUnd.unpersist(blocking = false)
-      prevUnd = und
-      edges = merged
+        val scored = cand
+          .join(side(base.select(col("id").as("src"), col("vec").as("sv"))), Seq("src"))
+          .join(side(base.select(col("id").as("dst"), col("vec").as("dv"))), Seq("dst"))
+          .select(col("src"), col("dst"), l2sq(col("sv"), col("dv")).as("dist"))
+        val merged = topKPerSrc(edges.unionByName(scored), kb).localCheckpoint(true)
+        edges.unpersist(blocking = false)
+        freshOpt.foreach(_.unpersist(blocking = false))
+        if (prevUnd != null) prevUnd.unpersist(blocking = false)
+        prevUnd = und
+        edges = merged
+        // superseded rounds' shuffle files are deleted only after their
+        // dependencies are GC'd driver-side; a 500k round writes tens of
+        // GB, and waiting for organic heap-pressure GC overruns local
+        // disk — hint the cleaner once per round (no-op at gate scale)
+        if (n > 100000L) System.gc()
+      }
       it += 1
-      // superseded rounds' shuffle files are deleted only after their
-      // dependencies are GC'd driver-side; a 500k round writes tens of
-      // GB, and waiting for organic heap-pressure GC overruns local
-      // disk — hint the cleaner once per round (no-op at gate scale)
-      if (n > 100000L) System.gc()
     }
     if (prevUnd != null) prevUnd.unpersist(blocking = false)
     edges
