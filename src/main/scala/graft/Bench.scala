@@ -93,8 +93,8 @@ object Bench {
     // r10 warm entries: the LSH hard-negative mine (was the dominant
     // triple-replayed cost inside the registered query's median) and
     // the scorecard-index build (LM+NB+span+min-id logs + cuts)
-    "hard_negatives_mine" -> 6.0, "scorecard_index" -> 20.0,
-    "batch_ivf_search" -> 5.0, "scorecard_index_admitted" -> 20.0,
+    "hard_negatives_mine" -> 6.0, "scorecard_index" -> 12.0, // r15: 5.4-6.6 measured
+    "batch_ivf_search" -> 5.0, "scorecard_index_admitted" -> 12.0,
     // r12 (verdict item 7): recorded quiet uppers for the r11/r12
     // additions and the remaining warm entries, so the 2x detector
     // adjudicates every entry from a recorded range, not the default
@@ -111,7 +111,7 @@ object Bench {
     // the single-writer lease fencing + crash-leftover hardening added
     // this round (several lock/marker file ops per append wave across
     // the two-wave lifecycle), not host noise
-    "cc_persisted" -> 4.5, "neardup_graph_log" -> 40.0,
+    "cc_persisted" -> 4.5, "neardup_graph_log" -> 30.0, // r15: 19.8-21.7 measured
     "weighted_sample" -> 1.5, "centroid_outliers" -> 4.0,
     "ingest_orc" -> 2.5, "quality_hist" -> 1.5, "hist_cuts" -> 2.0,
     "pack_chunks" -> 4.0,
@@ -149,15 +149,19 @@ object Bench {
     // r14 archive medians: build 23.2 at buildFactor=2 — the sf0.5-driven
     // default of 3 squares the per-round fan-out, bound 60 — stats 6.1-6.6 (the per-rep
     // 2000-node exact-graph window), search 1.9-2.6, batch128 0.68
-    "knn_graph_build" -> 60.0, "knn_graph_stats" -> 8.0,
+    // r15 optimization round: bounds re-recorded from measured medians
+    // on the optimized kernels (build 20.3-23.4 with new/old pruning —
+    // the r14-advice extrapolated 60 is stale; stats 0.5-0.6 against
+    // the memoized exact twin)
+    "knn_graph_build" -> 30.0, "knn_graph_stats" -> 4.0,
     "knn_graph_search" -> 4.0, "knn_batch128" -> 2.0,
     // r15 serving + lifecycle entries (bounds from the r15 archive
     // medians: persisted save+load 2.6-4.4, lifecycle build+append+
     // replay+repair 27-33, persisted/batch/append audits 0.9-4.6;
     // uppers leave the usual noise headroom)
-    "graph_persisted" -> 8.0, "graph_append_lifecycle" -> 45.0,
+    "graph_persisted" -> 5.0, "graph_append_lifecycle" -> 40.0,
     "knn_graph_persisted" -> 4.0, "knn_graph_batch" -> 8.0,
-    "knn_graph_append" -> 10.0, "knn_graph_spread" -> 4.0,
+    "knn_graph_append" -> 6.0, "knn_graph_spread" -> 4.0,
     // r15 optimization round: the shared exact-graph twin (measured
     // 1.5-2.1 s at sf0.1 — one 2000² window pass + persist), and the
     // corpus_upsert lifecycle (measured ~2 s)

@@ -365,7 +365,7 @@ object GraphAnn {
   /** Per-src smallest-k by (dist, dst) — groupBy + bounded array ops,
     * no window. Duplicate (dist, dst) pairs (an edge rediscovered in a
     * later round) collapse via array_distinct before the slice. */
-  private def topKPerSrc(edges: DataFrame, k: Int): DataFrame =
+  private[graft] def topKPerSrc(edges: DataFrame, k: Int): DataFrame =
     edges.groupBy(col("src"))
       .agg(slice(array_distinct(array_sort(
         collect_list(struct(col("dist"), col("dst"))))), 1, k).as("top"))

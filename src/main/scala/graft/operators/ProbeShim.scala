@@ -27,4 +27,6 @@ object ProbeShim {
   def appendBatchFromSigs(spark: org.apache.spark.sql.SparkSession, dir: String,
                           sigs: DataFrame, batchId: Long, ns: String): Long =
     MinhashIndex.appendBatchFromSigs(spark, dir, sigs, batchId, ns)
+  def topKPerSrc(edges: DataFrame, k: Int): DataFrame =
+    GraphAnn.topKPerSrc(edges, k)
 }
