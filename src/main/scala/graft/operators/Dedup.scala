@@ -290,18 +290,28 @@ object Dedup {
   def contamination(spark: SparkSession, sfDir: String,
                     benchMod: Long = 50, minShared: Long = 1,
                     maxDf: Int = MaxBandBucket): DataFrame = {
-    val corpus = Ingest.corpusFromDocuments(spark, sfDir)
-    contaminationSets(
-      corpus.filter(col("id") % benchMod =!= 0),
-      corpus.filter(col("id") % benchMod === 0),
+    // reuse the session-cached tokenization: the signature frame's
+    // (id, toks) columns ARE tokenized(corpus) (every tokenized doc
+    // carries >= 1 shingle, so the sig join drops nothing), and the
+    // benchMod split commutes with the per-row shingle derivation
+    // bit-for-bit — each rep skips two corpus re-tokenizations
+    val tok = cachedSigs(spark, sfDir).select(col("id"), col("toks"))
+    contaminationSetsTok(
+      tok.filter(col("id") % benchMod =!= 0),
+      tok.filter(col("id") % benchMod === 0),
       minShared, maxDf)
   }
 
   def contaminationSets(train: DataFrame, bench: DataFrame,
                         minShared: Long = 1,
-                        maxDf: Int = MaxBandBucket): DataFrame = {
-    def distinctShingles(corpus: DataFrame): DataFrame =
-      shingleRows(tokenized(corpus)).distinct()
+                        maxDf: Int = MaxBandBucket): DataFrame =
+    contaminationSetsTok(tokenized(train), tokenized(bench), minShared, maxDf)
+
+  private def contaminationSetsTok(train: DataFrame, bench: DataFrame,
+                                   minShared: Long,
+                                   maxDf: Int): DataFrame = {
+    def distinctShingles(tok: DataFrame): DataFrame =
+      shingleRows(tok).distinct()
     val t = distinctShingles(train).select(col("id").as("train_id"), col("s"))
     val b = distinctShingles(bench).select(col("id").as("bench_id"), col("s"))
     // document-frequency cap over BOTH sides (a shingle's bucket is

@@ -26,9 +26,11 @@ import graft.functions.l2sq
   *    init cost is O(n · R · InitBucket), independent of skew because
   *    bucket ids are hashes of distinct vec_ids.
   *  - NN-descent rounds: undirected adjacency (≤ 2k per node) joined to
-  *    itself through the shared middle node — fan-out is (2k)² per
-  *    node, capped by `rho` sampling of the right side (the standard
-  *    NN-descent sample rate). Per-node top-k via
+  *    itself through the shared middle node — worst-case fan-out (2k)²
+  *    per node, cut per round by the EXACT new/old pruning (r15: only
+  *    pairs with ≥1 und edge absent from the previous round generate;
+  *    see [[descend]]) and cappable by `rho` sampling of the right side
+  *    (the standard NN-descent sample rate). Per-node top-k via
   *    slice(array_distinct(array_sort(collect_list(struct(dist, dst)))))
   *    — a partial-aggregable groupBy, never a global window.
   *  - search: each query's beam lives on the driver (≤ ef entries — the

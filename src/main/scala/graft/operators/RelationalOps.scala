@@ -254,9 +254,15 @@ object RelationalOps {
     * as a window, the idiomatic Spark translation. */
   def minCostSupplier(spark: SparkSession, sfDir: String,
                       maxSize: Int = 10): DataFrame = {
+    // ONE exchange for the aggregate AND the window (guide §2.4):
+    // hash-partitioning by l_partkey satisfies the (l_partkey,
+    // l_suppkey) aggregate's clustering requirement AND the window's,
+    // so establishing it first removes the second shuffle the
+    // groupBy-by-superset-then-window-by-subset shape otherwise pays
     val best = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("unit_price")).as("best_price"))
     val w = Window.partitionBy(col("l_partkey"))
